@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`: one entry per implemented operator from SURVEY.md §2 (plus the
+  * LLM-pipeline extensions). `oracleSql`: equivalent DuckDB SQL over the same
+  * parquet tables; column names/aliases match the Spark side exactly.
+  */
 object SparkEntry {
+
+  /** Session settings every entry point needs (also applied by Verify/Bench;
+    * harmless when already set): events.ts is nanosecond parquet which Spark
+    * only reads as bigint-nanos via the legacy flag.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_regional_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.all ++
+      graft.queries.EventsQ.all ++
+      graft.queries.TextQ.all ++
+      graft.queries.SimQ.all
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.EventsQ.oracles ++
+      graft.queries.TextQ.oracles ++
+      graft.queries.SimQ.oracles
 }

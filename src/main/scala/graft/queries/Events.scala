@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (batch form of the streaming operators; the same
+  * aggregations run under Structured Streaming in `graft.streaming`).
+  *
+  * The `events.ts` column is nanosecond parquet, which Spark reads as
+  * `bigint` nanos under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+  * Verify/Bench/tests). All time arithmetic below is exact integer math on
+  * nanos so the DuckDB oracle (epoch_ns) matches bit-for-bit — no float time.
+  */
+object EventsQ {
+
+  private val HOUR_NS = 3600L * 1000 * 1000 * 1000
+  private val GAP_US  = 1800L * 1000 * 1000 // 30 min session gap, microseconds
+
+  /** DuckDB truncates ns→µs on parquet read; mirror with integer div so both
+    * engines compute on identical µs longs.
+    */
+  private val TS_US = "ts div 1000"
+
+  /** q14 — tumbling 1-hour window aggregate (streaming-window batch analog). */
+  def q14Hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_start",
+        timestamp_seconds(col("ts").divide(lit(HOUR_NS)).cast("long") * 3600))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** q15 — sessionization: 30-min-gap sessions via lag + running flag sum.
+    * Streaming equivalent: `session_window(ts, "30 minutes")`.
+    */
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("tus", expr(TS_US))
+      .withColumn("prev_ts", lag(col("tus"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || (col("tus") - col("prev_ts")) > GAP_US, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q16 — semi-structured extraction from the JSON `props` column. */
+  def q16JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** q17 — as-of lookup: each purchase joined to the latest strictly-prior
+    * signup of the same user (point-in-time-correct join), aggregated to
+    * exact-integer nano lag sums per user.
+    */
+  def q17AsOfSignup(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("tus", expr(TS_US))
+      .withColumn("last_signup",
+        max(when(col("event_type") === "signup", col("tus"))).over(before))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_signup")).as("n_matched"),
+        sum(col("tus") - col("last_signup")).as("lag_us_total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q18 — conditional pivot: per-user event-type counts + spend. */
+  def q18UserPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2)
+          .as("purchase_value"))
+      .orderBy(col("user_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_events_hourly"   -> q14Hourly _,
+    "q15_sessionize"      -> q15Sessionize _,
+    "q16_json_props"      -> q16JsonProps _,
+    "q17_asof_signup"     -> q17AsOfSignup _,
+    "q18_user_pivot"      -> q18UserPivot _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q15_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, value, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q16_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_asof_signup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+        |), m AS (
+        |  SELECT user_id, event_type, tus,
+        |    max(CASE WHEN event_type = 'signup' THEN tus END) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_purchases, count(last_signup) AS n_matched,
+        |  CAST(sum(tus - last_signup) AS BIGINT) AS lag_us_total
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18_user_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection + similarity search (SURVEY §2 "LLM pipeline"
+  * extensions): n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine /
+  * brute-force ANN.
+  *
+  * Portability trick for the DuckDB oracle: the MinHash permutations are
+  * `min(md5(seed || shingle))` — md5 is identical everywhere, so signatures,
+  * LSH bands and verified pairs hash-match exactly. At 100 TB the same plan
+  * shapes hold: shingle/signature explode is map-side, the LSH band join
+  * shuffles only (band_key, doc_id) pairs — never the text — and the final
+  * verify join touches only candidate pairs.
+  */
+object SimQ {
+
+  /** Word-bigram shingle set as a column expression (1-based element_at on
+    * both engines; guarded for single-token docs).
+    */
+  private val GRAMS =
+    """CASE WHEN size(split(text, ' ')) < 2 THEN array(text)
+      |ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),
+      |  i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))))
+      |END""".stripMargin.replace("\n", " ")
+
+  private val GRAMS_SQL =
+    """CASE WHEN len(string_split(text, ' ')) < 2 THEN [text]
+      |ELSE list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+      |END""".stripMargin.replace("\n", " ")
+
+  private def withGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("grams", expr(GRAMS))
+
+  /** q25 — n-gram Jaccard similarity of consecutive doc pairs (linear probe
+    * of the shingle pipeline; full pair search is q26 via LSH).
+    */
+  def q25NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = withGrams(spark, dir).select(col("doc_id"), col("grams"))
+    val a = g.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))), 4).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  private val NUM_HASHES = 6 // 3 bands x 2 rows
+
+  /** MinHash signature columns s1..s6 over the shingle set. */
+  private def withSigs(df: DataFrame): DataFrame =
+    (1 to NUM_HASHES).foldLeft(df) { (d, i) =>
+      d.withColumn(s"s$i", expr(s"array_min(transform(grams, g -> md5(concat('$i:', g))))"))
+    }
+
+  /** q26 — MinHash + LSH near-duplicate pairs: 6 md5-minhashes, 3 bands of 2,
+    * band-equality self-join for candidates, exact Jaccard >= 0.8 verify.
+    */
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val sigs = withSigs(withGrams(spark, dir)).select(col("doc_id"), col("grams"),
+      col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("s6"))
+
+    // band rows: (doc_id, band_id, band_key) — only hashes travel the shuffle
+    val bands = sigs.select(col("doc_id"), explode(array(
+      struct(lit(1).as("band_id"), concat_ws("|", col("s1"), col("s2")).as("band_key")),
+      struct(lit(2).as("band_id"), concat_ws("|", col("s3"), col("s4")).as("band_key")),
+      struct(lit(3).as("band_id"), concat_ws("|", col("s5"), col("s6")).as("band_key"))
+    )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
+
+    val g = withGrams(spark, dir).select(col("doc_id"), col("grams"))
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val SIM_BITS = 16
+
+  /** q27 — SimHash document fingerprint: bit b = sign of the sum over
+    * distinct tokens of +-1 by the high bit of hex digit b of md5(token).
+    */
+  def q27Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("h", md5(col("token")))
+    val bitSums = (1 to SIM_BITS).map { b =>
+      sum(when(substring(col("h"), b, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (1 to SIM_BITS).map { b =>
+      when(col(s"b$b") > 0, lit(1L << (b - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** Embedding as double[] (float32->double on both engines before any
+    * arithmetic, so accumulation is identical).
+    */
+  private val V = "transform(embedding, x -> cast(x AS double))"
+  private def dot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+
+  /** q28 — cosine similarity of consecutive embedding pairs. */
+  def q28CosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
+      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(expr(dot("va", "vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy(col("id_a"))
+  }
+
+  /** q29 — brute-force cosine top-k ANN: 5 query vectors against the corpus,
+    * top 10 each. The query side is broadcast (tiny); ranking partitions by
+    * query id. The IVF variant lives in `graft.llm.Ann` (same verify path).
+    */
+  def q29AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
+      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(expr(dot("qv", "v")) / (col("qn") * col("norm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q30 — per-label embedding stats (centroid norm proxy: mean vector norm). */
+  def q30LabelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).withColumn("v", expr(V))
+      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_ngram_jaccard" -> q25NgramJaccard _,
+    "q26_minhash_lsh"   -> q26MinhashLsh _,
+    "q27_simhash"       -> q27Simhash _,
+    "q28_cosine_pairs"  -> q28CosinePairs _,
+    "q29_ann_topk"      -> q29AnnTopK _,
+    "q30_label_stats"   -> q30LabelStats _,
+  )
+
+  private val SIG_SQL = (1 to NUM_HASHES).map { i =>
+    s"list_min(list_transform(grams, g -> md5('$i:' || g))) AS s$i"
+  }.mkString(",\n    ")
+
+  private val SIMHASH_BITSUM_SQL = (1 to SIM_BITS).map { b =>
+    s"sum(CASE WHEN substr(h, $b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b"
+  }.mkString(",\n    ")
+
+  private val SIMHASH_VALUE_SQL = (1 to SIM_BITS).map { b =>
+    s"(CASE WHEN b$b > 0 THEN ${1L << (b - 1)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val DOT_SQL_AB = "list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2]))"
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  val oracles: Map[String, String] = Map(
+    "q25_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+    "q26_minhash_lsh" ->
+      s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents),
+         |s AS (SELECT doc_id, grams,
+         |    $SIG_SQL
+         |  FROM g),
+         |bands AS (
+         |  SELECT doc_id, 1 AS band_id, s1 || '|' || s2 AS band_key FROM s
+         |  UNION ALL SELECT doc_id, 2, s3 || '|' || s4 FROM s
+         |  UNION ALL SELECT doc_id, 3, s5 || '|' || s6 FROM s),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+         |    len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+         |  FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM j
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q27_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $SIMHASH_BITSUM_SQL
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, $SIMHASH_VALUE_SQL AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+    "q28_cosine_pairs" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotSql("a.v", "b.v")} / (a.norm * b.norm), 4) AS cosine
+         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |ORDER BY id_a""".stripMargin,
+    "q29_ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q_id, vec_id, round(${dotSql("qv", "v")} / (qn * norm), 4) AS cosine
+         |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q30_label_stats" ->
+      s"""WITH e AS (
+         |  SELECT label,
+         |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n, round(avg(norm), 4) AS avg_norm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting, exact
+  * dedup) over the `documents` table.
+  *
+  * All token logic is single-space `split` so the DuckDB `string_split`
+  * oracle is bit-identical. All operators are pure column expressions
+  * (whole-stage-codegen'd, no UDFs) and scale linearly: no shuffle except the
+  * final aggregate/sort.
+  */
+object TextQ {
+
+  private val STOPWORDS = Seq("the", "a", "of", "to", "in")
+
+  /** q20 — token counting: whitespace tokens + distinct tokens + byte len. */
+  def q20TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+        length(col("text")).as("len_chars"),
+        octet_length(col("text")).as("len_bytes"))
+      .orderBy(col("doc_id"))
+
+  /** q21 — quality scoring: stopword ratio, mean token length, alpha ratio. */
+  def q21Quality(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("mean_tok_len",
+        round((length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("stop_ratio"),
+        col("mean_tok_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q22 — language-ID heuristic (marker-token scoring) → confusion matrix
+    * against the labeled `lang` column. Markers drawn from the corpus vocab;
+    * the deterministic argmax CASE is identical on both sides.
+    */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame = {
+    def score(markers: Seq[String]) = {
+      val list = markers.map(s => s"'$s'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
+    }
+    Tables.documents(spark, dir)
+      .withColumn("s_en", score(Seq("the", "a", "data", "table")))
+      .withColumn("s_es", score(Seq("query", "row", "line")))
+      .withColumn("s_de", score(Seq("merge", "batch", "stream")))
+      .withColumn("s_fr", score(Seq("join", "group", "sort")))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** q23 — document fingerprinting: md5 of whitespace-normalized lowercase
+    * text + per-fingerprint duplicate count (window).
+    */
+  def q23Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+    Tables.documents(spark, dir)
+      .withColumn("fp", fp)
+      .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp"), col("n_same_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q24 — exact deduplication: hash-groupBy on md5(text), keep min doc_id.
+    * At 100 TB this is the standard first dedup pass: shuffle on the 128-bit
+    * content hash (never the content), keeper = min(id) per group.
+    */
+  def q24ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> q20TokenStats _,
+    "q21_quality"     -> q21Quality _,
+    "q22_langid"      -> q22LangId _,
+    "q23_fingerprint" -> q23Fingerprint _,
+    "q24_exact_dedup" -> q24ExactDedup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  length(text) AS len_chars,
+        |  octet_length(encode(text)) AS len_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, len(toks) AS n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'in'))) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+        |  round((length(text) - n_tokens + 1) * 1.0 / n_tokens, 4) AS mean_tok_len,
+        |  round(least(1.0, round(n_stop * 1.0 / n_tokens, 4) * 2 + n_tokens / 100.0), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q22_langid" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'data', 'table'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('query', 'row', 'line'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('merge', 'batch', 'stream'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('join', 'group', 'sort'))) AS s_fr
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de >= s_fr THEN 'de'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM s
+        |)
+        |SELECT lang, pred_lang, count(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "q23_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+  )
+}
