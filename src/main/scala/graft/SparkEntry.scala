@@ -10,18 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Session settings every entry point needs (also applied by Verify/Bench;
+  /** Session settings every entry point needs (applied by entry/Verify/Bench;
     * harmless when already set): events.ts is nanosecond parquet which Spark
-    * only reads as bigint-nanos via the legacy flag.
+    * only reads as bigint-nanos via the legacy flag; UTC keeps timestamp
+    * rendering engine-independent.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_regional_revenue")(spark, "/root/testdata/sf0.001")
+    queries("q04_regional_revenue")(tune(spark), "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.all ++

@@ -5,13 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-stream analytics (batch form of the streaming operators; the same
-  * aggregations run under Structured Streaming in `graft.streaming`).
+/** Event-stream analytics over the `events` table. (The streaming analogs —
+  * the same aggregations as `readStream` pipelines — are in
+  * [[graft.streaming.EventStreams]].)
   *
   * The `events.ts` column is nanosecond parquet, which Spark reads as
   * `bigint` nanos under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
   * Verify/Bench/tests). All time arithmetic below is exact integer math on
   * nanos so the DuckDB oracle (epoch_ns) matches bit-for-bit — no float time.
+  *
+  * Float sums: `value` is float32. A plain `round(sum(value), 2)` sums
+  * doubles in engine-dependent order and diverges at `.xx5` boundaries, so
+  * every money-ish sum below widens each addend to an exact decimal first
+  * (float→double is exact; double→decimal(30,10) rounds identically — half
+  * away from zero — on both engines), sums in decimal (exact, associative,
+  * order-independent), rounds in decimal, then casts back to double.
   */
 object EventsQ {
 
@@ -23,13 +31,21 @@ object EventsQ {
     */
   private val TS_US = "ts div 1000"
 
+  /** Order-independent 2-decimal sum of a float column (see class doc). */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast("double").cast("decimal(30,10)")), 2).cast("double")
+
+  /** DuckDB twin of [[moneySum]]. */
+  private def moneySumSql(e: String): String =
+    s"CAST(round(sum(CAST(CAST($e AS DOUBLE) AS DECIMAL(30,10))), 2) AS DOUBLE)"
+
   /** q14 — tumbling 1-hour window aggregate (streaming-window batch analog). */
   def q14Hourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("hour_start",
-        timestamp_seconds(col("ts").divide(lit(HOUR_NS)).cast("long") * 3600))
+        timestamp_seconds(expr(s"ts div $HOUR_NS") * 3600))
       .groupBy(col("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   /** q15 — sessionization: 30-min-gap sessions via lag + running flag sum.
@@ -45,14 +61,16 @@ object EventsQ {
       .withColumn("session_id",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** q16 — semi-structured extraction from the JSON `props` column. */
+  /** q16 — semi-structured extraction from the JSON `props` column (real
+    * JSON-path extraction, not regex — whitespace/escaping-proof).
+    */
   def q16JsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
@@ -87,9 +105,27 @@ object EventsQ {
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
         sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
-        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2)
+        moneySum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
           .as("purchase_value"))
       .orderBy(col("user_id"))
+
+  /** q19 — ordered funnel: users whose first view precedes their first click
+    * precedes their first purchase (event-sequence analysis; exact integer µs
+    * comparisons only).
+    */
+  def q19Funnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("tus", expr(TS_US))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tus"))).as("t_view"),
+        min(when(col("event_type") === "click", col("tus"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("tus"))).as("t_purchase"))
+      .agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_view_click_purchase"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_hourly"   -> q14Hourly _,
@@ -97,17 +133,18 @@ object EventsQ {
     "q16_json_props"      -> q16JsonProps _,
     "q17_asof_signup"     -> q17AsOfSignup _,
     "q18_user_pivot"      -> q18UserPivot _,
+    "q19_funnel"          -> q19Funnel _,
   )
 
   val oracles: Map[String, String] = Map(
     "q14_events_hourly" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS total_value
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n, ${moneySumSql("value")} AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
     "q15_sessionize" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
         |), flagged AS (
         |  SELECT user_id, event_id, value, tus,
@@ -120,12 +157,12 @@ object EventsQ {
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged
         |)
-        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |SELECT user_id, session_id, count(*) AS n_events, ${moneySumSql("value")} AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q17_asof_signup" ->
       """WITH e AS (
@@ -141,14 +178,27 @@ object EventsQ {
         |  CAST(sum(tus - last_signup) AS BIGINT) AS lag_us_total
         |FROM m WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT count(t_view) AS n_view,
+        |  count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+        |    AS n_view_click_purchase
+        |FROM per_user""".stripMargin,
     "q18_user_pivot" ->
-      """SELECT user_id,
+      s"""SELECT user_id,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        |  ${moneySumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object SimQ {
 
-  /** Word-bigram shingle set as a column expression (1-based element_at on
-    * both engines; guarded for single-token docs).
+  /** Word-bigram shingle set as a column expression over a pre-split token
+    * array (1-based element_at on both engines; guarded for single-token
+    * docs). Tokenizing into `toks` FIRST is load-bearing for perf: inlining
+    * `split(text,' ')` here would re-tokenize per shingle — O(tokens²)/row.
     */
   private val GRAMS =
-    """CASE WHEN size(split(text, ' ')) < 2 THEN array(text)
-      |ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),
-      |  i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))))
+    """CASE WHEN size(toks) < 2 THEN array(text)
+      |ELSE array_distinct(transform(sequence(1, size(toks) - 1),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
       |END""".stripMargin.replace("\n", " ")
 
   private val GRAMS_SQL =
@@ -34,7 +36,10 @@ object SimQ {
       |END""".stripMargin.replace("\n", " ")
 
   private def withGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).withColumn("grams", expr(GRAMS))
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(GRAMS))
+      .drop("toks")
 
   /** q25 — n-gram Jaccard similarity of consecutive doc pairs (linear probe
     * of the shingle pipeline; full pair search is q26 via LSH).

@@ -5,8 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Table loader for the driver-provided parquet testdata.
   *
   * All queries take `(SparkSession, sfDir)` and read via this helper so the
-  * parquet scans benefit from Catalyst predicate pushdown / column pruning
-  * (verified via `.explain("formatted")` — see `PlanSpec`).
+  * parquet scans benefit from Catalyst predicate pushdown / column pruning.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
