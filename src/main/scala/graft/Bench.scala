@@ -39,8 +39,10 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
+    // stop() BEFORE printing so the JSON is the final stdout line (no
+    // shutdown log lines after it) — the driver parses the last line.
     spark.stop()
+    println(json)
   }
 }

@@ -5,9 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-stream analytics over the `events` table. (The streaming analogs —
-  * the same aggregations as `readStream` pipelines — are in
-  * [[graft.streaming.EventStreams]].)
+/** Event-stream analytics over the `events` table (batch form).
   *
   * The `events.ts` column is nanosecond parquet, which Spark reads as
   * `bigint` nanos under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
@@ -153,8 +151,9 @@ object EventsQ {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         |), sessions AS (
         |  SELECT user_id, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events, ${moneySumSql("value")} AS session_value
@@ -162,7 +161,7 @@ object EventsQ {
         |ORDER BY user_id, session_id""".stripMargin,
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q17_asof_signup" ->
       """WITH e AS (
@@ -193,11 +192,11 @@ object EventsQ {
         |FROM per_user""".stripMargin,
     "q18_user_pivot" ->
       s"""SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |  ${moneySumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )

@@ -66,12 +66,17 @@ object SimQ {
 
   /** q26 — MinHash + LSH near-duplicate pairs: 6 md5-minhashes, 3 bands of 2,
     * band-equality self-join for candidates, exact Jaccard >= 0.8 verify.
+    *
+    * The shingle pipeline (scan + split + distinct bigrams) is computed ONCE
+    * and persisted; both the signature side and the verify side read the
+    * cached (doc_id, grams) — at scale the doc scan is the dominant cost and
+    * must not run twice.
     */
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val sigs = withSigs(withGrams(spark, dir)).select(col("doc_id"), col("grams"),
-      col("s1"), col("s2"), col("s3"), col("s4"), col("s5"), col("s6"))
+    val g = withGrams(spark, dir).select(col("doc_id"), col("grams")).persist()
+    val sigs = withSigs(g)
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the shuffle
     val bands = sigs.select(col("doc_id"), explode(array(
@@ -86,7 +91,6 @@ object SimQ {
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
 
-    val g = withGrams(spark, dir).select(col("doc_id"), col("grams"))
     cand
       .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
@@ -140,7 +144,7 @@ object SimQ {
 
   /** q29 — brute-force cosine top-k ANN: 5 query vectors against the corpus,
     * top 10 each. The query side is broadcast (tiny); ranking partitions by
-    * query id. The IVF variant lives in `graft.llm.Ann` (same verify path).
+    * query id. This exact scan is the recall oracle for the scale path.
     */
   def q29AnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))

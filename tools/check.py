@@ -32,6 +32,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def df_kind(s: pd.Series) -> str:
+    k = s.dtype.kind  # i=int u=uint f=float O=object M=datetime b=bool
+    return {"u": "i"}.get(k, k)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -58,6 +63,17 @@ def main():
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(x.columns)}")
+            n_fail += 1
+            continue
+        # dtype-strict: the driver hashes raw values, so an int64 column on
+        # one side vs float64 on the other (e.g. DuckDB HUGEINT sum -> float64)
+        # hash-mismatches even when values are equal. Compare dtype KINDS
+        # after canon's int-width/float32 normalization.
+        kinds_g = [df_kind(g[c]) for c in g.columns]
+        kinds_x = [df_kind(x[c]) for c in x.columns]
+        if kinds_g != kinds_x:
+            bad = [(c, a, b) for c, a, b in zip(g.columns, kinds_g, kinds_x) if a != b]
+            print(f"FAIL {name}: dtype kind mismatch {bad} (spark vs oracle)")
             n_fail += 1
             continue
         if len(g) != len(x):
