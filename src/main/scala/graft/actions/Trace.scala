@@ -1,0 +1,102 @@
+package graft.actions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** An ordered, replayable program of [[Action]]s (reference
+  * actions/Trace.scala:127-305). Pure data — composition, canonicalization
+  * and cache keys are all driver/executor-side pure functions; execution
+  * lives in [[graft.agent.Agent]].
+  */
+final case class Trace(actions: Seq[Action]) extends Serializable {
+
+  /** Sequence two traces (reference HasTrace.scala:43-52 `+>`). */
+  def +>(other: Trace): Trace = Trace(actions ++ other.actions)
+  def +>(a: Action): Trace = Trace(actions :+ a)
+
+  def isEmpty: Boolean = actions.isEmpty
+
+  def exports: Seq[Export] = actions.collect { case e: Export => e }
+
+  def hasExport: Boolean = exports.nonEmpty
+
+  /** Canonical trace: every action reduced to its [[Action.skeleton]], pure
+    * no-ops dropped.
+    */
+  def skeleton: Trace =
+    Trace(actions.map(_.skeleton).filter(_ != NoOp))
+
+  /** Only the state-changing steps (reference Trace.scala:293-305
+    * `stateChangeOnly`) — what an export's observation depends on.
+    */
+  def stateChangeOnly: Trace =
+    Trace(actions.collect { case s: StateChange => s })
+
+  /** Minimal backtrace per export: the state-changing prefix + the export
+    * itself, both canonicalized (reference Trace.scala:275-292 `dryRun`).
+    * This is the identity of each observation — the basis of cache keys and
+    * fetch dedup.
+    */
+  def dryRun: Seq[Trace] = {
+    val backtraces = Seq.newBuilder[Trace]
+    var stateChanges = Vector.empty[Action]
+    actions.foreach {
+      case s: StateChange => stateChanges :+= s.skeleton
+      case e: Export      => backtraces += Trace(stateChanges :+ e.skeleton)
+      case _              => () // delays, waits: not part of observation identity
+    }
+    backtraces.result()
+  }
+
+  /** Stable canonical cache key: SHA-256 over the rendered dryRun. Two traces
+    * with equal dryRun MUST yield equal keys (ScalaCheck property in
+    * TraceSpec); names/timeouts/delays never affect it.
+    */
+  def cacheKey: String = Trace.digest(dryRun.map(Trace.render).mkString("\n"))
+}
+
+object Trace {
+
+  val empty: Trace = Trace(Nil)
+
+  def of(actions: Action*): Trace = Trace(actions.toVector)
+
+  /** Deterministic structural rendering (case-class toString is stable for
+    * our sealed ADT of data fields).
+    */
+  private[actions] def render(t: Trace): String = t.actions.map(_.toString).mkString(";")
+
+  private[graft] def digest(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+}
+
+/** A set of alternative traces — the fan-out unit that `fetch`/`explore`
+  * functions return (reference actions/Foundation.scala:11-21).
+  */
+final case class TraceSet(traces: Seq[Trace]) extends Serializable {
+
+  /** Cartesian composition: every left trace continued by every right trace
+    * (reference Foundation.scala:11-19 `*>`) — e.g. pagination fan-out.
+    */
+  def *>(other: TraceSet): TraceSet =
+    TraceSet(for { a <- traces; b <- other.traces } yield a +> b)
+
+  def *>(a: Action): TraceSet = TraceSet(traces.map(_ +> a))
+
+  /** Union of alternatives (reference Foundation.scala:21 `||`). */
+  def ||(other: TraceSet): TraceSet = TraceSet(traces ++ other.traces)
+
+  def distinct: TraceSet = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Trace]
+    traces.foreach(t => seen.getOrElseUpdate(t.cacheKey, t))
+    TraceSet(seen.values.toSeq)
+  }
+}
+
+object TraceSet {
+  val empty: TraceSet = TraceSet(Nil)
+  def of(traces: Trace*): TraceSet = TraceSet(traces.toVector)
+  def one(actions: Action*): TraceSet = TraceSet(Seq(Trace(actions.toVector)))
+}

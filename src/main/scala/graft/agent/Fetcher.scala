@@ -1,0 +1,114 @@
+package graft.agent
+
+import graft.doc.{Doc, DocUID, NoDoc, Observation}
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Executor-side resource fetcher (reference io/HTTPResolver.scala +
+  * CompoundResolver.scala — the `OmniResolver`): `http(s):` via the JDK
+  * client, everything else (bare paths, `file:`, `hdfs:`, `s3a:`...) via the
+  * Hadoop FileSystem API. Directory URIs yield a JSON listing doc — the
+  * explore fixture (reference Wget directory-listing behavior,
+  * ExplorePlanSpec's dir-tree traversal).
+  */
+object Fetcher {
+
+  def get(uri: String, timeoutMillis: Long, uid: DocUID, now: Long): Observation =
+    if (isHttp(uri)) httpGet(uri, timeoutMillis, uid, now)
+    else fsGet(uri, uid, now)
+
+  def post(uri: String, entity: String, contentType: String, timeoutMillis: Long,
+           uid: DocUID, now: Long): Observation =
+    if (isHttp(uri)) httpPost(uri, entity, contentType, timeoutMillis, uid, now)
+    else NoDoc(uid, uri, now) // non-HTTP POST = upload; no observation content
+
+  private def isHttp(uri: String) = uri.startsWith("http://") || uri.startsWith("https://")
+
+  private[agent] def httpGet(uri: String, timeoutMillis: Long, uid: DocUID, now: Long,
+                             headers: Map[String, String] = Map.empty): Observation = {
+    val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMillis.toInt)
+      conn.setReadTimeout(timeoutMillis.toInt)
+      conn.setInstanceFollowRedirects(true)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
+      Doc(uid, uri, bytes, Option(conn.getContentType), status,
+        metadata = Map("via" -> "http"), timestampMillis = now)
+    } finally conn.disconnect()
+  }
+
+  private def httpPost(uri: String, entity: String, contentType: String,
+                       timeoutMillis: Long, uid: DocUID, now: Long): Observation = {
+    val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMillis.toInt)
+      conn.setReadTimeout(timeoutMillis.toInt)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", contentType)
+      val body = entity.getBytes(StandardCharsets.UTF_8)
+      conn.getOutputStream.write(body)
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
+      Doc(uid, uri, bytes, Option(conn.getContentType), status,
+        metadata = Map("via" -> "http-post"), timestampMillis = now)
+    } finally conn.disconnect()
+  }
+
+  /** File/DFS scan. A directory returns a JSON listing
+    * `{"uri":..., "entries":[{"name","uri","isDir"}...]}` so the Node tree
+    * (and explore link extraction) can navigate it uniformly.
+    */
+  private def fsGet(uri: String, uid: DocUID, now: Long): Observation = {
+    val path = new Path(stripFileScheme(uri))
+    val fs = path.getFileSystem(new Configuration())
+    val status = fs.getFileStatus(path)
+    if (status.isDirectory) {
+      val entries = fs.listStatus(path).sortBy(_.getPath.getName).map { st =>
+        val name = st.getPath.getName
+        s"""{"name":${jstr(name)},"uri":${jstr(st.getPath.toUri.toString)},"isDir":${st.isDirectory}}"""
+      }
+      val json = s"""{"uri":${jstr(uri)},"entries":[${entries.mkString(",")}]}"""
+      Doc(uid, uri, json.getBytes(StandardCharsets.UTF_8), Some("application/json"),
+        metadata = Map("type" -> "directory"), timestampMillis = now)
+    } else {
+      val in = fs.open(path)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Doc(uid, uri, bytes, None, metadata = Map("length" -> status.getLen.toString),
+          timestampMillis = now)
+      } finally in.close()
+    }
+  }
+
+  private def stripFileScheme(uri: String): String =
+    if (uri.startsWith("file://")) uri.stripPrefix("file://")
+    else if (uri.startsWith("file:")) uri.stripPrefix("file:")
+    else uri
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+}

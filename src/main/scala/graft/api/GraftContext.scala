@@ -1,0 +1,248 @@
+package graft.api
+
+import graft.actions.{Mock, Trace, TraceSet}
+import graft.agent.{DriverFactory, Env}
+import graft.conf.GraftConf
+import graft.doc.{Observation, Trajectory}
+import graft.exec.{ExploredRow, ExploreExec, ExploreParams, FetchedRow, FetchExec, Locality, Metrics}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+import scala.reflect.ClassTag
+
+/** Entry point (reference SpookyContext.scala:209-261): lifts local
+  * collections / RDDs / Datasets into [[DataView]]s and owns conf + metrics.
+  */
+final class GraftContext(
+    val spark: SparkSession,
+    val conf: GraftConf = GraftConf(),
+    val driverFactory: Option[DriverFactory] = None
+) {
+
+  val metrics: Metrics = new Metrics(spark.sparkContext)
+
+  /** Serializable slice shipped into executor closures. */
+  def env: Env = Env(conf, metrics, driverFactory)
+
+  def withConf(c: GraftConf): GraftContext = new GraftContext(spark, c, driverFactory)
+
+  def withDrivers(f: DriverFactory): GraftContext = new GraftContext(spark, conf, Some(f))
+
+  /** `create(batch[, numSlices])` (reference SpookyContext.scala:213-225). */
+  def create[D: Encoder](data: Seq[D], numSlices: Int = 0): DataView[D] = {
+    val ds = spark.createDataset(data)
+    new DataView(if (numSlices > 0) ds.repartition(numSlices) else ds, this)
+  }
+
+  /** `create(rdd)` / `fromRDD` (reference SpookyContext.scala:228-239). */
+  def create[D: Encoder: ClassTag](rdd: RDD[D]): DataView[D] =
+    new DataView(spark.createDataset(rdd), this)
+
+  /** `create(Dataset)` — identity lift (reference SpookyContext.scala:241-244). */
+  def create[D](ds: Dataset[D]): DataView[D] =
+    new DataView(ds, this)(ds.encoder)
+
+  /** Single-unit-row seed for fetch chains (reference
+    * SpookyContext.scala:257-261 `createBlank`).
+    */
+  def createBlank: DataView[Int] = create(Seq(0))(Encoders.scalaInt)
+
+  /** Rows with pre-canned observations, no network — the test seam
+    * (reference row/BuildRow.scala:8-63 + actions/Mock.scala).
+    */
+  def createMock[D: Encoder](rows: Seq[(D, Seq[Observation])]): FetchedView[D] = {
+    implicit val pairEnc: Encoder[(D, Seq[Observation])] =
+      Encoders.kryo[(D, Seq[Observation])]
+    val e = env
+    val ds = spark.createDataset(rows).map { case (d, obs) =>
+      val t = Trace.of(Mock(obs))
+      FetchedRow(d, t.cacheKey, t, Trajectory(graft.agent.Agent.execute(t, e)))
+    }(Encoders.kryo[FetchedRow[D]])
+    new FetchedView(ds, this)
+  }
+}
+
+/** The user-facing dataset (reference dsl/DataView.scala:72-331): a thin,
+  * immutable wrapper over `Dataset[D]`. Relational ops delegate straight to
+  * the Dataset API (Catalyst optimizes them); the engine-specific operators
+  * are `fetch` (side-effect dedup) and `explore` (bounded recursion).
+  */
+final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
+    implicit val enc: Encoder[D]) {
+
+  private def wrap[O: Encoder](ds: Dataset[O]): DataView[O] = new DataView(ds, ctx)
+
+  // -- projections (reference DataView.scala:137-175)
+
+  def map[O: Encoder](f: D => O): DataView[O] = wrap(dataset.map(f))
+  def select[O: Encoder](f: D => O): DataView[O] = map(f)
+
+  /** 1→N with conf-driven down-sampling at the fan-out
+    * (reference selectMany/flatMap + DownSampling).
+    */
+  def flatMap[O: Encoder](f: D => Seq[O]): DataView[O] = {
+    val down = ctx.conf.downSampling
+    wrap(dataset.flatMap(d => down(f(d))))
+  }
+  def selectMany[O: Encoder](f: D => Seq[O]): DataView[O] = flatMap(f)
+
+  def filter(p: D => Boolean): DataView[D] = wrap(dataset.filter(p))
+  def where(p: D => Boolean): DataView[D] = filter(p)
+
+  /** Force effects row-wise (reference foreach/execute). */
+  def foreach(f: D => Unit): DataView[D] = { dataset.foreach(f); this }
+  def execute(): DataView[D] = { dataset.foreach(_ => ()); this }
+
+  // -- sorts / set ops / partitioning (reference DataView.scala:109-129,
+  //    DataViewRDDInterface.scala)
+
+  def sortBy[K: Ordering: ClassTag](f: D => K, ascending: Boolean = true,
+                                    numPartitions: Int = 0): DataView[D] = {
+    val rdd = dataset.rdd
+    val n = if (numPartitions > 0) numPartitions else rdd.getNumPartitions
+    wrap(dataset.sparkSession.createDataset(rdd.sortBy(f, ascending, n)))
+  }
+  def sorted(implicit ord: Ordering[D], ct: ClassTag[D]): DataView[D] =
+    sortBy(identity[D])
+
+  def union(others: DataView[D]*): DataView[D] =
+    wrap(others.foldLeft(dataset)((a, b) => a.union(b.dataset)))
+  def ++(other: DataView[D]): DataView[D] = union(other)
+
+  def intersect(other: DataView[D]): DataView[D] = wrap(dataset.intersect(other.dataset))
+  def except(other: DataView[D]): DataView[D] = wrap(dataset.except(other.dataset))
+
+  def coalesce(n: Int): DataView[D] = wrap(dataset.coalesce(n))
+  def repartition(n: Int): DataView[D] = wrap(dataset.repartition(n))
+
+  def persist(): DataView[D] = { dataset.persist(); this }
+  def cache(): DataView[D] = persist()
+  def unpersist(): DataView[D] = { dataset.unpersist(); this }
+  def checkpoint(): DataView[D] = wrap(dataset.localCheckpoint(true))
+
+  // -- the signature operator (reference DataView.scala:178-203)
+
+  /** For each row, `fn` yields alternative traces (fan-out); rows are re-keyed
+    * by canonical trace and each distinct trace executes ONCE
+    * ([[graft.exec.FetchExec]]).
+    */
+  def fetch(fn: D => TraceSet, locality: Locality = Locality.Wide): FetchedView[D] = {
+    implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
+    val keyed = dataset.flatMap(d => fn(d).traces.map(t => (t, d)))
+    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality), ctx)
+  }
+
+  def fetchOne(fn: D => Trace, locality: Locality = Locality.Wide): FetchedView[D] =
+    fetch(d => TraceSet(Seq(fn(d))), locality)
+
+  // -- the flagship operator (reference DataView.scala:205-331)
+
+  /** Bounded BFS: `seed` starts each row's traversal, `next` expands each
+    * fetched row into child traces+payloads; depth range `[minDepth,
+    * maxDepth)` (reference `recursively(range).explore(fn)` semantics).
+    */
+  def explore(seed: D => Trace)(next: FetchedRow[D] => Seq[(Trace, D)],
+              minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
+              checkpointInterval: Int = 0): ExploredView[D] = {
+    implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
+    val seeds = dataset.map(d => (seed(d), d))
+    val params = ExploreParams(minDepth, maxDepth,
+      if (checkpointInterval > 0) checkpointInterval else ctx.conf.checkpointInterval)
+    new ExploredView(
+      ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params), ctx)
+  }
+
+  // -- export (reference DataView.scala:33-47)
+
+  def asDataset: Dataset[D] = dataset
+  def asDataFrame: org.apache.spark.sql.DataFrame = dataset.toDF()
+  def asJSONDataset: Dataset[String] = dataset.toJSON
+  def collect(): Seq[D] = dataset.collect().toSeq
+}
+
+/** View after a fetch: rows carry their trajectory (reference AgentRow).
+  * Kryo-encoded internally; `select`/`extract` project back to
+  * encoder-friendly types for Catalyst.
+  */
+final class FetchedView[D](val dataset: Dataset[FetchedRow[D]], val ctx: GraftContext) {
+
+  def select[O: Encoder](f: FetchedRow[D] => O): DataView[O] =
+    new DataView(dataset.map(f), ctx)
+
+  def selectMany[O: Encoder](f: FetchedRow[D] => Seq[O]): DataView[O] = {
+    val down = ctx.conf.downSampling
+    new DataView(dataset.flatMap(r => down(f(r))), ctx)
+  }
+
+  def filter(p: FetchedRow[D] => Boolean): FetchedView[D] =
+    new FetchedView(dataset.filter(p), ctx)
+
+  /** Keep only rows whose whole trajectory succeeded. */
+  def succeeded: FetchedView[D] = filter(_.trajectory.isSuccess)
+
+  /** Chain another fetch from the fetched context (pagination etc.). */
+  def fetch(fn: FetchedRow[D] => TraceSet,
+            locality: Locality = Locality.Wide): FetchedView[FetchedRow[D]] = {
+    implicit val pairEnc: Encoder[(Trace, FetchedRow[D])] =
+      Encoders.kryo[(Trace, FetchedRow[D])]
+    val keyed = dataset.flatMap(r => fn(r).traces.map(t => (t, r)))
+    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality), ctx)
+  }
+
+  /** Doc-node lateral join (reference legacy `fork`, execution/Delta.scala:
+    * 92-126): explode selected nodes into child rows carrying the parent
+    * payload. `Inner` drops rows with no match; `Outer` keeps them with an
+    * empty extraction (explode vs explode_outer semantics).
+    */
+  def fork[O: Encoder](selector: String, forkType: ForkType = ForkType.Inner)(
+      extract: graft.doc.Node => O)(
+      implicit pairEnc: Encoder[(D, Option[O])]): DataView[(D, Option[O])] = {
+    val down = ctx.conf.downSampling
+    val ds = dataset.flatMap { r =>
+      val nodes = down(r.trajectory.findAll(selector))
+      if (nodes.isEmpty) {
+        if (forkType == ForkType.Outer) Seq((r.data, Option.empty[O])) else Nil
+      } else nodes.map(n => (r.data, Some(extract(n))))
+    }
+    new DataView(ds, ctx)
+  }
+
+  /** Save every doc to DFS (reference Trajectory.save); runs distributed. */
+  def save(dir: String): FetchedView[D] = {
+    dataset.foreach((r: FetchedRow[D]) => { r.trajectory.save(dir); () })
+    this
+  }
+
+  def data(implicit enc: Encoder[D]): DataView[D] =
+    new DataView(dataset.map(_.data), ctx)
+
+  def persist(): FetchedView[D] = { dataset.persist(); this }
+  def unpersist(): FetchedView[D] = { dataset.unpersist(); this }
+  def count(): Long = dataset.count()
+  def collect(): Seq[FetchedRow[D]] = dataset.collect().toSeq
+}
+
+sealed trait ForkType
+object ForkType {
+  case object Inner extends ForkType
+  case object Outer extends ForkType
+}
+
+/** View after explore: fetched rows + depth. */
+final class ExploredView[D](val dataset: Dataset[ExploredRow[D]], val ctx: GraftContext) {
+
+  def select[O: Encoder](f: ExploredRow[D] => O): DataView[O] =
+    new DataView(dataset.map(f), ctx)
+
+  def selectMany[O: Encoder](f: ExploredRow[D] => Seq[O]): DataView[O] = {
+    val down = ctx.conf.downSampling
+    new DataView(dataset.flatMap(r => down(f(r))), ctx)
+  }
+
+  def fetched: FetchedView[D] =
+    new FetchedView(dataset.map(_.row)(Encoders.kryo[FetchedRow[D]]), ctx)
+
+  def count(): Long = dataset.count()
+  def collect(): Seq[ExploredRow[D]] = dataset.collect().toSeq
+}

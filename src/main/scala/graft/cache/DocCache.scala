@@ -1,0 +1,131 @@
+package graft.cache
+
+import graft.conf.GraftConf
+import graft.doc.Observation
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Two-tier doc cache keyed by canonical backtrace hash (reference
+  * caching/AbstractDocCache.scala:60-97, InMemoryDocCache.scala:10-36,
+  * DFSDocCache.scala:13-46): a JVM-local memory tier probed first, then a
+  * (distributed) filesystem tier shared across executors. Entries are
+  * timestamped; reads honor TTL (min age bound) and wayback (max timestamp —
+  * time travel).
+  */
+trait DocCache {
+
+  /** Latest entry for `key` whose timestamp is within
+    * `[now - ttl, wayback or now]` (reference AbstractDocCache.scala:69-97).
+    */
+  def get(key: String, conf: GraftConf, nowMillis: Long): Option[Seq[Observation]]
+
+  def put(key: String, obs: Seq[Observation], timestampMillis: Long): Unit
+
+  protected def inWindow(ts: Long, conf: GraftConf, now: Long): Boolean = {
+    val notExpired = conf.docTtlMillis == Long.MaxValue || ts >= now - conf.docTtlMillis
+    val notAfterWayback = conf.waybackMillis.forall(ts <= _)
+    notExpired && notAfterWayback
+  }
+}
+
+/** JVM-wide memory tier (reference InMemoryDocCache.scala:10-36). Keeps every
+  * timestamped version so wayback reads can select older entries.
+  */
+object InMemoryDocCache extends DocCache {
+
+  private val store = new ConcurrentHashMap[String, List[(Long, Seq[Observation])]]()
+
+  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] =
+    Option(store.get(key)).flatMap { versions =>
+      versions.filter(v => inWindow(v._1, conf, now)).sortBy(-_._1).headOption.map(_._2)
+    }
+
+  override def put(key: String, obs: Seq[Observation], ts: Long): Unit =
+    store.compute(key, (_, old) => (ts, obs) :: Option(old).getOrElse(Nil))
+
+  def clear(): Unit = store.clear()
+  def size: Int = store.size()
+}
+
+/** Filesystem tier (reference DFSDocCache.scala:13-46): one file per version
+  * at `<dir>/<key>/<timestamp>.obs`, java-serialized observations. Works on
+  * any Hadoop FS (local, HDFS, S3A); on a real cluster this is the shared
+  * tier that makes re-runs fetch zero pages.
+  */
+final class DfsDocCache(dir: String) extends DocCache with Serializable {
+
+  @transient private lazy val fs: FileSystem =
+    new Path(dir).getFileSystem(new Configuration())
+
+  private def keyDir(key: String) = new Path(dir, key)
+
+  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
+    val kd = keyDir(key)
+    if (!fs.exists(kd)) None
+    else {
+      val versions = fs.listStatus(kd).toSeq
+        .map(_.getPath)
+        .flatMap(p => scala.util.Try(p.getName.stripSuffix(".obs").toLong).toOption.map(_ -> p))
+        .filter { case (ts, _) => inWindow(ts, conf, now) }
+        .sortBy(-_._1)
+      versions.headOption.map { case (_, p) =>
+        val in = fs.open(p)
+        try {
+          val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          deserialize(bytes)
+        } finally in.close()
+      }
+    }
+  }
+
+  override def put(key: String, obs: Seq[Observation], ts: Long): Unit = {
+    val p = new Path(keyDir(key), s"$ts.obs")
+    val out = fs.create(p, true)
+    try out.write(serialize(obs))
+    finally out.close()
+  }
+
+  private def serialize(obs: Seq[Observation]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(obs.toList)
+    oos.close()
+    bos.toByteArray
+  }
+
+  private def deserialize(bytes: Array[Byte]): Seq[Observation] = {
+    val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[List[Observation]]
+    finally ois.close()
+  }
+}
+
+/** Probe memory first, then DFS (promoting DFS hits to memory); write both
+  * (reference Trace.scala:225-251 lookup chain).
+  */
+object DocCaches {
+
+  def probe(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
+    if (!conf.cacheEnabled) return None
+    InMemoryDocCache.get(key, conf, now).orElse {
+      conf.dfsCacheDir.flatMap { d =>
+        val hit = new DfsDocCache(d).get(key, conf, now)
+        hit.foreach(obs => InMemoryDocCache.put(key, obs,
+          obs.headOption.map(_.timestampMillis).getOrElse(now)))
+        hit
+      }
+    }
+  }
+
+  def write(key: String, obs: Seq[Observation], conf: GraftConf, now: Long): Unit = {
+    if (!conf.cacheWrite) return
+    // skip caching failed fetches (reference: write-skip on errors)
+    if (obs.exists(!_.isSuccess)) return
+    InMemoryDocCache.put(key, obs, now)
+    conf.dfsCacheDir.foreach(d => new DfsDocCache(d).put(key, obs, now))
+  }
+}

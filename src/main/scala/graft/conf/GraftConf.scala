@@ -1,0 +1,87 @@
+package graft.conf
+
+import java.util.Random
+
+/** Batch down-sampling applied at every fan-out point — selectMany, fork,
+  * explore children (reference dsl/DownSampling.scala:9-56). Deterministic:
+  * randomized variants are seeded so replays sample identically.
+  */
+sealed trait DownSampling extends Serializable {
+  def apply[T](xs: Seq[T]): Seq[T]
+}
+
+object DownSampling {
+
+  case object Identity extends DownSampling {
+    override def apply[T](xs: Seq[T]): Seq[T] = xs
+  }
+
+  /** Deterministic head (reference DownSampling.scala:27-33). */
+  final case class FirstN(n: Int) extends DownSampling {
+    override def apply[T](xs: Seq[T]): Seq[T] = xs.take(n)
+  }
+
+  /** Seeded shuffle then ratio slice (reference DownsamplingByRatio). */
+  final case class ByRatio(ratio: Double, seed: Long = 42L) extends DownSampling {
+    override def apply[T](xs: Seq[T]): Seq[T] =
+      shuffled(xs, seed).take(math.ceil(xs.size * ratio).toInt)
+  }
+
+  /** Seeded shuffle then fixed-size slice (reference DownsamplingToSize). */
+  final case class ToSize(n: Int, seed: Long = 42L) extends DownSampling {
+    override def apply[T](xs: Seq[T]): Seq[T] = shuffled(xs, seed).take(n)
+  }
+
+  private def shuffled[T](xs: Seq[T], seed: Long): Seq[T] = {
+    val r = new Random(seed ^ xs.size)
+    val buf = xs.toBuffer
+    var i = buf.size - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val t = buf(i); buf(i) = buf(j); buf(j) = t
+      i -= 1
+    }
+    buf.toSeq
+  }
+}
+
+/** Engine configuration (reference conf/SpookyConf.scala). Serializable —
+  * shipped into executor closures as part of [[graft.exec.Env]].
+  *
+  * @param cacheEnabled       probe the doc caches before remote fetch
+  * @param cacheWrite         write fetched observations to the caches
+  * @param dfsCacheDir        second cache tier on (distributed) FS; None = memory only
+  * @param docTtlMillis       max age for a cache hit (reference cachedDocsLifeSpan)
+  * @param waybackMillis      upper timestamp bound for cache reads — time travel
+  *                           (reference actions/Wayback.scala:7-33)
+  * @param auditDir           when set, every fetched doc is also saved here
+  *                           (reference dirs.auditing auto-save)
+  * @param errorDumpDir       when set, failed actions dump their doc here
+  * @param remoteRetries      trace-level retry count (reference Trace.fetch retry)
+  * @param downSampling       fan-out limiter at selectMany/fork/explore
+  * @param maxExploreDepth    hard depth cap (preview mode sets 2)
+  * @param checkpointInterval explore: checkpoint every k epochs (lineage cut)
+  */
+final case class GraftConf(
+    cacheEnabled: Boolean = true,
+    cacheWrite: Boolean = true,
+    dfsCacheDir: Option[String] = None,
+    docTtlMillis: Long = Long.MaxValue,
+    waybackMillis: Option[Long] = None,
+    auditDir: Option[String] = None,
+    errorDumpDir: Option[String] = None,
+    remoteRetries: Int = 2,
+    downSampling: DownSampling = DownSampling.Identity,
+    maxExploreDepth: Int = Int.MaxValue,
+    checkpointInterval: Int = 5,
+    validation: graft.doc.DocValidation = graft.doc.DocValidation.StatusCode2XX
+) extends Serializable
+
+object GraftConf {
+
+  /** Cheap dry-run of whole pipelines (reference SpookyConf.scala:101-110
+    * previewMode: FirstN(1) + depth <= 2).
+    */
+  def preview: GraftConf =
+    GraftConf(downSampling = DownSampling.FirstN(1), maxExploreDepth = 2)
+}

@@ -1,0 +1,172 @@
+package graft.doc
+
+/** Unified selector-queryable tree over HTML/XML, JSON and plain text
+  * (reference doc/Node.scala:51-87, NodeContainer.scala:3-23). One API for
+  * every content type; unparseable/binary content gets the
+  * [[Node.Unrecognisable]] null-object (reference Node.scala:8-26).
+  *
+  * Trees are transient executor-side views over [[Doc]] bytes — never
+  * serialized into rows (reference marks them NOTSerializable; we rebuild
+  * lazily per partition).
+  */
+trait Node {
+
+  /** All descendants matching the selector (CSS subset for HTML, field-path
+    * for JSON). Reference `findAll`/`\\`.
+    */
+  def findAll(selector: String): Seq[Node]
+
+  /** Exactly one match, error otherwise (reference NodeContainer.scala:20-23). */
+  def findOnly(selector: String): Node = {
+    val all = findAll(selector)
+    require(all.size == 1, s"findOnly('$selector'): expected 1 match, got ${all.size}")
+    all.head
+  }
+
+  def findFirst(selector: String): Option[Node] = findAll(selector).headOption
+
+  /** Direct children matching the selector (reference Node.scala:57-66). */
+  def children(selector: String): Seq[Node]
+
+  def child(selector: String): Option[Node] = children(selector).headOption
+
+  /** All direct child nodes. */
+  def childNodes: Seq[Node]
+
+  /** Each match expanded to a bounded sibling window, clipped at neighboring
+    * matches (reference HtmlNode.scala:82-109, Node.scala:54-66).
+    */
+  def findAllWithSiblings(selector: String, range: Range): Seq[Seq[Node]] = {
+    val matches = findAll(selector)
+    matches.map(m => m.withSiblings(range, matches))
+  }
+
+  def childrenWithSiblings(selector: String, range: Range): Seq[Seq[Node]] = {
+    val matches = children(selector)
+    matches.map(m => m.withSiblings(range, matches))
+  }
+
+  /** This node's sibling slice per `range`, clipped at `stops` (other matches). */
+  protected def withSiblings(range: Range, stops: Seq[Node]): Seq[Node] = Seq(this)
+
+  /** Full recursive text content. */
+  def text: String
+
+  /** Text of this node only (no descendants). */
+  def ownText: String = text
+
+  /** Raw outer serialization (reference `code`). */
+  def code: String
+
+  /** Pretty-printed outer serialization. */
+  def formattedCode: String = code
+
+  /** Attribute value; empty/nbsp-only → None when noEmpty (reference
+    * HtmlNode.scala:140-153).
+    */
+  def attr(name: String, noEmpty: Boolean = true): Option[String] = None
+
+  def allAttr: Map[String, String] = Map.empty
+
+  /** Absolutized link attribute (reference HtmlNode.scala:155-160). */
+  def href: Option[String] = None
+  def src: Option[String] = None
+
+  /** Tag path from root (reference HtmlNode.scala:12-17,174). */
+  def breadcrumb: Seq[String] = Seq.empty
+
+  /** Article-text extraction: text of high-density blocks (stands in for the
+    * reference's boilerpipe dependency — HtmlNode.scala:166-170).
+    */
+  def boilerPipe: String = text
+}
+
+object Node {
+
+  /** Parse bytes into the right tree for the mime (reference Doc.scala:157-199
+    * content-type dispatch; Tika normalisation replaced by native parsers per
+    * family).
+    */
+  def parse(content: Array[Byte], mime: String, uri: String = ""): Node = {
+    val m = mime.toLowerCase
+    try {
+      if (m.contains("html") || m.contains("xml")) HtmlNode.parse(new String(content, "UTF-8"), uri)
+      else if (m.contains("json")) JsonNode.parse(new String(content, "UTF-8"))
+      else if (m.startsWith("text/csv")) CsvNode.parse(new String(content, "UTF-8"))
+      else if (m.startsWith("text/")) PlainNode(new String(content, "UTF-8"))
+      else Unrecognisable
+    } catch {
+      case scala.util.control.NonFatal(_) => Unrecognisable
+    }
+  }
+
+  /** Null-object for binary/unparseable content (reference Node.scala:8-26). */
+  case object Unrecognisable extends Node {
+    override def findAll(selector: String): Seq[Node] = Seq.empty
+    override def children(selector: String): Seq[Node] = Seq.empty
+    override def childNodes: Seq[Node] = Seq.empty
+    override def text: String = ""
+    override def code: String = ""
+  }
+}
+
+/** Plain-text fallback node (reference doc/PlainNode.scala): one leaf, whole
+  * content as text; selectors match nothing.
+  */
+final case class PlainNode(content: String) extends Node {
+  override def findAll(selector: String): Seq[Node] = Seq.empty
+  override def children(selector: String): Seq[Node] = Seq.empty
+  override def childNodes: Seq[Node] = Seq.empty
+  override def text: String = content
+  override def code: String = content
+}
+
+/** CSV cells with header-named access (reference doc/CSVElement.scala intent):
+  * `findAll("colName")` yields that column's cells; rows are childNodes.
+  */
+object CsvNode {
+  def parse(content: String, sep: Char = ','): Node = {
+    val lines = content.split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
+    if (lines.isEmpty) PlainNode("")
+    else {
+      val header = splitLine(lines.head, sep)
+      val rows = lines.tail.map(splitLine(_, sep))
+      CsvTable(header, rows)
+    }
+  }
+
+  // minimal RFC4180: double-quoted fields with "" escapes
+  private def splitLine(line: String, sep: Char): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cur += c
+      } else if (c == '"') inQ = true
+      else if (c == sep) { out += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  final case class CsvTable(header: IndexedSeq[String], rows: IndexedSeq[IndexedSeq[String]])
+      extends Node {
+    override def findAll(selector: String): Seq[Node] = {
+      val idx = header.indexOf(selector)
+      if (idx < 0) Seq.empty
+      else rows.flatMap(r => r.lift(idx)).map(PlainNode(_))
+    }
+    override def children(selector: String): Seq[Node] = findAll(selector)
+    override def childNodes: Seq[Node] =
+      rows.map(r => CsvTable(header, IndexedSeq(r)))
+    override def text: String = rows.map(_.mkString(",")).mkString("\n")
+    override def code: String = (header +: rows).map(_.mkString(",")).mkString("\n")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.exec
+
+import graft.actions.Trace
+import graft.agent.{Agent, Env}
+import graft.doc.Trajectory
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** One logical row after fetch: payload + its trace + the observations the
+  * trace produced (reference row/AgentRow.scala:54-59 — data, locality group,
+  * trajectory). `traceKey` is the canonical dryRun hash — the dedup/cache/
+  * co-location key (reference LocalityGroup).
+  */
+final case class FetchedRow[D](
+    data: D,
+    traceKey: String,
+    trace: Trace,
+    trajectory: Trajectory
+) extends Serializable
+
+/** Shuffle strategy for fetch dedup (reference dsl/DataLocality.scala:19-110). */
+sealed trait Locality extends Serializable
+object Locality {
+
+  /** No dedup at all: every row executes its own trace. */
+  case object Passthrough extends Locality
+
+  /** Partition-local dedup — no shuffle; duplicates across partitions fetch
+    * again (reference Narrow: per-partition groupBy).
+    */
+  case object Narrow extends Locality
+
+  /** Global dedup: shuffle on traceKey, exactly one execution per distinct
+    * canonical trace (reference Wide: reduceByKey partitioner). The default.
+    */
+  case object Wide extends Locality
+}
+
+/** The engine's one genuinely novel physical operator: common-subexpression
+  * elimination on SIDE EFFECTS (reference execution/FetchPlan.scala:25-60,
+  * SURVEY §4 #2). Rows are keyed by the canonical hash of their trace and
+  * grouped so each distinct trace executes ONCE; results fan back to every
+  * origin row.
+  *
+  * Scale shape: the shuffle key is a 64-char hash string; the shuffled
+  * payload is (trace, D) — no fetched content moves (fetching happens after
+  * the shuffle, inside the group). Co-location is free: all rows wanting one
+  * trace land in one task, which also maximizes doc-cache locality on
+  * repeated runs (reference DocCacheAware).
+  */
+object FetchExec {
+
+  /** `keyed`: one input row per (trace, payload) pair — upstream fan-out
+    * (CanFetch) already applied.
+    */
+  def fetch[D](keyed: Dataset[(Trace, D)], env: Env,
+               locality: Locality = Locality.Wide): Dataset[FetchedRow[D]] = {
+    implicit val rowEnc: Encoder[FetchedRow[D]] = Encoders.kryo[FetchedRow[D]]
+    implicit val keyedEnc: Encoder[(String, (Trace, D))] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo[(Trace, D)])
+
+    locality match {
+      case Locality.Passthrough =>
+        keyed.mapPartitions { it =>
+          it.map { case (t, d) =>
+            FetchedRow(d, t.cacheKey, t, Trajectory(Agent.execute(t, env)))
+          }
+        }
+
+      case Locality.Narrow =>
+        keyed.mapPartitions { it =>
+          val local = scala.collection.mutable.Map.empty[String, Trajectory]
+          it.map { case (t, d) =>
+            val k = t.cacheKey
+            val traj = local.getOrElseUpdate(k, Trajectory(Agent.execute(t, env)))
+            FetchedRow(d, k, t, traj)
+          }
+        }
+
+      case Locality.Wide =>
+        keyed
+          .map { case (t, d) => (t.cacheKey, (t, d)) }
+          .groupByKey(_._1)(Encoders.STRING)
+          .flatMapGroups { (key: String, it: Iterator[(String, (Trace, D))]) =>
+            val rows = it.toVector
+            val trace = rows.head._2._1
+            // ONE execution per distinct canonical trace (the whole point)
+            val traj = Trajectory(Agent.execute(trace, env))
+            rows.iterator.map { case (_, (t, d)) => FetchedRow(d, key, t, traj) }
+          }
+    }
+  }
+}

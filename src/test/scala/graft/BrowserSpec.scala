@@ -1,0 +1,77 @@
+package graft
+
+import graft.actions._
+import graft.agent.{MockBrowser, MockBrowserFactory}
+import graft.api.GraftContext
+import graft.cache.InMemoryDocCache
+import graft.conf.GraftConf
+
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Browser-trace pipelines over the pluggable driver seam (reference
+  * module/web actions + integration FetchVisitIT) using the deterministic
+  * in-memory browser.
+  */
+class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  import SparkFixture._
+
+  override def beforeEach(): Unit = InMemoryDocCache.clear()
+
+  private val site = Map(
+    "mock://home" ->
+      """<html><head><title>Home</title></head><body>
+        |<a id="next" href="mock://page2">next</a>
+        |<form action="mock://search"><input name="q"></form>
+        |</body></html>""".stripMargin,
+    "mock://page2" ->
+      """<html><head><title>Page2</title></head><body><p>deep</p></body></html>""".stripMargin,
+    "mock://search?q=spark" ->
+      """<html><head><title>Results</title></head><body><p>found spark</p></body></html>""".stripMargin
+  )
+
+  test("MockBrowser visit/click/snapshot") {
+    val b = new MockBrowser(site.get)
+    b.visit("mock://home")
+    assert(b.currentUri == "mock://home")
+    b.click("#next")
+    assert(b.currentUri == "mock://page2")
+    assert(b.pageSource.contains("deep"))
+  }
+
+  test("Visit + Click + Snapshot trace through the engine, deduped") {
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(site))
+    import spark.implicits._
+    val view = ctx.create(Seq(1, 2, 3))
+      .fetchOne(_ => Trace.of(Visit("mock://home"), Click("#next"), Snapshot()))
+    val titles = view.select(_.trajectory.texts("title").mkString).collect()
+    assert(titles == Seq("Page2", "Page2", "Page2"))
+    assert(ctx.metrics.pagesFetched.value == 1) // 3 rows, 1 browser rollout
+  }
+
+  test("TextInput + Submit navigates the form") {
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(site))
+    import spark.implicits._
+    val out = ctx.create(Seq("spark"))
+      .fetchOne(q => Trace.of(Visit("mock://home"), TextInput("q", q), Submit("form"), Snapshot()))
+      .select(_.trajectory.texts("p").mkString)
+      .collect()
+    assert(out == Seq("found spark"))
+  }
+
+  test("snapshots of different interaction paths have different cache keys") {
+    val t1 = Trace.of(Visit("mock://home"), Snapshot())
+    val t2 = Trace.of(Visit("mock://home"), Click("#next"), Snapshot())
+    assert(t1.cacheKey != t2.cacheKey)
+  }
+
+  test("browser action without a driver factory fails cleanly") {
+    val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
+    import spark.implicits._
+    val rows = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Visit("mock://home"), Snapshot()))
+      .collect()
+    assert(rows.head.trajectory.failed.nonEmpty)
+  }
+}

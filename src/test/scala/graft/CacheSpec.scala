@@ -1,0 +1,100 @@
+package graft
+
+import graft.actions._
+import graft.api.GraftContext
+import graft.cache.{DfsDocCache, InMemoryDocCache}
+import graft.conf.GraftConf
+import graft.doc.{Doc, DocUID}
+
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Doc-cache tiers, TTL and wayback (reference InMemoryDocCache/DFSDocCache/
+  * AbstractDocCache.scala:60-97) + the BASELINE.md target: a cache-warm second
+  * run performs ZERO remote fetches.
+  */
+class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  import SparkFixture._
+
+  override def beforeEach(): Unit = InMemoryDocCache.clear()
+
+  test("second run of the same pipeline fetches 0 pages (memory tier)") {
+    val uri = writeFixture("cache1/p.html", "<p>cached</p>")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    def run() = ctx.create(Seq(1, 2, 3)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).count()
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1)
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1) // no new remote fetch
+    assert(ctx.metrics.fetchFromCache.value >= 1)
+  }
+
+  test("DFS tier survives a memory-cache wipe (cold-JVM / cross-executor analog)") {
+    val uri = writeFixture("cache2/p.html", "<p>dfs</p>")
+    val cacheDir = scratchDir("dfscache")
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir))
+    val ctx = new GraftContext(spark, conf)
+    import spark.implicits._
+    def run() = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).count()
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1)
+    InMemoryDocCache.clear() // simulate a fresh JVM
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1) // served from the DFS tier
+  }
+
+  test("TTL: expired entries are refetched") {
+    val key = "ttl-key"
+    val doc = Doc(DocUID(key), "u", "x".getBytes("UTF-8"), timestampMillis = 1000L)
+    InMemoryDocCache.put(key, Seq(doc), 1000L)
+    val freshConf = GraftConf(docTtlMillis = Long.MaxValue)
+    val shortTtl = GraftConf(docTtlMillis = 10L)
+    val now = 100000L
+    assert(InMemoryDocCache.get(key, freshConf, now).isDefined)
+    assert(InMemoryDocCache.get(key, shortTtl, now).isEmpty)
+  }
+
+  test("wayback: reads pick the latest version at-or-before the pin") {
+    val key = "wb-key"
+    def doc(ts: Long, body: String) =
+      Doc(DocUID(key), "u", body.getBytes("UTF-8"), timestampMillis = ts)
+    InMemoryDocCache.put(key, Seq(doc(1000L, "v1")), 1000L)
+    InMemoryDocCache.put(key, Seq(doc(2000L, "v2")), 2000L)
+    InMemoryDocCache.put(key, Seq(doc(3000L, "v3")), 3000L)
+    val now = 5000L
+    def readAt(wb: Option[Long]) =
+      InMemoryDocCache.get(key, GraftConf(waybackMillis = wb), now)
+        .flatMap(_.head.docOpt).map(_.contentStr)
+    assert(readAt(None).contains("v3"))
+    assert(readAt(Some(2500L)).contains("v2"))
+    assert(readAt(Some(1000L)).contains("v1"))
+    assert(readAt(Some(500L)).isEmpty)
+  }
+
+  test("DfsDocCache round-trips observations with versions") {
+    val dir = scratchDir("dfsrt")
+    val cache = new DfsDocCache(dir)
+    val key = "k1"
+    val doc = Doc(DocUID(key), "file:/u", "<p>rt</p>".getBytes("UTF-8"),
+      Some("text/html"), metadata = Map("m" -> "1"), timestampMillis = 42L)
+    cache.put(key, Seq(doc), 42L)
+    cache.put(key, Seq(doc.copy(timestampMillis = 99L)), 99L)
+    val got = cache.get(key, GraftConf(), 1000L)
+    assert(got.isDefined)
+    assert(got.get.head.timestampMillis == 99L)
+    assert(got.get.head.docOpt.get.contentStr == "<p>rt</p>")
+    val pinned = cache.get(key, GraftConf(waybackMillis = Some(50L)), 1000L)
+    assert(pinned.get.head.timestampMillis == 42L)
+  }
+
+  test("failed observations are never cached") {
+    val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
+    import spark.implicits._
+    def run() = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wget("file:/missing/never.html"))).count()
+    run()
+    assert(InMemoryDocCache.size == 0)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.actions._
+import graft.api.GraftContext
+import graft.cache.InMemoryDocCache
+import graft.conf.{DownSampling, GraftConf}
+import graft.exec.FetchedRow
+
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Explore goldens: fetch-count budgets and depth-range semantics (reference
+  * ExplorePlanSpec.scala:100-195 — 4-doc tree ⇒ 4 fetches unbounded, bounded
+  * depth fetches only the in-range frontier; diamond dedup from
+  * dsl/package.scala:167-168).
+  */
+class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  import SparkFixture._
+
+  override def beforeEach(): Unit = InMemoryDocCache.clear()
+
+  import ExploreSpec.{dirExpand, linkExpand}
+
+  test("diamond graph A→{B,C}→D: 4 fetches, D visited once at min depth") {
+    val site = diamondSite("explore1")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand)
+    val rows = explored.collect()
+    assert(ctx.metrics.pagesFetched.value == 4) // B,C both link D; D fetched ONCE
+    val byTitle = rows.map(r => r.row.trajectory.texts("title").mkString -> r.depth).toMap
+    assert(byTitle == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2))
+  }
+
+  test("maxDepth bounds traversal: depth [0,2) fetches only 3 pages") {
+    val site = diamondSite("explore2")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand, minDepth = 0, maxDepth = 2)
+    val rows = explored.collect()
+    assert(rows.map(_.depth).sorted.toSeq == Seq(0, 1, 1)) // A, B, C — no D
+    assert(ctx.metrics.pagesFetched.value == 3) // frontier beyond max never fetched
+  }
+
+  test("minDepth filters output but not traversal") {
+    val site = diamondSite("explore3")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand, minDepth = 1, maxDepth = 3)
+    val titles = explored.collect()
+      .map(r => r.row.trajectory.texts("title").mkString).sorted.toSeq
+    assert(titles == Seq("B", "C", "D")) // A traversed but below minDepth
+  }
+
+  test("directory-tree explore (the reference's dir fixture shape)") {
+    // tree: root/{a/{f.txt}, b/{c/{g.txt}}} — 4 directories total
+    writeFixture("explore4/root/a/f.txt", "f")
+    writeFixture("explore4/root/b/c/g.txt", "g")
+    val root = fixtureRoot.resolve("explore4/root").toString
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val unbounded = ctx.create(Seq(s"file:$root")).explore(u => Trace.of(Wget(u)))(dirExpand)
+    assert(unbounded.count() == 4) // root, a, b, b/c
+    assert(ctx.metrics.pagesFetched.value == 4)
+
+    InMemoryDocCache.clear()
+    val ctx2 = new GraftContext(spark, GraftConf())
+    val bounded = ctx2.create(Seq(s"file:$root")).explore(u => Trace.of(Wget(u)))(
+      dirExpand, maxDepth = 2)
+    assert(bounded.count() == 3) // root, a, b — not b/c
+    assert(ctx2.metrics.pagesFetched.value == 3)
+  }
+
+  test("explore + select fusion and downsampled fan-out") {
+    val site = diamondSite("explore5")
+    val ctx = new GraftContext(spark,
+      GraftConf(downSampling = DownSampling.FirstN(1), maxExploreDepth = 2))
+    import spark.implicits._
+    // preview-ish conf: only the first child link expands, depth capped at 2
+    val titles = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand)
+      .select(r => r.row.trajectory.texts("title").mkString)
+      .collect().sorted.toSeq
+    assert(titles == Seq("A", "B"))
+  }
+
+  test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
+    val site = diamondSite("explore6")
+    val cacheDir = scratchDir("explorecache")
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir))
+    val ctx = new GraftContext(spark, conf)
+    import spark.implicits._
+    def run(c: GraftContext) = c.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand).count()
+    run(ctx)
+    assert(ctx.metrics.pagesFetched.value == 4)
+    InMemoryDocCache.clear() // cold JVM; DFS tier remains
+    val ctx2 = new GraftContext(spark, conf)
+    run(ctx2)
+    assert(ctx2.metrics.pagesFetched.value == 0)
+  }
+}
+
+/** Expansion fns live outside the spec class so Spark closures don't capture
+  * the (non-serializable) ScalaTest engine.
+  */
+object ExploreSpec {
+
+  def linkExpand(r: FetchedRow[String]): Seq[(Trace, String)] =
+    r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))
+
+  def dirExpand(r: FetchedRow[String]): Seq[(Trace, String)] =
+    r.trajectory.findAll("entries")
+      .filter(_.attr("isDir").contains("true"))
+      .flatMap(_.attr("uri"))
+      .map(u => (Trace.of(Wget(u)), u))
+}
