@@ -30,11 +30,13 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.EventsQ.all ++
       graft.queries.TextQ.all ++
-      graft.queries.SimQ.all
+      graft.queries.SimQ.all ++
+      graft.queries.EngineQ.all
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.EventsQ.oracles ++
       graft.queries.TextQ.oracles ++
-      graft.queries.SimQ.oracles
+      graft.queries.SimQ.oracles ++
+      graft.queries.EngineQ.oracles
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.doc.{HtmlNode, JsonNode, Mime}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Column-expression DSL for doc extraction (SURVEY §2.11 "Spark mapping":
+  * a `spookystuff.sql.functions` set) — the §2.11 Node ops exposed to
+  * DataFrame users. Implemented as Scala UDFs over the same Node trees the
+  * typed API uses; they sit OUTSIDE whole-stage codegen, so hot relational
+  * paths should prefer native `org.apache.spark.sql.functions` and use these
+  * only at the extraction boundary (one parse per row, then native ops).
+  */
+object functions {
+
+  /** All texts matching a CSS selector. */
+  val css_texts: (Column, Column) => Column =
+    (html, css) => udfCssTexts(html, css)
+  private val udfCssTexts = udf { (html: String, css: String) =>
+    if (html == null) Seq.empty[String]
+    else HtmlNode.parse(html).findAll(css).map(_.text)
+  }
+
+  /** First matching text, null when absent. */
+  def css_text(html: Column, css: Column): Column = udfCssText(html, css)
+  private val udfCssText = udf { (html: String, css: String) =>
+    if (html == null) None
+    else HtmlNode.parse(html).findFirst(css).map(_.text)
+  }
+
+  /** First matching attribute value. */
+  def css_attr(html: Column, css: Column, attr: Column): Column =
+    udfCssAttr(html, css, attr)
+  private val udfCssAttr = udf { (html: String, css: String, attr: String) =>
+    if (html == null) None
+    else HtmlNode.parse(html).findFirst(css).flatMap(_.attr(attr))
+  }
+
+  /** All absolutized hrefs of matching elements. */
+  def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
+    udfCssHrefs(html, css, baseUri)
+  private val udfCssHrefs = udf { (html: String, css: String, base: String) =>
+    if (html == null) Seq.empty[String]
+    else HtmlNode.parse(html, Option(base).getOrElse("")).findAll(css).flatMap(_.href)
+  }
+
+  /** Recursive JSON field select (reference JSON node navigation): all values
+    * of `path` (dot-separated, arrays exploded) as strings.
+    */
+  def json_texts(json: Column, path: Column): Column = udfJsonTexts(json, path)
+  private val udfJsonTexts = udf { (json: String, path: String) =>
+    if (json == null) Seq.empty[String]
+    else try JsonNode.parse(json).findAll(path).map(_.text)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+  }
+
+  /** Article-text heuristic (reference boilerPipe). */
+  def boilerpipe_text(html: Column): Column = udfBoilerpipe(html)
+  private val udfBoilerpipe = udf { (html: String) =>
+    if (html == null) "" else HtmlNode.parse(html).boilerPipe
+  }
+
+  /** Mime sniff of a binary payload (reference content-type detection). */
+  def sniff_mime(content: Column, uri: Column): Column = udfSniff(content, uri)
+  private val udfSniff = udf { (content: Array[Byte], uri: String) =>
+    Mime.sniff(Option(uri).getOrElse(""), Option(content).getOrElse(Array.empty))
+  }
+}

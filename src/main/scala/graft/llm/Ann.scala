@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding column
+  * — the scale path next to the brute-force oracle (q29).
+  *
+  * Shape at 100 TB: centroids are a tiny broadcast table; cell assignment is
+  * a map-side broadcast join + argmax (no shuffle of the corpus beyond its
+  * one-time cell tag); a query probes only its `nProbes` nearest cells, so
+  * the ranking shuffle carries ~nProbes/nCells of the corpus instead of
+  * corpus × queries. Centroid choice here is deterministic (first-k vectors)
+  * — recall depends on centroid quality, correctness of the plumbing does
+  * not, and the driver oracle replicates the exact same algorithm.
+  */
+object Ann {
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
+
+  /** Tag every vector with its nearest centroid id (cosine, ties to the
+    * lowest centroid id). `centroids` must be small (broadcast).
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("cell_score", dot("v", "cv") / (col("norm") * col("cnorm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_score").desc, col("cell_id"))
+    scored.withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") === 1)
+      .drop("cv", "cnorm", "cell_score", "cell_rank")
+  }
+
+  /** Per query: its `nProbes` nearest cells. */
+  def probeCells(queries: DataFrame, centroids: DataFrame, nProbes: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_score", dot("qv", "cv") / (col("qn") * col("cnorm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cell_score").desc, col("cell_id"))
+    scored.withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nProbes)
+      .select(col("q_id"), col("cell_id"))
+  }
+
+  /** Top-k cosine neighbors per query, searching only probed cells.
+    *
+    * @param corpus  (vec_id, v: array<double>, norm, cell_id) — pre-assigned
+    * @param queries (q_id, qv, qn) — small, broadcast
+    */
+  def search(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             nProbes: Int, k: Int): DataFrame = {
+    val probes = probeCells(queries, centroids, nProbes)
+    // queries ⨝ probes is tiny — broadcast it; the corpus only flows where
+    // its cell is probed (the IVF pruning).
+    val probedQueries = queries.join(probes, "q_id")
+    val scored = corpus.join(broadcast(probedQueries), "cell_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(dot("qv", "v") / (col("qn") * col("norm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.Tables
+import graft.actions.{Trace, Wget}
+import graft.api.GraftContext
+import graft.conf.GraftConf
+import graft.exec.FetchedRow
+import graft.llm.{Ann, Multimodal}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Oracle-gated queries that exercise the ENGINE — fetch dedup, JSON/HTML
+  * node extraction, explore, IVF ANN, multimodal decode — against the
+  * standard testdata tables, so the driver's DuckDB gate covers the engine
+  * paths, not just relational ops.
+  *
+  * Pattern: a deterministic corpus is materialized to local files FROM the
+  * `documents` table (executor-side writes, no driver collect), the engine
+  * fetches/parses/traverses it, and the oracle recomputes the expected
+  * result in pure SQL over the same source table.
+  */
+object EngineQ {
+
+  /** Per-(sf,query) fixture dir under ./target — inside the repo, safe to
+    * overwrite on every run.
+    */
+  private def fixtureDir(sfDir: String, q: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = Paths.get("target", "engine-fixtures", safe, q).toAbsolutePath
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  // -------------------------------------------------------------------------
+  // q31 — fetch + trace-dedup + JSON node extraction
+  // -------------------------------------------------------------------------
+
+  /** Every 20th document is written as a JSON file; each uri is requested
+    * THREE times (dedup load), fetched through FetchExec (one execution per
+    * distinct trace), parsed with the JSON node tree, then aggregated
+    * per language. The oracle recomputes from the source table.
+    */
+  def q31FetchDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q31")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
+
+    docs.select("doc_id", "lang", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val json =
+          s"""{"doc_id":$id,"lang":${jstr(r.getString(1))},"text":${jstr(r.getString(2))}}"""
+        Files.write(Paths.get(fix, s"doc_$id.json"), json.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    val extracted = ctx.create(ids)
+      .flatMap(id => Seq(id, id, id)) // duplicate rows: FetchExec dedups them
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.json")))
+      .select { r =>
+        val root = r.trajectory.doc.get.root
+        val docId = root.children("doc_id").head.text.toLong
+        val lang = root.children("lang").head.text
+        val nToks = root.children("text").head.text.split(" ").length.toLong
+        (docId, lang, nToks)
+      }
+    extracted.asDataFrame.toDF("doc_id", "lang", "n_toks")
+      .distinct() // collapse the 3x duplicates after extraction
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("lang"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q32 — HTML parse + CSS-selector extraction (column-function DSL)
+  // -------------------------------------------------------------------------
+
+  /** Renders every 10th document into an HTML page COLUMN, then recovers id,
+    * title, link and token count purely via the extraction functions
+    * (graft.functions css_text/css_attr) — the parser and selector engine on
+    * the hot path; nothing is read back from the inputs except through HTML.
+    */
+  def q32Extract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions._
+    val pages = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(format_string(
+        "<html><head><title>doc %d</title></head><body><p class=\"body\">%s</p>" +
+          "<a href=\"/d/%d\">next</a></body></html>",
+        col("doc_id"), col("text"), col("doc_id") + 1).as("html"))
+    pages
+      .withColumn("title", css_text(col("html"), lit("title")))
+      .withColumn("doc_id", split(col("title"), " ").getItem(1).cast("long"))
+      .withColumn("href", css_attr(col("html"), lit("a"), lit("href")))
+      .withColumn("n_toks", size(split(css_text(col("html"), lit("p.body")), " ")).cast("long"))
+      .select("doc_id", "title", "href", "n_toks")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q33 — explore: bounded BFS over a generated link graph
+  // -------------------------------------------------------------------------
+
+  private val TREE_N = 63 // complete binary tree of depth 5: ids 0..62
+
+  /** Documents 0..62 become HTML pages where page i links to 2i+1 and 2i+2;
+    * explore crawls from page 0. Tree depth of node i is floor(log2(i+1)) —
+    * exactly computable by the oracle without recursion.
+    */
+  def q33Explore(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q33")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < TREE_N)
+
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val kids = Seq(2 * id + 1, 2 * id + 2).filter(_ < TREE_N)
+        val links = kids.map(k => s"""<a href="page_$k.html">child $k</a>""").mkString("\n")
+        val html =
+          s"""<html><head><title>doc $id</title></head>
+             |<body><p>${r.getString(1)}</p>
+             |$links
+             |</body></html>""".stripMargin
+        Files.write(Paths.get(fix, s"page_$id.html"), html.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$fix/page_0.html"))
+      .explore(u => Trace.of(Wget(u)))(EngineQ.linkExpand)
+      .select { r =>
+        val title = r.row.trajectory.texts("title").mkString
+        (title.split(" ")(1).toLong, r.depth)
+      }
+    explored.asDataFrame.toDF("doc_id", "depth").orderBy(col("doc_id"))
+  }
+
+  private def linkExpand(r: FetchedRow[String]): Seq[(Trace, String)] =
+    r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))
+
+  // -------------------------------------------------------------------------
+  // q34 — IVF ANN (the scale path; q29 brute force is its recall oracle)
+  // -------------------------------------------------------------------------
+
+  private val V = "transform(embedding, x -> cast(x AS double))"
+  private def dotE(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+
+  /** 8 deterministic centroids (vectors 10..17), 3 probes, top-10. Unlike
+    * q29 there is NO corpus × queries crossJoin: the corpus is tagged with a
+    * cell id map-side and only probed cells flow into ranking.
+    */
+  def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
+      .withColumn("norm", expr(s"sqrt(${dotE("v", "v")})"))
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    Ann.search(corpus, queries, centroids, nProbes = 3, k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q35 — multimodal: opaque binary column -> batched feature extraction
+  // -------------------------------------------------------------------------
+
+  /** Text bytes stand in for media payloads: the binary column, per-partition
+    * decode batching, and feature schema are the real pipeline; the codec is
+    * the deterministic byte-stat stub (see [[Multimodal.Codec]]).
+    */
+  def q35Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("media"),
+        lit("application/octet-stream").as("mime"))
+    Multimodal.extractFeaturesDF(spark, media)
+      .select(col("id").as("doc_id"), col("n_bytes"), col("head_byte"),
+        col("checksum"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_fetch_dedup" -> q31FetchDedup _,
+    "q32_extract"     -> q32Extract _,
+    "q33_explore"     -> q33Explore _,
+    "q34_ann_ivf"     -> q34AnnIvf _,
+    "q35_multimodal"  -> q35Multimodal _,
+  )
+
+  private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
+  private def dotSql(a: String, b: String) = DOT_SQL.format(a, b)
+
+  val oracles: Map[String, String] = Map(
+    "q31_fetch_dedup" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks
+        |FROM documents WHERE doc_id % 20 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q32_extract" ->
+      """SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  '/d/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "q33_explore" ->
+      s"""SELECT doc_id, CAST(floor(log2(doc_id + 1)) AS INT) AS depth
+        |FROM documents WHERE doc_id < $TREE_N ORDER BY doc_id""".stripMargin,
+    "q34_ann_ivf" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id - 10 AS cell_id, v AS cv, norm AS cnorm FROM e
+        |      WHERE vec_id >= 10 AND vec_id < 18),
+        |assign AS (
+        |  SELECT vec_id, v, norm, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ${dotSql("v", "cv")} / (norm * cnorm) DESC, cell_id) AS r
+        |  FROM e CROSS JOIN c),
+        |corpus AS (SELECT vec_id, v, norm, cell_id FROM assign WHERE r = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT q_id, cell_id FROM (
+        |    SELECT q_id, cell_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${dotSql("qv", "cv")} / (qn * cnorm) DESC, cell_id) AS pr
+        |    FROM q CROSS JOIN c) WHERE pr <= 3),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(${dotSql("qv", "v")} / (qn * norm), 4) AS cosine
+        |  FROM corpus JOIN probes USING (cell_id) JOIN q USING (q_id)
+        |  WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q35_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS head_byte,
+        |  CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+        |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum,
+        |  CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.{Ann, Multimodal}
+import graft.queries.{EngineQ, SimQ}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN + multimodal decode specs. */
+class LlmSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val V = "transform(embedding, x -> cast(x AS double))"
+  private val DOT = "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+
+  private def embedded = spark.read.parquet(s"$sf/embeddings.parquet")
+    .withColumn("v", expr(V))
+    .withColumn("norm", expr(s"sqrt($DOT)"))
+
+  test("IVF with all cells probed == brute-force top-k (exactness when nProbes = nCells)") {
+    val e = embedded
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val ivfAll = Ann.search(corpus, qs, centroids, nProbes = 8, k = 10)
+      .select("q_id", "neighbor_id", "cosine", "rank").collect().map(_.toSeq).toSet
+    val brute = SimQ.q29AnnTopK(spark, sf)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(ivfAll == brute)
+  }
+
+  test("IVF pruning: every vector lands in exactly one cell; probes bound the search") {
+    val e = embedded
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
+    val total = e.count()
+    assert(corpus.count() == total)
+    assert(corpus.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    val cells = corpus.select("cell_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // q34 (3 probes) returns a full top-10 per query
+    val ivf3 = EngineQ.q34AnnIvf(spark, sf)
+    assert(ivf3.groupBy("q_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
+  test("multimodal decode: deterministic byte features, empty payload safe") {
+    val f = Multimodal.Codec.decode("abc".getBytes("UTF-8"))
+    assert(f.n_bytes == 3 && f.head_byte == 'a'.toInt && f.checksum == 97 + 98 + 99)
+    assert(f.n_frames == 1)
+    val big = Multimodal.Codec.decode(Array.fill[Byte](1000)(1))
+    assert(big.n_frames == 4) // ceil(1000/256)
+    val empty = Multimodal.Codec.decode(Array.empty[Byte])
+    assert(empty.n_bytes == 0 && empty.head_byte == -1 && empty.n_frames == 0)
+  }
+
+  test("multimodal pipeline: binary column in, feature rows out, ids preserved") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "hello", "text/plain"), (2L, "worlds!", "text/plain"))
+      .toDF("id", "txt", "mime")
+      .select(col("id"), col("txt").cast("binary").as("media"), col("mime"))
+    val feats = Multimodal.extractFeaturesDF(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats == Map(1L -> 5L, 2L -> 7L))
+  }
+
+  test("extraction functions: css/json column DSL") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val df = Seq(
+      """<html><head><title>T1</title></head><body><a href="x.html">l</a></body></html>""")
+      .toDF("html")
+    val row = df.select(
+      css_text(col("html"), lit("title")).as("t"),
+      css_attr(col("html"), lit("a"), lit("href")).as("h"),
+      css_hrefs(col("html"), lit("a"), lit("file:/base/page.html")).as("abs")
+    ).collect().head
+    assert(row.getString(0) == "T1")
+    assert(row.getString(1) == "x.html")
+    assert(row.getSeq[String](2) == Seq("file:/base/x.html"))
+
+    val jdf = Seq("""{"a":{"name":"n1"},"items":[{"name":"n2"}]}""").toDF("js")
+    val names = jdf.select(json_texts(col("js"), lit("name")).as("n")).collect()
+      .head.getSeq[String](0)
+    assert(names == Seq("n1", "n2"))
+  }
+}

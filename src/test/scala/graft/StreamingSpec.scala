@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured-Streaming analogs: the streaming result over a MemoryStream
+  * must equal the batch result of the same transform on the same rows
+  * (Spark's unified API makes this an exact cross-check).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  private def mkRows: Seq[(Timestamp, String, Double, Long)] = {
+    val base = 1700000000000L // fixed epoch millis
+    (0 until 300).map { i =>
+      val user = (i % 7).toLong
+      val etype = Seq("view", "click", "purchase")(i % 3)
+      // bursts with >30min gaps every 20 events to exercise sessionization
+      val ts = new Timestamp(base + (i / 20) * 3600L * 1000 + (i % 20) * 60L * 1000)
+      (ts, etype, (i % 10) * 1.5, user)
+    }
+  }
+
+  private def runStream(name: String,
+                        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val rows = mkRows
+    input.addData(rows: _*)
+    val streamDf = f(input.toDF.toDF("ts", "event_type", "value", "user_id"))
+    val q = streamDf.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table(name)
+    val batch = f(rows.toDF("ts", "event_type", "value", "user_id"))
+    (got, batch)
+  }
+
+  test("streaming hourlyCounts == batch hourlyCounts") {
+    val (got, batch) = runStream("hc", df => EventStreams.hourlyCounts(df))
+    val g = got.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(g == b)
+    assert(g.nonEmpty)
+  }
+
+  test("streaming sessionValues == batch sessionValues (session_window)") {
+    val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
+    val g = got.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(g == b)
+    assert(g.nonEmpty)
+    // bursts are 19min-spans spaced 41min apart => multiple sessions per user
+    assert(got.groupBy("user_id").count().collect().forall(_.getLong(1) > 1))
+  }
+}
