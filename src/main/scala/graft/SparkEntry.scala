@@ -19,6 +19,10 @@ object SparkEntry {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // coalesce tiny shuffles by size, not parallelism — iterative loops
+    // (explore) and small dimension stages otherwise pay 32 empty tasks
+    // per exchange; at full scale the advisory size keeps partitions fat.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark
   }
 

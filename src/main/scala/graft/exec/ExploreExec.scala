@@ -5,7 +5,6 @@ import graft.agent.Env
 import graft.conf.GraftConf
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** One visited row of a recursive traversal: the fetched row plus its BFS
   * depth (reference row/Data.scala:56-75 `Exploring[D]`).
@@ -21,7 +20,7 @@ final case class ExploredRow[D](row: FetchedRow[D], depth: Int) extends Serializ
 final case class ExploreParams(
     minDepth: Int = 0,
     maxDepth: Int = Int.MaxValue,
-    checkpointInterval: Int = 5
+    checkpointInterval: Int = 1
 )
 
 /** The flagship operator: bounded breadth-first traversal of the implicit
@@ -38,11 +37,15 @@ final case class ExploreParams(
   * visit of a key is automatically its minimum depth (the reference needs a
   * per-lineage min-depth reducer for this — PathPlanning_Simple.scala:24-49).
   *
-  * Scale shape per epoch: fetch shuffles only (key, trace, payload); the
-  * visited-keys side of the anti-join is a single string column (broadcast
-  * when small); epoch results are persisted and checkpointed every
-  * `checkpointInterval` epochs to truncate lineage (reference
-  * TemporaryRefs.scala persist/unpersist/checkpoint cycle).
+  * Iterative-Spark discipline (the part that decides whether this survives
+  * deep crawls): every epoch's `open` frontier and `visitedKeys` set are
+  * EAGERLY checkpointed, so the logical plan seen by Catalyst is always one
+  * epoch deep — without this, analysis/AQE cost grows exponentially with
+  * depth (the reference cuts lineage the same way via its persist/checkpoint
+  * cycle, TemporaryRefs.scala). Visited rows are kept as one checkpointed
+  * dataset PER epoch and unioned once at the end (a flat k-leaf union, not a
+  * k-deep chain). Per epoch the fetch shuffles only (key, trace, payload);
+  * the visited-keys anti-join side is a single string column.
   */
 object ExploreExec {
 
@@ -55,78 +58,116 @@ object ExploreExec {
   ): Dataset[ExploredRow[D]] = {
 
     implicit val exploredEnc: Encoder[ExploredRow[D]] = Encoders.kryo[ExploredRow[D]]
-    implicit val openEnc: Encoder[(String, (Trace, D, Int))] =
-      Encoders.tuple(Encoders.STRING, Encoders.kryo[(Trace, D, Int)])
-    implicit val strEnc: Encoder[String] = Encoders.STRING
 
     val conf: GraftConf = env.conf
     val maxDepth = math.min(params.maxDepth, conf.maxExploreDepth)
     val down = conf.downSampling
+    val cpEvery = math.max(1, params.checkpointInterval)
 
-    var visited: Dataset[ExploredRow[D]] = spark.emptyDataset[ExploredRow[D]]
-    var visitedKeys: Dataset[String] = spark.emptyDataset[String]
+    val debug = sys.env.get("GRAFT_EXPLORE_DEBUG").contains("true")
+    var tEpoch = System.nanoTime()
+    def mark(l: String): Unit = if (debug) {
+      val t = System.nanoTime()
+      System.err.println(f"[explore] $l ${(t - tEpoch) / 1e9}%.2f s")
+      tEpoch = t
+    }
 
-    // frontier: deduped, not-yet-visited (key, trace, payload, depth)
-    var open: Dataset[(String, (Trace, D, Int))] = dedupOpen(
-      seeds.map { case (t, d) => (t.cacheKey, (t, d, 0)) })
+    if (maxDepth <= 0) return spark.emptyDataset[ExploredRow[D]]
+
+    // AQE is a pessimization for the loop's internal queries: per-epoch
+    // plans are small and exactly sized (the driver KNOWS the frontier
+    // count), while AQE's query-stage materialization barriers add ~1s of
+    // driver-side re-planning per job — measured 10x wall-clock on a
+    // 63-page crawl. Disable within the loop, restore after; epoch sizing
+    // (`sized`) replaces AQE's partition coalescing here.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try exploreLoop(spark, seeds, next, env, maxDepth, params, down, cpEvery, mark _)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  // (loop body split out so the AQE guard wraps it cleanly)
+  private def exploreLoop[D](
+      spark: SparkSession,
+      seeds: Dataset[(Trace, D)],
+      next: FetchedRow[D] => Seq[(Trace, D)],
+      env: Env,
+      maxDepth: Int,
+      params: ExploreParams,
+      down: graft.conf.DownSampling,
+      cpEvery: Int,
+      mark: String => Unit
+  ): Dataset[ExploredRow[D]] = {
+
+    implicit val exploredEnc: Encoder[ExploredRow[D]] = Encoders.kryo[ExploredRow[D]]
+    implicit val openEnc: Encoder[(String, (Trace, D, Int))] =
+      Encoders.tuple(Encoders.STRING, Encoders.kryo[(Trace, D, Int)])
+    implicit val strEnc: Encoder[String] = Encoders.STRING
 
     var epoch = 0
-    val persisted = scala.collection.mutable.Buffer.empty[Dataset[_]]
 
-    open = open.persist(StorageLevel.MEMORY_AND_DISK)
-    persisted += open
+    def cut[T](ds: Dataset[T]): Dataset[T] =
+      if (epoch % cpEvery == 0) ds.localCheckpoint(true)
+      else { ds.persist(); ds.count(); ds }
 
-    while (open.limit(1).count() > 0 && maxDepth > 0) {
-      // 1. fetch the frontier — FetchExec dedup means one execution per key
-      val fetched: Dataset[ExploredRow[D]] = FetchExec
-        .fetch(open.map { case (_, (t, d, depth)) => (t, (d, depth)) }(
-          Encoders.tuple(Encoders.kryo[Trace], Encoders.kryo[(D, Int)])), env)
+    def sized(ds: Dataset[(String, (Trace, D, Int))],
+              n: Long): Dataset[(String, (Trace, D, Int))] = {
+      val parallelism = spark.sparkContext.defaultParallelism
+      val parts = math.max(1L, math.min(parallelism.toLong, n / 8 + 1)).toInt
+      if (parts < parallelism) ds.coalesce(parts) else ds
+    }
+
+    val visitedParts = scala.collection.mutable.Buffer.empty[Dataset[ExploredRow[D]]]
+    val visitedKeyParts = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+
+    var open: Dataset[(String, (Trace, D, Int))] =
+      cut(dedupOpen(seeds.map { case (t, d) => (t.cacheKey, (t, d, 0)) }))
+    var openCount = open.count()
+
+    while (openCount > 0) {
+      // 1. fetch the frontier — FetchExec dedup: one execution per key;
+      //    eagerly checkpointed so the side effects run exactly once, here.
+      val fetched: Dataset[ExploredRow[D]] = cut(FetchExec
+        .fetch(sized(open, openCount)
+          .map { case (_, (t, d, depth)) => (t, (d, depth)) }(
+            Encoders.tuple(Encoders.kryo[Trace], Encoders.kryo[(D, Int)])), env)
         .map { r =>
           ExploredRow(FetchedRow(r.data._1, r.traceKey, r.trace, r.trajectory), r.data._2)
-        }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += fetched
+        })
+      visitedParts += fetched
 
-      // 2. commit to the visited set
-      visited = visited.union(fetched)
-      visitedKeys = visitedKeys.union(fetched.map(_.row.traceKey)).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += visitedKeys
+      // 2. visited keys: tiny keys-only checkpointed datasets, one per epoch,
+      //    FLAT-unioned. Epoch frontiers were anti-joined against all earlier
+      //    keys, so the parts are disjoint — no distinct; and later epochs
+      //    scan 64-char strings, never the doc payloads.
+      val keys = cut(fetched.map(_.row.traceKey)).toDF("vk")
+      visitedKeyParts += keys
+      val vk = visitedKeyParts.reduce(_ union _)
 
       // 3. expand children (depth+1), drop out-of-range and already-visited
       val children = fetched.flatMap { r =>
         if (r.depth + 1 >= maxDepth) Nil
         else down(next(r.row)).map { case (t, d) => (t.cacheKey, (t, d, r.depth + 1)) }
       }
-      val vk = visitedKeys.toDF("vk")
       val fresh = dedupOpen(children).toDF()
         .join(vk, org.apache.spark.sql.functions.col("_1") ===
           org.apache.spark.sql.functions.col("vk"), "left_anti")
         .as[(String, (Trace, D, Int))]
 
-      open = fresh.persist(StorageLevel.MEMORY_AND_DISK)
-      persisted += open
-
-      // 4. lineage management: checkpoint every k epochs (reference
-      //    ExplorePlan.scala:124-134)
       epoch += 1
-      if (epoch % params.checkpointInterval == 0) {
-        open = open.localCheckpoint(true)
-        visited = visited.localCheckpoint(true)
-      }
+      open = cut(fresh)
+      openCount = open.count()
+      mark(s"epoch (open=$openCount)")
     }
 
-    val out = visited.filter(_.depth >= params.minDepth)
-    // materialize before unpersisting intermediates
-    val result = out.persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    persisted.foreach(_.unpersist(false))
-    result
+    // materialize the flat union once, inside the loop's AQE guard, so
+    // downstream queries see a single checkpointed leaf
+    val all = visitedParts.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[ExploredRow[D]])
+    all.filter(_.depth >= params.minDepth).localCheckpoint(true)
   }
 
-  /** Per-epoch frontier dedup: one row per key (min payload arbitrary-first —
-    * all same-epoch, so equal depth).
-    */
+  /** Per-epoch frontier dedup: one row per key (same epoch => equal depth). */
   private def dedupOpen[D](ds: Dataset[(String, (Trace, D, Int))])(
       implicit enc: Encoder[(String, (Trace, D, Int))]): Dataset[(String, (Trace, D, Int))] =
     ds.groupByKey(_._1)(Encoders.STRING).reduceGroups((a, _) => a).map(_._2)
