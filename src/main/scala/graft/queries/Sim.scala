@@ -78,12 +78,15 @@ object SimQ {
     val g = withGrams(spark, dir).select(col("doc_id"), col("grams")).persist()
     val sigs = withSigs(g)
 
-    // band rows: (doc_id, band_id, band_key) — only hashes travel the shuffle
+    // band rows: (doc_id, band_id, band_key) — only hashes travel the
+    // shuffle. Persisted: the self-join would otherwise evaluate the
+    // signature subtree once per side.
     val bands = sigs.select(col("doc_id"), explode(array(
       struct(lit(1).as("band_id"), concat_ws("|", col("s1"), col("s2")).as("band_key")),
       struct(lit(2).as("band_id"), concat_ws("|", col("s3"), col("s4")).as("band_key")),
       struct(lit(3).as("band_id"), concat_ws("|", col("s5"), col("s6")).as("band_key"))
     )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+      .persist()
 
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&

@@ -66,6 +66,26 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(t1.cacheKey != t2.cacheKey)
   }
 
+  test("Loop + ClickNext paginates until exhausted (reference pagination pattern)") {
+    val pagedSite = Map(
+      "mock://p1" -> """<html><head><title>P1</title></head><body><p>one</p>
+        |<a class="next" href="mock://p2">next</a></body></html>""".stripMargin,
+      "mock://p2" -> """<html><head><title>P2</title></head><body><p>two</p>
+        |<a class="next" href="mock://p3">next</a></body></html>""".stripMargin,
+      "mock://p3" -> """<html><head><title>P3</title></head><body><p>three</p></body></html>"""
+    )
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(pagedSite))
+    import spark.implicits._
+    // snapshot p1, then loop (click next, snapshot) until no next link
+    val trace = Trace.of(
+      Visit("mock://p1"), Snapshot(),
+      Loop(Trace.of(Click("a.next"), Snapshot()), limit = 10))
+    val texts = ctx.create(Seq(0)).fetchOne(_ => trace)
+      .selectMany(_.trajectory.texts("p"))
+      .collect()
+    assert(texts == Seq("one", "two", "three"))
+  }
+
   test("browser action without a driver factory fails cleanly") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._

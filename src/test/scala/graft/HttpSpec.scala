@@ -1,0 +1,97 @@
+package graft
+
+import graft.actions._
+import graft.api.GraftContext
+import graft.cache.InMemoryDocCache
+import graft.conf.GraftConf
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.{BeforeAndAfterAll, BeforeAndAfterEach}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Real-HTTP paths (Wget http, Wpost, OAuth header) against a localhost JDK
+  * HttpServer — the same role as the reference's Jetty TestSiteServer
+  * (integration ITBaseSpec).
+  */
+class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach {
+
+  import SparkFixture._
+
+  private var server: HttpServer = _
+  private var port: Int = 0
+  private def base = s"http://127.0.0.1:$port"
+
+  override def beforeEach(): Unit = InMemoryDocCache.clear()
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    port = server.getAddress.getPort
+    def respond(ex: HttpExchange, code: Int, body: String, mime: String = "text/html"): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", mime)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/page", (ex: HttpExchange) =>
+      respond(ex, 200, "<html><head><title>HTTP OK</title></head><body><p>served</p></body></html>"))
+    server.createContext("/echo", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, s"""{"method":"${ex.getRequestMethod}","body":"$body"}""",
+        "application/json")
+    })
+    server.createContext("/missing", (ex: HttpExchange) => respond(ex, 404, "gone"))
+    server.createContext("/oauth", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (auth.startsWith("OAuth ") && auth.contains("oauth_signature="))
+        respond(ex, 200, "<p>authorized</p>")
+      else respond(ex, 401, "unauthorized")
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("Wget over HTTP: content, mime from header, dedup still applies") {
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val pageUri = s"$base/page"
+    val view = ctx.create(Seq(1, 2, 3)).fetchOne(_ => Trace.of(Wget(pageUri)))
+    val titles = view.select(_.trajectory.texts("title").mkString).collect()
+    assert(titles == Seq("HTTP OK", "HTTP OK", "HTTP OK"))
+    assert(view.dataset.head().trajectory.doc.get.mime == "text/html")
+    assert(ctx.metrics.pagesFetched.value == 1)
+  }
+
+  test("HTTP 4xx fails StatusCode2XX validation into the error path") {
+    val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
+    import spark.implicits._
+    val missingUri = s"$base/missing"
+    val rows = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(missingUri))).collect()
+    assert(rows.head.trajectory.failed.nonEmpty)
+  }
+
+  test("Wpost sends the entity; response is parsed as JSON") {
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val echoUri = s"$base/echo"
+    val got = ctx.create(Seq("payload42"))
+      .fetchOne(p => Trace.of(Wpost(echoUri, entity = p)))
+      .select(r => (r.trajectory.doc.get.root.children("method").head.text,
+        r.trajectory.doc.get.root.children("body").head.text))
+      .collect().head
+    assert(got == ("POST", "payload42"))
+  }
+
+  test("OAuthV2 signs the request with an OAuth Authorization header") {
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val action = OAuthV2(Wget(s"$base/oauth"), "ck", "cs", "tok", "ts")
+    val out = ctx.create(Seq(0)).fetchOne(_ => Trace.of(action))
+      .select(_.trajectory.texts("p").mkString).collect()
+    assert(out == Seq("authorized"))
+  }
+}
