@@ -22,14 +22,29 @@ object Ann {
 
   /** Tag every vector with its nearest centroid id (cosine, ties to the
     * lowest centroid id). `centroids` must be small (broadcast).
+    *
+    * Entirely MAP-SIDE: all centroids are packed into one broadcast array
+    * row and the argmax runs as a single `aggregate` expression per corpus
+    * row — the corpus is never shuffled for assignment (a window/groupBy
+    * formulation would hash-partition the full corpus by vec_id first).
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("cell_score", dot("v", "cv") / (col("norm") * col("cnorm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_score").desc, col("cell_id"))
-    scored.withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") === 1)
-      .drop("cv", "cnorm", "cell_score", "cell_rank")
+    // one row: sorted array of (cell_id, cv, cnorm); sort => ties resolve to
+    // the lowest cell_id (strict > keeps the earliest best)
+    val packed = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("cv"), col("cnorm"))))
+        .as("cells"))
+    val score =
+      "aggregate(zip_with(v, c.cv, (x, y) -> x * y), cast(0.0 AS double), (a, p) -> a + p)" +
+        " / (norm * c.cnorm)"
+    vectors.crossJoin(broadcast(packed))
+      .withColumn("cell_id", expr(
+        s"""aggregate(cells,
+           |  struct(cast(-1 AS bigint) AS id, cast('-Infinity' AS double) AS sc),
+           |  (acc, c) -> CASE WHEN $score > acc.sc
+           |                   THEN struct(c.cell_id AS id, $score AS sc)
+           |                   ELSE acc END).id""".stripMargin))
+      .drop("cells")
   }
 
   /** Per query: its `nProbes` nearest cells. */
