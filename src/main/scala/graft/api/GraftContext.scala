@@ -124,13 +124,15 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   // -- the signature operator (reference DataView.scala:178-203)
 
   /** For each row, `fn` yields alternative traces (fan-out); rows are re-keyed
-    * by canonical trace and each distinct trace executes ONCE
+    * by canonical trace (or the `keyBy` override — reference
+    * `LocalityGroup.sameBy`) and each distinct key executes ONCE
     * ([[graft.exec.FetchExec]]).
     */
-  def fetch(fn: D => TraceSet, locality: Locality = Locality.Wide): FetchedView[D] = {
+  def fetch(fn: D => TraceSet, locality: Locality = Locality.Wide,
+            keyBy: Trace => String = _.cacheKey): FetchedView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val keyed = dataset.flatMap(d => fn(d).traces.map(t => (t, d)))
-    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality), ctx)
+    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality, keyBy), ctx)
   }
 
   def fetchOne(fn: D => Trace, locality: Locality = Locality.Wide): FetchedView[D] =

@@ -52,9 +52,15 @@ object FetchExec {
 
   /** `keyed`: one input row per (trace, payload) pair — upstream fan-out
     * (CanFetch) already applied.
+    *
+    * @param keyBy override of the dedup/co-location key (reference
+    *              `LocalityGroup.sameBy`): rows whose `keyBy(trace)` agree
+    *              execute the FIRST row's trace once and share its result.
+    *              Defaults to the canonical cache key.
     */
   def fetch[D](keyed: Dataset[(Trace, D)], env: Env,
-               locality: Locality = Locality.Wide): Dataset[FetchedRow[D]] = {
+               locality: Locality = Locality.Wide,
+               keyBy: Trace => String = _.cacheKey): Dataset[FetchedRow[D]] = {
     implicit val rowEnc: Encoder[FetchedRow[D]] = Encoders.kryo[FetchedRow[D]]
     implicit val keyedEnc: Encoder[(String, (Trace, D))] =
       Encoders.tuple(Encoders.STRING, Encoders.kryo[(Trace, D)])
@@ -63,7 +69,7 @@ object FetchExec {
       case Locality.Passthrough =>
         keyed.mapPartitions { it =>
           it.map { case (t, d) =>
-            FetchedRow(d, t.cacheKey, t, Trajectory(Agent.execute(t, env)))
+            FetchedRow(d, keyBy(t), t, Trajectory(Agent.execute(t, env)))
           }
         }
 
@@ -71,7 +77,7 @@ object FetchExec {
         keyed.mapPartitions { it =>
           val local = scala.collection.mutable.Map.empty[String, Trajectory]
           it.map { case (t, d) =>
-            val k = t.cacheKey
+            val k = keyBy(t)
             val traj = local.getOrElseUpdate(k, Trajectory(Agent.execute(t, env)))
             FetchedRow(d, k, t, traj)
           }
@@ -79,14 +85,15 @@ object FetchExec {
 
       case Locality.Wide =>
         keyed
-          .map { case (t, d) => (t.cacheKey, (t, d)) }
+          .map { case (t, d) => (keyBy(t), (t, d)) }
           .groupByKey(_._1)(Encoders.STRING)
           .flatMapGroups { (key: String, it: Iterator[(String, (Trace, D))]) =>
-            val rows = it.toVector
-            val trace = rows.head._2._1
-            // ONE execution per distinct canonical trace (the whole point)
-            val traj = Trajectory(Agent.execute(trace, env))
-            rows.iterator.map { case (_, (t, d)) => FetchedRow(d, key, t, traj) }
+            // ONE execution per distinct key (the whole point), streaming
+            // over the group — a group may hold millions of origin rows and
+            // must not be buffered
+            val first = it.next()
+            val traj = Trajectory(Agent.execute(first._2._1, env))
+            (Iterator(first) ++ it).map { case (_, (t, d)) => FetchedRow(d, key, t, traj) }
           }
     }
   }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.actions._
+import graft.agent.Env
+import graft.api.GraftContext
+import graft.cache.InMemoryDocCache
+import graft.conf.{DownSampling, GraftConf}
+
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{ByteArrayOutputStream, ObjectOutputStream}
+
+/** DataView API surface + golden-output assertions (reference
+  * DataViewSpec.scala style: schema treeString and sorted JSON dumps as
+  * inline goldens) + serializability of everything shipped to executors
+  * (reference AssertSerializable).
+  */
+class DataViewSpec extends AnyFunSuite with BeforeAndAfterEach {
+
+  import SparkFixture._
+
+  override def beforeEach(): Unit = InMemoryDocCache.clear()
+
+  private def ctx = new GraftContext(spark, GraftConf())
+
+  test("map/flatMap/filter/sortBy/union/intersect/except compose") {
+    import spark.implicits._
+    val v = ctx.create((1 to 10).toSeq)
+    assert(v.map(_ * 2).filter(_ > 10).sortBy(-_).collect() == Seq(20, 18, 16, 14, 12))
+    assert(v.flatMap(i => Seq(i, i)).dataset.count() == 20)
+    val a = ctx.create(Seq(1, 2, 3))
+    val b = ctx.create(Seq(3, 4))
+    assert((a ++ b).collect().sorted == Seq(1, 2, 3, 3, 4))
+    assert(a.intersect(b).collect() == Seq(3))
+    assert(a.except(b).collect().sorted == Seq(1, 2))
+    assert(v.coalesce(1).dataset.rdd.getNumPartitions == 1)
+  }
+
+  test("flatMap honors conf downsampling at the fan-out") {
+    import spark.implicits._
+    val limited = new GraftContext(spark, GraftConf(downSampling = DownSampling.FirstN(2)))
+    val out = limited.create(Seq(1)).flatMap(i => Seq(i, i + 1, i + 2, i + 3)).collect()
+    assert(out == Seq(1, 2))
+    val ratio = DownSampling.ByRatio(0.5)
+    assert(ratio((1 to 10).toSeq).size == 5)
+    assert(ratio((1 to 10).toSeq) == ratio((1 to 10).toSeq)) // seeded => deterministic
+    assert(DownSampling.ToSize(3)((1 to 10).toSeq).size == 3)
+  }
+
+  test("keyBy override: rows with different traces share one execution") {
+    import spark.implicits._
+    val u1 = writeFixture("dv1/a.html", "<p>a</p>")
+    val u2 = writeFixture("dv1/b.html", "<p>b</p>")
+    val c = ctx
+    // two DIFFERENT uris, but keyBy collapses them => 1 fetch, first wins
+    val view = c.create(Seq(s"file:$u1", s"file:$u2"))
+      .fetch(u => TraceSet.one(Wget(u)), keyBy = _ => "same-group")
+    assert(view.count() == 2)
+    assert(c.metrics.pagesFetched.value == 1)
+    assert(view.select(_.trajectory.texts("p").mkString).collect().distinct.size == 1)
+  }
+
+  test("golden: fetched export schema and JSON dump") {
+    import spark.implicits._
+    val uri = writeFixture("dv2/g.html",
+      "<html><head><title>G</title></head><body><a href=\"x.html\">L</a></body></html>")
+    val df = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wget(s"file:$uri")))
+      .select(r => (r.trajectory.texts("title").mkString,
+        r.trajectory.findAll("a").flatMap(_.href).length,
+        r.trajectory.doc.get.mime))
+      .asDataFrame.toDF("title", "n_links", "mime")
+    val goldenSchema =
+      """root
+        | |-- title: string (nullable = true)
+        | |-- n_links: integer (nullable = false)
+        | |-- mime: string (nullable = true)
+        |""".stripMargin
+    assert(df.schema.treeString == goldenSchema)
+    val goldenJson = Seq("""{"title":"G","n_links":1,"mime":"text/html"}""")
+    assert(df.toJSON.collect().toSeq == goldenJson)
+  }
+
+  test("everything shipped to executors java-serializes (AssertSerializable)") {
+    def assertSer(o: Any): Unit = {
+      val oos = new ObjectOutputStream(new ByteArrayOutputStream())
+      oos.writeObject(o) // throws NotSerializableException on failure
+      oos.close()
+    }
+    assertSer(GraftConf())
+    assertSer(GraftConf.preview)
+    assertSer(Env(GraftConf(), ctx.metrics, Some(graft.agent.MockBrowserFactory(Map("u" -> "<p/>")))))
+    assertSer(Trace.of(Visit("u"), Click("c"), Snapshot(),
+      Loop(Trace.of(ClickNext("n", Seq("x")), Screenshot()), 5),
+      LocalRetry(Trace.of(Wget("file:/x")), 2), Delay(5), Wpost("u", "e")))
+    assertSer(TraceSet.one(Wget("file:/x")) *> TraceSet.one(Wget("file:/y")))
+    assertSer(graft.doc.Trajectory(Seq(
+      graft.doc.Doc(graft.doc.DocUID("k"), "u", "x".getBytes("UTF-8")),
+      graft.doc.NoDoc(graft.doc.DocUID("k"), "u"),
+      graft.doc.DocError(graft.doc.DocUID("k"), "u", "m"))))
+    assertSer(DownSampling.ByRatio(0.5))
+    assertSer(graft.exec.Locality.Wide)
+  }
+
+  test("asJSONDataset and foreach/execute") {
+    import spark.implicits._
+    val v = ctx.create(Seq((1, "a"), (2, "b")))
+    assert(v.asJSONDataset.collect().sorted.toSeq ==
+      Seq("""{"_1":1,"_2":"a"}""", """{"_1":2,"_2":"b"}"""))
+    val acc = spark.sparkContext.longAccumulator("dv-exec")
+    v.foreach { case (i, _) => acc.add(i) }
+    assert(acc.value == 3)
+  }
+}
