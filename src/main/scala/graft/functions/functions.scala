@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions.udf
 
 /** Column-expression DSL for doc extraction (SURVEY §2.11 "Spark mapping":
   * a `spookystuff.sql.functions` set) — the §2.11 Node ops exposed to
-  * DataFrame users. Implemented as Scala UDFs over the same Node trees the
-  * typed API uses; they sit OUTSIDE whole-stage codegen, so hot relational
-  * paths should prefer native `org.apache.spark.sql.functions` and use these
-  * only at the extraction boundary (one parse per row, then native ops).
+  * DataFrame users.
+  *
+  * Scalar functions (`css_text`, `css_attr`, `json_text`) are NATIVE
+  * Catalyst expressions ([[graft.sql]]) — codegen-compatible, null-strict,
+  * and parse-cached per thread. Array-returning functions remain Scala UDFs
+  * (one parse per row at the extraction boundary, then native ops).
   */
 object functions {
+
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.GraftFunctions.column(e)
+  private def ex(c: Column) = org.apache.spark.sql.graft.GraftFunctions.expression(c)
 
   /** All texts matching a CSS selector. */
   val css_texts: (Column, Column) => Column =
@@ -22,20 +28,17 @@ object functions {
     else HtmlNode.parse(html).findAll(css).map(_.text)
   }
 
-  /** First matching text, null when absent. */
-  def css_text(html: Column, css: Column): Column = udfCssText(html, css)
-  private val udfCssText = udf { (html: String, css: String) =>
-    if (html == null) None
-    else HtmlNode.parse(html).findFirst(css).map(_.text)
-  }
+  /** First matching text, null when absent (native expression). */
+  def css_text(html: Column, css: Column): Column =
+    native(graft.sql.CssText(ex(html), ex(css)))
 
-  /** First matching attribute value. */
+  /** First matching attribute value (native expression). */
   def css_attr(html: Column, css: Column, attr: Column): Column =
-    udfCssAttr(html, css, attr)
-  private val udfCssAttr = udf { (html: String, css: String, attr: String) =>
-    if (html == null) None
-    else HtmlNode.parse(html).findFirst(css).flatMap(_.attr(attr))
-  }
+    native(graft.sql.CssAttr(ex(html), ex(css), ex(attr)))
+
+  /** First JSON node text on a recursive-descent path (native expression). */
+  def json_text(json: Column, path: Column): Column =
+    native(graft.sql.JsonText(ex(json), ex(path)))
 
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
