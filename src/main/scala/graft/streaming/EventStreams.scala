@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Structured-Streaming analogs of the batch event queries (q14/q15): the
   * same aggregations expressed over an unbounded source. The reference has no
@@ -25,6 +26,32 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** One event row for the typed stateful operators. */
+  final case class Event(ts: java.sql.Timestamp, eventType: String,
+                         value: Double, userId: Long)
+
+  /** Running per-user state (monotone: nEvents only grows). */
+  final case class UserStats(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom arbitrary-state aggregation via `mapGroupsWithState` (the
+    * KeyValueGroupedDataset custom-state path; built-in windows can't
+    * express user-defined state machines): a running per-user event
+    * count + value total, emitted once per micro-batch per updated user.
+    * Works identically on batch groups (one emission, the final state).
+    */
+  def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    implicit val statsEnc = Encoders.product[UserStats]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val s = rows.foldLeft(state.getOption.getOrElse(UserStats(uid, 0L, 0.0))) {
+            (acc, e) => UserStats(uid, acc.nEvents + 1, acc.totalValue + e.value)
+          }
+          state.update(s)
+          s
+      }
   }
 
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the

@@ -52,6 +52,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
+  test("mapGroupsWithState running stats: streamed final state == batch aggregate") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val rows = mkRows
+    val ds = input.toDF.toDF("ts", "event_type", "value", "user_id")
+      .selectExpr("ts", "event_type AS eventType", "value", "user_id AS userId")
+      .as[EventStreams.Event]
+    val q = EventStreams.userRunningStats(ds)
+      .writeStream.format("memory").queryName("urs").outputMode("update").start()
+    try {
+      // two micro-batches: state must carry across them
+      input.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user (nEvents is monotone) == batch totals
+    val finalPerUser = spark.table("urs").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._1) }
+    val batch = rows.groupBy(_._4).map { case (u, es) =>
+      u -> (es.size.toLong, es.map(_._3).sum)
+    }
+    assert(finalPerUser.keySet == batch.keySet)
+    batch.foreach { case (u, (n, total)) =>
+      val (gn, gt) = finalPerUser(u)
+      assert(gn == n, s"user $u count")
+      assert(math.abs(gt - total) < 1e-9, s"user $u total")
+    }
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
