@@ -221,7 +221,15 @@ object Agent {
         DocCaches.write(key, validated, env.conf, now)
         if (env.conf.cacheWrite) env.metrics.cacheWrites.add(1)
       }
-      validated
+
+      // large-body offload: rows carry a DFS pointer instead of the payload
+      env.conf.blobDir match {
+        case Some(dir) => validated.map {
+          case d: Doc if d.content.length > env.conf.blobOffloadBytes => d.offload(dir)
+          case other => other
+        }
+        case None => validated
+      }
     }
   }
 
@@ -289,11 +297,14 @@ object DocIO {
     val safe = doc.uri.replaceAll("[^A-Za-z0-9._-]+", "_").takeRight(120)
     val ext = extByMime.getOrElse(doc.mime, "bin")
     val name = Seq(prefix, safe, s"${doc.uid.blockIndex}.$ext").filter(_.nonEmpty).mkString("-")
-    write(dir, name, doc.content)
+    write(dir, name, doc.bytes)
   }
 
   def writeText(dir: String, name: String, text: String): String =
     write(dir, name, text.getBytes(StandardCharsets.UTF_8))
+
+  def writeBytes(dir: String, name: String, bytes: Array[Byte]): String =
+    write(dir, name, bytes)
 
   private def write(dir: String, name: String, bytes: Array[Byte]): String = {
     val p = new Path(dir, name)

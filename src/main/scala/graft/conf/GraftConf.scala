@@ -61,6 +61,12 @@ object DownSampling {
   * @param downSampling       fan-out limiter at selectMany/fork/explore
   * @param maxExploreDepth    hard depth cap (preview mode sets 2)
   * @param checkpointInterval explore: checkpoint every k epochs (lineage cut)
+  * @param blobDir            when set, doc bodies larger than
+  *                           `blobOffloadBytes` are written here and rows
+  *                           carry only the pointer (reference
+  *                           InMemoryBlob/DFSSavedBlob two-level Content) —
+  *                           big payloads never travel through shuffles
+  * @param blobOffloadBytes   inline-body size threshold for offload
   */
 final case class GraftConf(
     cacheEnabled: Boolean = true,
@@ -74,7 +80,9 @@ final case class GraftConf(
     downSampling: DownSampling = DownSampling.Identity,
     maxExploreDepth: Int = Int.MaxValue,
     checkpointInterval: Int = 5,
-    validation: graft.doc.DocValidation = graft.doc.DocValidation.StatusCode2XX
+    validation: graft.doc.DocValidation = graft.doc.DocValidation.StatusCode2XX,
+    blobDir: Option[String] = None,
+    blobOffloadBytes: Long = Long.MaxValue
 ) extends Serializable
 
 object GraftConf {

@@ -43,6 +43,11 @@ object Observation {
   * [[Node]] tree is a transient lazy view — bytes are the persistent form,
   * trees are rebuilt per partition (reference flags Jsoup trees
   * NOTSerializable; same design).
+  *
+  * Two-level body storage (reference doc/Content.scala InMemoryBlob /
+  * DFSSavedBlob): `content` holds the bytes inline, OR `contentPtr` points
+  * at a DFS blob and `content` is empty — large payloads then never ride
+  * through shuffles; `bytes` loads lazily on access. See [[Doc.offload]].
   */
 final case class Doc(
     uid: DocUID,
@@ -51,11 +56,34 @@ final case class Doc(
     declaredMime: Option[String] = None,
     status: Int = 200,
     metadata: Map[String, String] = Map.empty,
-    timestampMillis: Long = 0L
+    timestampMillis: Long = 0L,
+    contentPtr: Option[String] = None
 ) extends Observation {
 
   override def withUID(u: DocUID): Observation = copy(uid = u)
   override def isSuccess: Boolean = status >= 200 && status < 300
+
+  /** The body — inline, or lazily loaded from the DFS pointer. */
+  def bytes: Array[Byte] =
+    if (contentPtr.isEmpty || content.nonEmpty) content else loaded
+
+  @transient private lazy val loaded: Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(contentPtr.get)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  /** Move the body to `<dir>/<uid>.blob`, keeping only the pointer in the
+    * row (no-op when already offloaded or empty).
+    */
+  def offload(dir: String): Doc =
+    if (content.isEmpty) this
+    else {
+      val name = s"${uid.backtraceKey}-${uid.blockIndex}.blob"
+      val path = graft.agent.DocIO.writeBytes(dir, name, content)
+      copy(content = Array.empty, contentPtr = Some(path))
+    }
 
   /** Effective mime: declared (parameters stripped) else sniffed from the uri
     * extension else from the content head (reference Doc.scala:70-144, minus
@@ -64,18 +92,18 @@ final case class Doc(
   lazy val mime: String =
     declaredMime.map(_.takeWhile(_ != ';').trim.toLowerCase)
       .filter(_.nonEmpty).filter(_ != "application/octet-stream")
-      .getOrElse(Mime.sniff(uri, content))
+      .getOrElse(Mime.sniff(uri, bytes))
 
   def charset: String = "UTF-8"
 
-  lazy val contentStr: String = new String(content, StandardCharsets.UTF_8)
+  lazy val contentStr: String = new String(bytes, StandardCharsets.UTF_8)
 
   def isImage: Boolean = mime.startsWith("image/")
 
   /** Root of the selector-queryable tree; [[Node.Unrecognisable]] for binary
     * content (reference Node.scala:8-26 null-object).
     */
-  @transient lazy val root: Node = Node.parse(content, mime, uri)
+  @transient lazy val root: Node = Node.parse(bytes, mime, uri)
 
   // content is an Array — default case-class equality would be reference
   // equality; identity here is uid + bytes.

@@ -89,6 +89,25 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(pinned.get.head.timestampMillis == 42L)
   }
 
+  test("blob offload: big bodies leave the row, extraction stays transparent") {
+    val body = "<html><head><title>BIG</title></head><body>" +
+      ("x" * 2000) + "</body></html>"
+    val uri = writeFixture("cache3/big.html", body)
+    val blobs = scratchDir("blobs")
+    val ctx = new GraftContext(spark,
+      GraftConf(blobDir = Some(blobs), blobOffloadBytes = 100))
+    import spark.implicits._
+    val rows = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).collect()
+    val doc = rows.head.trajectory.doc.get
+    assert(doc.content.isEmpty && doc.contentPtr.isDefined) // pointer, not payload
+    assert(doc.root.findOnly("title").text == "BIG")        // lazy load transparent
+    assert(new java.io.File(blobs).listFiles().nonEmpty)
+    // small docs stay inline
+    val small = writeFixture("cache3/small.html", "<p>s</p>")
+    val rows2 = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$small"))).collect()
+    assert(rows2.head.trajectory.doc.get.contentPtr.isEmpty)
+  }
+
   test("failed observations are never cached") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._
