@@ -178,6 +178,37 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q36 — embedding-cosine near-duplicate detection, IVF-pruned
+  // -------------------------------------------------------------------------
+
+  /** Near-dup candidate generation over embeddings WITHOUT the O(n²)
+    * all-pairs join: vectors are cell-tagged (map-side, shared with q34) and
+    * only same-cell pairs are scored — the standard embedding-dedup shape at
+    * scale (cell count trades recall for pair volume). Output: top-50 pairs
+    * by cosine (this corpus plants no near-identical vectors, so a fixed
+    * 0.9x threshold would be vacuous; ranked output validates real values).
+    */
+  def q36EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
+      .withColumn("norm", expr(s"sqrt(${dotE("v", "v")})"))
+    val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
+      .persist() // both sides of the pair join read the cell-tagged corpus
+    val a = corpus.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = corpus.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell_id")).filter($"id_a" < $"id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr(dotE("va", "vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
 
@@ -201,6 +232,7 @@ object EngineQ {
     "q33_explore"     -> q33Explore _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
+    "q36_embed_neardup" -> q36EmbedNearDup _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -250,6 +282,26 @@ object EngineQ {
         |  FROM scored)
         |SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q36_embed_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id - 10 AS cell_id, v AS cv, norm AS cnorm FROM e
+        |      WHERE vec_id >= 10 AND vec_id < 18),
+        |assign AS (
+        |  SELECT vec_id, v, norm, cell_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ${dotSql("v", "cv")} / (norm * cnorm) DESC, cell_id) AS r
+        |  FROM e CROSS JOIN c),
+        |corpus AS (SELECT vec_id, v, norm, cell_id FROM assign WHERE r = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(${dotSql("a.v", "b.v")} / (a.norm * b.norm), 4) AS cosine
+        |  FROM corpus a JOIN corpus b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,
