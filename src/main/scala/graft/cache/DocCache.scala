@@ -4,7 +4,6 @@ import graft.conf.GraftConf
 import graft.doc.Observation
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -33,22 +32,32 @@ trait DocCache {
 }
 
 /** JVM-wide memory tier (reference InMemoryDocCache.scala:10-36). Keeps every
-  * timestamped version so wayback reads can select older entries.
+  * timestamped version per key so wayback reads can select older entries.
+  *
+  * SIZE-BOUNDED (guava, LRU): long-lived executors on a big crawl would
+  * otherwise grow this without limit — eviction only costs a DFS-tier or
+  * remote re-read. The reference has the same two-tier fallback semantics.
   */
 object InMemoryDocCache extends DocCache {
 
-  private val store = new ConcurrentHashMap[String, List[(Long, Seq[Observation])]]()
+  /** Max distinct trace keys held per JVM (each may hold several versions). */
+  val MaxEntries: Long = 8192L
+
+  private val store: com.google.common.cache.Cache[String, List[(Long, Seq[Observation])]] =
+    com.google.common.cache.CacheBuilder.newBuilder()
+      .maximumSize(MaxEntries)
+      .build[String, List[(Long, Seq[Observation])]]()
 
   override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] =
-    Option(store.get(key)).flatMap { versions =>
+    Option(store.getIfPresent(key)).flatMap { versions =>
       versions.filter(v => inWindow(v._1, conf, now)).sortBy(-_._1).headOption.map(_._2)
     }
 
   override def put(key: String, obs: Seq[Observation], ts: Long): Unit =
-    store.compute(key, (_, old) => (ts, obs) :: Option(old).getOrElse(Nil))
+    store.asMap().compute(key, (_, old) => (ts, obs) :: Option(old).getOrElse(Nil))
 
-  def clear(): Unit = store.clear()
-  def size: Int = store.size()
+  def clear(): Unit = store.invalidateAll()
+  def size: Int = store.asMap().size()
 }
 
 /** Filesystem tier (reference DFSDocCache.scala:13-46): one file per version
