@@ -20,6 +20,25 @@ object Ann {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
 
+  /** Train `k` real centroids with MLlib k-means (deterministic seed) and
+    * return them in the (cell_id, cv, cnorm) shape [[assignCells]] expects.
+    * The q34 oracle path uses fixed first-k vectors instead (an oracle must
+    * be engine-replicable); production index builds use this.
+    */
+  def trainCentroids(vectors: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = vectors.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(assembled)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.toSeq)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("cell_id", "cv")
+      .withColumn("cnorm", sqrt(dot("cv", "cv")))
+  }
+
   /** Tag every vector with its nearest centroid id (cosine, ties to the
     * lowest centroid id). `centroids` must be small (broadcast).
     *

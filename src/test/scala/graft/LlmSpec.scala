@@ -50,6 +50,21 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf3.groupBy("q_id").count().collect().forall(_.getLong(1) == 10))
   }
 
+  test("trainCentroids: k-means centroids feed the same assign/search path") {
+    val e = embedded
+    val centroids = Ann.trainCentroids(
+      e.select(col("vec_id"), col("v"), col("norm")), k = 8)
+    assert(centroids.count() == 8)
+    val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
+    assert(corpus.count() == e.count())
+    val cells = corpus.select("cell_id").distinct().count()
+    assert(cells > 1 && cells <= 8) // a real partition of the space
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val res = Ann.search(corpus, qs, centroids, nProbes = 2, k = 5)
+    assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("multimodal decode: deterministic byte features, empty payload safe") {
     val f = Multimodal.Codec.decode("abc".getBytes("UTF-8"))
     assert(f.n_bytes == 3 && f.head_byte == 'a'.toInt && f.checksum == 97 + 98 + 99)
