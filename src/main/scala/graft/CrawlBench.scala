@@ -48,8 +48,13 @@ object CrawlBench {
     def expand(r: FetchedRow[String]): Seq[(Trace, String)] =
       r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))
 
-    def crawl(label: String): Unit = {
-      val ctx = new GraftContext(spark, GraftConf())
+    // DFS cache tier on: the memory tier is LRU-bounded (8192 keys), so for
+    // N beyond the cap only the filesystem tier makes warm re-runs fetch 0.
+    val cacheDir = dirPath.resolveSibling(s"cache-$n").toString
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir))
+
+    def crawl(label: String, expectRemote: Option[Long]): Unit = {
+      val ctx = new GraftContext(spark, conf)
       val t0 = System.nanoTime()
       val visited = ctx.create(Seq(s"file:$dir/p0.html"))
         .explore(u => Trace.of(Wget(u)))(expand)
@@ -58,11 +63,13 @@ object CrawlBench {
       val fetched = ctx.metrics.pagesFetched.value
       println(f"[crawlbench] $label n=$n visited=$visited fetched=$fetched " +
         f"${secs}%.1f s ${visited / secs}%.0f pages/s")
-      assert(visited >= n - 1, s"expected ~$n visited, got $visited") // p0-unreachable stragglers aside
+      assert(visited >= n - 1, s"expected ~$n visited, got $visited")
+      expectRemote.foreach(e => assert(fetched == e, s"expected $e remote fetches, got $fetched"))
     }
 
-    crawl("cold")
-    crawl("warm-memcache") // second run: memory-tier hits, 0 remote fetches
+    crawl("cold", expectRemote = Some(n.toLong))
+    InMemoryDocCache.clear() // force the DFS tier
+    crawl("warm-dfs", expectRemote = Some(0L))
     InMemoryDocCache.clear()
     spark.stop()
   }
