@@ -143,14 +143,13 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   /** Bounded BFS: `seed` starts each row's traversal, `next` expands each
     * fetched row into child traces+payloads; depth range `[minDepth,
     * maxDepth)` (reference `recursively(range).explore(fn)` semantics).
+    * Lineage is cut every epoch (see [[graft.exec.ExploreExec]]).
     */
   def explore(seed: D => Trace)(next: FetchedRow[D] => Seq[(Trace, D)],
-              minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
-              checkpointInterval: Int = 0): ExploredView[D] = {
+              minDepth: Int = 0, maxDepth: Int = Int.MaxValue): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
-    val params = ExploreParams(minDepth, maxDepth,
-      if (checkpointInterval > 0) checkpointInterval else ctx.conf.checkpointInterval)
+    val params = ExploreParams(minDepth, maxDepth)
     new ExploredView(
       ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params), ctx)
   }

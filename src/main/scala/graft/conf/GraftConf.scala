@@ -60,7 +60,6 @@ object DownSampling {
   * @param remoteRetries      trace-level retry count (reference Trace.fetch retry)
   * @param downSampling       fan-out limiter at selectMany/fork/explore
   * @param maxExploreDepth    hard depth cap (preview mode sets 2)
-  * @param checkpointInterval explore: checkpoint every k epochs (lineage cut)
   * @param blobDir            when set, doc bodies larger than
   *                           `blobOffloadBytes` are written here and rows
   *                           carry only the pointer (reference
@@ -79,7 +78,6 @@ final case class GraftConf(
     remoteRetries: Int = 2,
     downSampling: DownSampling = DownSampling.Identity,
     maxExploreDepth: Int = Int.MaxValue,
-    checkpointInterval: Int = 5,
     validation: graft.doc.DocValidation = graft.doc.DocValidation.StatusCode2XX,
     blobDir: Option[String] = None,
     blobOffloadBytes: Long = Long.MaxValue

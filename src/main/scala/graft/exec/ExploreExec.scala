@@ -19,8 +19,7 @@ final case class ExploredRow[D](row: FetchedRow[D], depth: Int) extends Serializ
   */
 final case class ExploreParams(
     minDepth: Int = 0,
-    maxDepth: Int = Int.MaxValue,
-    checkpointInterval: Int = 1
+    maxDepth: Int = Int.MaxValue
 )
 
 /** The flagship operator: bounded breadth-first traversal of the implicit
@@ -62,7 +61,6 @@ object ExploreExec {
     val conf: GraftConf = env.conf
     val maxDepth = math.min(params.maxDepth, conf.maxExploreDepth)
     val down = conf.downSampling
-    val cpEvery = math.max(1, params.checkpointInterval)
 
     val debug = sys.env.get("GRAFT_EXPLORE_DEBUG").contains("true")
     var tEpoch = System.nanoTime()
@@ -82,7 +80,7 @@ object ExploreExec {
     // (`sized`) replaces AQE's partition coalescing here.
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try exploreLoop(spark, seeds, next, env, maxDepth, params, down, cpEvery, mark _)
+    try exploreLoop(spark, seeds, next, env, maxDepth, params, down, mark _)
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
@@ -95,7 +93,6 @@ object ExploreExec {
       maxDepth: Int,
       params: ExploreParams,
       down: graft.conf.DownSampling,
-      cpEvery: Int,
       mark: String => Unit
   ): Dataset[ExploredRow[D]] = {
 
@@ -106,12 +103,13 @@ object ExploreExec {
 
     var epoch = 0
 
-    // Truncate lineage + materialize. ALWAYS via localCheckpoint: it caches
-    // at the RDD/block level. Dataset.persist() would register every epoch
-    // in the SQL CacheManager, whose per-query cache-lookup does plan
+    // Truncate lineage + materialize — EVERY epoch, via localCheckpoint: it
+    // caches at the RDD/block level. Dataset.persist() would register every
+    // epoch in the SQL CacheManager, whose per-query cache-lookup does plan
     // canonicalization against ALL registered entries — measured as a
     // LINEARLY GROWING per-job cost (2x slowdown by epoch 12 on a 4k-page
-    // crawl). cpEvery is kept for a future reliable-checkpoint cadence.
+    // crawl). A reliable-checkpoint cadence (spark.checkpoint.dir) is the
+    // fault-tolerant variant for multi-hour crawls.
     def cut[T](ds: Dataset[T]): Dataset[T] = ds.localCheckpoint(true)
 
     def sized(ds: Dataset[(String, (Trace, D, Int))],
