@@ -86,6 +86,46 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(texts == Seq("one", "two", "three"))
   }
 
+  test("explore over browser traces (the reference ExploreIT shape)") {
+    // home -> {computers, phones} -> {laptops}; dedup: both categories link home
+    val shop = Map(
+      "mock://shop" -> """<html><head><title>Shop</title></head><body>
+        |<a class="cat" href="mock://shop/computers">Computers</a>
+        |<a class="cat" href="mock://shop/phones">Phones</a></body></html>""".stripMargin,
+      "mock://shop/computers" -> """<html><head><title>Computers</title></head><body>
+        |<a class="cat" href="mock://shop/computers/laptops">Laptops</a>
+        |<a class="cat" href="mock://shop">Home</a></body></html>""".stripMargin,
+      "mock://shop/phones" -> """<html><head><title>Phones</title></head><body>
+        |<a class="cat" href="mock://shop">Home</a></body></html>""".stripMargin,
+      "mock://shop/computers/laptops" ->
+        """<html><head><title>Laptops</title></head><body><p>leaf</p></body></html>"""
+    )
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(shop))
+    import spark.implicits._
+    val explored = ctx.create(Seq("mock://shop"))
+      .explore(u => Trace.of(Visit(u), Snapshot()))(BrowserSpec.catExpand)
+    val byTitle = explored.collect()
+      .map(r => r.row.trajectory.texts("title").mkString -> r.depth).toMap
+    assert(byTitle == Map("Shop" -> 0, "Computers" -> 1, "Phones" -> 1, "Laptops" -> 2))
+    assert(ctx.metrics.pagesFetched.value == 4) // home links deduped, 1 rollout/page
+  }
+
+  test("chained fetch from a FetchedView (detail-page hop)") {
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(site))
+    import spark.implicits._
+    import graft.exec.FetchedRow
+    implicit val outEnc = org.apache.spark.sql.Encoders.kryo[FetchedRow[Int]]
+    val hop = ctx.create(Seq(1, 2))
+      .fetchOne(_ => Trace.of(Visit("mock://home"), Snapshot()))
+      .fetch(r => {
+        val next = r.trajectory.findAll("#next").flatMap(_.href)
+        TraceSet(next.map(u => Trace.of(Visit(u), Snapshot())))
+      })
+    val titles = hop.select(_.trajectory.texts("title").mkString).collect()
+    assert(titles == Seq("Page2", "Page2"))
+    assert(ctx.metrics.pagesFetched.value == 2) // one rollout per distinct hop
+  }
+
   test("browser action without a driver factory fails cleanly") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._
@@ -94,4 +134,15 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
       .collect()
     assert(rows.head.trajectory.failed.nonEmpty)
   }
+}
+
+object BrowserSpec {
+  import graft.exec.FetchedRow
+
+  /** Category-link expansion into Visit+Snapshot traces (serializable —
+    * lives outside the spec class).
+    */
+  def catExpand(r: FetchedRow[String]): Seq[(Trace, String)] =
+    r.trajectory.findAll("a.cat").flatMap(_.href)
+      .map(u => (Trace.of(Visit(u), Snapshot()), u))
 }
