@@ -53,13 +53,19 @@ sealed trait MayTimeout extends Action {
 /** HTTP(S)/file/DFS GET (reference actions/Wget.scala:20-78). `file:` and
   * bare paths read bytes (directories yield a JSON listing doc, the explore
   * fixture of ExplorePlanSpec); `http(s):` uses a plain JDK client.
+  *
+  * `wayback` pins this action's cache reads to entries at-or-before the
+  * given epoch millis (reference actions/Wayback.scala:7-33 — per-action
+  * time travel, overriding the conf-level pin). Not part of the cache key:
+  * it selects WHICH cached version to read, not what the action is.
   */
 final case class Wget(
     uri: String,
     override val timeoutMillis: Long = 30000L,
-    as: Option[String] = None
+    as: Option[String] = None,
+    wayback: Option[Long] = None
 ) extends Export with Driverless with MayTimeout {
-  override def skeleton: Action = copy(timeoutMillis = 0L, as = None)
+  override def skeleton: Action = copy(timeoutMillis = 0L, as = None, wayback = None)
   override def alias: Option[String] = as
 }
 

@@ -64,11 +64,21 @@ object Agent {
     }
   }
 
-  /** All-or-nothing cache probe over the trace's dryRun backtraces. */
+  /** All-or-nothing cache probe over the trace's dryRun backtraces. Each
+    * export may pin its own wayback (per-action time travel overrides the
+    * conf-level pin — reference Wayback.scala:7-33).
+    */
   private def fromCache(trace: Trace, env: Env, now: Long): Option[Seq[Observation]] = {
     if (!env.conf.cacheEnabled || !trace.hasExport) return None
     val backtraces = trace.dryRun
-    val hits = backtraces.map(bt => DocCaches.probe(bt.cacheKey, env.conf, now))
+    val waybacks = trace.exports.map {
+      case w: Wget => w.wayback
+      case _       => None
+    }
+    val hits = backtraces.zipAll(waybacks, Trace.empty, None).map { case (bt, wb) =>
+      val conf = wb.map(w => env.conf.copy(waybackMillis = Some(w))).getOrElse(env.conf)
+      DocCaches.probe(bt.cacheKey, conf, now)
+    }
     if (hits.forall(_.isDefined)) {
       val obs = hits.flatMap(_.get)
       env.metrics.fetchFromCache.add(obs.size)
@@ -212,8 +222,10 @@ object Agent {
         }
       }
 
-      // audit auto-save + cache write for clean exports
-      if (validated.forall(_.isSuccess)) {
+      // audit auto-save + cache write for clean DOC-bearing exports; pure
+      // side-effect exports (e.g. Wpost uploads yielding NoDoc) are never
+      // cached — a cache hit would silently skip the effect
+      if (validated.forall(_.isSuccess) && validated.exists(_.isInstanceOf[Doc])) {
         env.conf.auditDir.foreach(d => validated.foreach {
           case doc: Doc => DocIO.save(doc, d)
           case _        => ()

@@ -25,7 +25,16 @@ object Fetcher {
   def post(uri: String, entity: String, contentType: String, timeoutMillis: Long,
            uid: DocUID, now: Long): Observation =
     if (isHttp(uri)) httpPost(uri, entity, contentType, timeoutMillis, uid, now)
-    else NoDoc(uid, uri, now) // non-HTTP POST = upload; no observation content
+    else {
+      // non-HTTP POST = upload: write the entity to the target path
+      // (reference Wpost.scala:16-103), observation is a contentless NoDoc
+      val path = new Path(stripFileScheme(uri))
+      val fs = path.getFileSystem(new Configuration())
+      val out = fs.create(path, true)
+      try out.write(entity.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      NoDoc(uid, uri, now)
+    }
 
   private def isHttp(uri: String) = uri.startsWith("http://") || uri.startsWith("https://")
 

@@ -108,6 +108,37 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows2.head.trajectory.doc.get.contentPtr.isEmpty)
   }
 
+  test("per-action wayback pins the cache read (overrides conf)") {
+    val uri = "file:/wb/page.html"
+    val key = Trace.of(Wget(uri)).dryRun.head.cacheKey
+    def doc(ts: Long, body: String) =
+      Doc(DocUID(key), uri, body.getBytes("UTF-8"), Some("text/html"), timestampMillis = ts)
+    InMemoryDocCache.put(key, Seq(doc(1000L, "<p>v1</p>")), 1000L)
+    InMemoryDocCache.put(key, Seq(doc(5000L, "<p>v2</p>")), 5000L)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    def read(wb: Option[Long]) = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wget(uri, wayback = wb)))
+      .select(_.trajectory.texts("p").mkString).collect().head
+    assert(read(None) == "v2")          // latest
+    assert(read(Some(2000L)) == "v1")   // pinned to the older version
+    assert(ctx.metrics.pagesFetched.value == 0) // both served from cache
+  }
+
+  test("non-HTTP Wpost uploads the entity and is never cached") {
+    val target = java.nio.file.Paths.get(scratchDir("upload"), "out.txt")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val t = target.toString
+    def run() = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wpost(s"file:$t", entity = "payload"))).count()
+    run()
+    assert(java.nio.file.Files.readString(target) == "payload")
+    java.nio.file.Files.delete(target)
+    run() // a cache hit would silently skip the upload — it must re-run
+    assert(java.nio.file.Files.readString(target) == "payload")
+  }
+
   test("failed observations are never cached") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._
