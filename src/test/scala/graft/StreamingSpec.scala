@@ -85,6 +85,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transforms run on the real events table (nanosecond parquet -> timestamp)") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // the documented conversion
+    val total = ev.count()
+    val hourly = EventStreams.hourlyCounts(ev)
+    assert(hourly.agg(sum("n")).collect().head.getLong(0) == total) // partition of all events
+    val sessions = EventStreams.sessionValues(ev)
+    assert(sessions.count() > 0)
+    assert(sessions.agg(sum("n_events")).collect().head.getLong(0) == total)
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
