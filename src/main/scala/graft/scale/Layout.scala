@@ -1,0 +1,60 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB shapes the query pack relies on
+  * (SURVEY §4 / prompt: "bucketing for co-located joins, salting for skew").
+  */
+object Layout {
+
+  /** Persist `df` bucketed+sorted on `keys` so future joins/aggregations on
+    * those keys are SHUFFLE-FREE: both sides of a bucketed-bucketed
+    * equi-join read co-located buckets and skip the Exchange entirely
+    * (spec-asserted on the physical plan). This is the write-once answer to
+    * "the fact table shuffles on every join" — at 100 TB the dominant cost.
+    */
+  def bucketize(df: DataFrame, table: String, numBuckets: Int, keys: String*): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale managed-table location (e.g. from a previous session) blocks
+    // CREATE even after DROP on a fresh catalog — clear it
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Bucket-join two saved tables on their (shared) bucket keys. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}
+
+/** Skew mitigation: salt a hot-keyed fact side so one key's rows spread over
+  * `nSalts` reducers, replicating the (small) dimension side per salt.
+  * AQE's skew-join handles moderate skew at runtime; explicit salting is for
+  * the pathological keys AQE splits can't fix (single-key hot spots).
+  */
+object Skew {
+
+  /** Equi-join `fact` (skewed, large) with `dim` (small) on `key`:
+    * fact rows get a deterministic salt in [0, nSalts); dim is exploded
+    * nSalts times; the join key becomes (key, salt) so a hot key's rows land
+    * on nSalts reducers instead of one. Result == plain join (spec-checked).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0)
+    val salted = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    val replicated = dim
+      .withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
