@@ -88,6 +88,23 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(titles == Seq("A", "B"))
   }
 
+  test("dead links do not kill the crawl; failures surface as error rows") {
+    val site = diamondSite("explore7")
+    // A also links a page that does not exist
+    writeFixture("explore7/A.html",
+      s"""<html><head><title>A</title></head><body>
+         |<a href="B.html">B</a><a href="C.html">C</a>
+         |<a href="missing.html">dead</a></body></html>""".stripMargin)
+    val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
+    import spark.implicits._
+    val rows = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand).collect()
+    val (ok, failed) = rows.partition(_.row.trajectory.isSuccess)
+    assert(ok.map(_.row.trajectory.texts("title").mkString).sorted.toSeq ==
+      Seq("A", "B", "C", "D"))
+    assert(failed.size == 1 && failed.head.depth == 1) // the dead link, at its depth
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")
