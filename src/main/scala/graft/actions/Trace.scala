@@ -36,14 +36,23 @@ final case class Trace(actions: Seq[Action]) extends Serializable {
     * itself, both canonicalized (reference Trace.scala:275-292 `dryRun`).
     * This is the identity of each observation — the basis of cache keys and
     * fetch dedup.
+    *
+    * Driverless exports (Wget/Wpost/OAuth/Mock) depend on no browser state, so
+    * their backtrace is the action ALONE (reference dryRun:
+    * `case _: Action.Driverless => child :: Nil`) — identical Wgets behind
+    * different interaction prefixes share one cache entry and one fetch.
     */
   def dryRun: Seq[Trace] = {
     val backtraces = Seq.newBuilder[Trace]
     var stateChanges = Vector.empty[Action]
     actions.foreach {
       case s: StateChange => stateChanges :+= s.skeleton
-      case e: Export      => backtraces += Trace(stateChanges :+ e.skeleton)
-      case _              => () // delays, waits: not part of observation identity
+      case e: Export =>
+        backtraces += (e match {
+          case _: Driverless => Trace(Seq(e.skeleton))
+          case _             => Trace(stateChanges :+ e.skeleton)
+        })
+      case _ => () // delays, waits: not part of observation identity
     }
     backtraces.result()
   }
@@ -61,15 +70,35 @@ object Trace {
 
   def of(actions: Action*): Trace = Trace(actions.toVector)
 
-  /** Deterministic structural rendering (case-class toString is stable for
-    * our sealed ADT of data fields).
+  /** Deterministic INJECTIVE structural rendering. Case-class toString is not
+    * injective for string fields — TextInput("x,y","z") and TextInput("x","y,z")
+    * both print TextInput(x,y,z) and would collide to one cache key. Strings
+    * are therefore netstring-encoded (length-prefixed): the result is uniquely
+    * decodable, so distinct traces never share a key.
     */
-  private[actions] def render(t: Trace): String = t.actions.map(_.toString).mkString(";")
+  private[actions] def render(t: Trace): String = t.actions.map(renderValue).mkString(";")
 
-  private[graft] def digest(s: String): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  private def renderValue(v: Any): String = v match {
+    case null         => "null"
+    case s: String    => s"#${s.length}:$s" // netstring: injective despite delimiters
+    case t: Trace     => s"T[${t.actions.map(renderValue).mkString(";")}]"
+    case o: Option[_] => o.fold("None")(x => s"Some(${renderValue(x)})")
+    case b: Array[Byte] => s"bytes:${digestBytes(b)}"
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => renderValue(k) + "->" + renderValue(x) }
+        .sorted.mkString("{", ",", "}")
+    case xs: Iterable[_] => xs.map(renderValue).mkString("[", ",", "]")
+    case p: Product      => p.productPrefix + p.productIterator.map(renderValue).mkString("(", ",", ")")
+    case other           => String.valueOf(other)
   }
+
+  private[graft] def digest(s: String): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8)))
+
+  private[graft] def digestBytes(b: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(b))
+
+  private def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
 }
 
 /** A set of alternative traces — the fan-out unit that `fetch`/`explore`

@@ -82,9 +82,25 @@ object Agent {
     if (hits.forall(_.isDefined)) {
       val obs = hits.flatMap(_.get)
       env.metrics.fetchFromCache.add(obs.size)
-      Some(obs)
+      // entries written since the offload default carry pointers already; this
+      // guards stale pre-offload entries so warm rows never re-inline big bodies
+      Some(offloadLarge(obs, env.conf))
     } else None
   }
+
+  /** Two-level storage mapping: bodies over the threshold move to the blob
+    * store, rows keep the pointer (reference InMemoryBlob → DFSSavedBlob).
+    */
+  private def offloadLarge(obs: Seq[Observation], conf: GraftConf): Seq[Observation] =
+    conf.effectiveBlobDir match {
+      case Some(dir) =>
+        val limit = conf.effectiveBlobOffloadBytes
+        obs.map {
+          case d: Doc if d.content.length > limit => d.offload(dir)
+          case other                              => other
+        }
+      case None => obs
+    }
 
   private def runTrace(trace: Trace, env: Env, now: Long): Seq[Observation] = {
     val session = new Session(env)
@@ -114,10 +130,13 @@ object Agent {
 
     /** Canonical key of the backtrace that produces `e`'s observations —
       * IDENTICAL to the corresponding [[Trace.dryRun]] entry, so cache keys
-      * and fetch-dedup keys agree.
+      * and fetch-dedup keys agree. Driverless exports are keyed on the action
+      * alone (no browser-state prefix — see [[Trace.dryRun]]).
       */
-    private def backtraceKey(e: Export): String =
-      Trace(stateChanges :+ e.skeleton).cacheKey
+    private def backtraceKey(e: Export): String = e match {
+      case _: Driverless => Trace(Seq(e.skeleton)).cacheKey
+      case _             => Trace(stateChanges :+ e.skeleton).cacheKey
+    }
 
     def perform(a: Action, now: Long): Seq[Observation] = a match {
       case s: StateChange =>
@@ -222,6 +241,12 @@ object Agent {
         }
       }
 
+      // large-body offload BEFORE the cache write, so the caches store pointer
+      // rows: warm hits then carry pointers too (bodies written to the blob
+      // store exactly once, on the cold fetch), and the memory tier never pins
+      // big payloads
+      val offloaded = offloadLarge(validated, env.conf)
+
       // audit auto-save + cache write for clean DOC-bearing exports; pure
       // side-effect exports (e.g. Wpost uploads yielding NoDoc) are never
       // cached — a cache hit would silently skip the effect
@@ -230,18 +255,11 @@ object Agent {
           case doc: Doc => DocIO.save(doc, d)
           case _        => ()
         })
-        DocCaches.write(key, validated, env.conf, now)
+        DocCaches.write(key, offloaded, env.conf, now)
         if (env.conf.cacheWrite) env.metrics.cacheWrites.add(1)
       }
 
-      // large-body offload: rows carry a DFS pointer instead of the payload
-      env.conf.blobDir match {
-        case Some(dir) => validated.map {
-          case d: Doc if d.content.length > env.conf.blobOffloadBytes => d.offload(dir)
-          case other => other
-        }
-        case None => validated
-      }
+      offloaded
     }
   }
 

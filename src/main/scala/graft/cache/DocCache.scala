@@ -25,7 +25,12 @@ trait DocCache {
   def put(key: String, obs: Seq[Observation], timestampMillis: Long): Unit
 
   protected def inWindow(ts: Long, conf: GraftConf, now: Long): Boolean = {
-    val notExpired = conf.docTtlMillis == Long.MaxValue || ts >= now - conf.docTtlMillis
+    // With a wayback pin, TTL is measured backwards from the PINNED time, not
+    // real now (reference AbstractDocCache.getTimeRange) — otherwise any pin
+    // older than the TTL can never hit and time travel silently re-fetches
+    // present-day content.
+    val effectiveNow = conf.waybackMillis.getOrElse(now)
+    val notExpired = conf.docTtlMillis == Long.MaxValue || ts >= effectiveNow - conf.docTtlMillis
     val notAfterWayback = conf.waybackMillis.forall(ts <= _)
     notExpired && notAfterWayback
   }
@@ -43,6 +48,12 @@ object InMemoryDocCache extends DocCache {
   /** Max distinct trace keys held per JVM (each may hold several versions). */
   val MaxEntries: Long = 8192L
 
+  /** Newest timestamped versions kept per key: a hot key re-fetched in a
+    * TTL=0 loop must not grow its list without bound. Older versions remain
+    * readable from the DFS tier (which keeps every version file).
+    */
+  val MaxVersionsPerKey: Int = 4
+
   private val store: com.google.common.cache.Cache[String, List[(Long, Seq[Observation])]] =
     com.google.common.cache.CacheBuilder.newBuilder()
       .maximumSize(MaxEntries)
@@ -54,7 +65,8 @@ object InMemoryDocCache extends DocCache {
     }
 
   override def put(key: String, obs: Seq[Observation], ts: Long): Unit =
-    store.asMap().compute(key, (_, old) => (ts, obs) :: Option(old).getOrElse(Nil))
+    store.asMap().compute(key, (_, old) =>
+      ((ts, obs) :: Option(old).getOrElse(Nil)).sortBy(-_._1).take(MaxVersionsPerKey))
 
   def clear(): Unit = store.invalidateAll()
   def size: Int = store.asMap().size()

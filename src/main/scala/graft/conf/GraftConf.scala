@@ -64,8 +64,18 @@ object DownSampling {
   *                           `blobOffloadBytes` are written here and rows
   *                           carry only the pointer (reference
   *                           InMemoryBlob/DFSSavedBlob two-level Content) —
-  *                           big payloads never travel through shuffles
-  * @param blobOffloadBytes   inline-body size threshold for offload
+  *                           big payloads never travel through shuffles.
+  *                           Defaults to `<dfsCacheDir>/blobs` when a DFS
+  *                           cache tier is configured (see [[effectiveBlobDir]])
+  * @param blobOffloadBytes   inline-body size threshold for offload;
+  *                           Long.MaxValue = "unset" → defaults to 1 MiB
+  *                           whenever a blob dir is available
+  * @param checkpointDir        when set, explore's per-epoch lineage cuts use
+  *                             RELIABLE checkpoints (survive executor loss —
+  *                             the fault-tolerant mode for multi-hour crawls;
+  *                             reference TemporaryRefs cycle) on a cadence
+  * @param checkpointEveryEpochs reliable-checkpoint cadence; localCheckpoint
+  *                             (fast, block-replicated) between them
   */
 final case class GraftConf(
     cacheEnabled: Boolean = true,
@@ -80,10 +90,31 @@ final case class GraftConf(
     maxExploreDepth: Int = Int.MaxValue,
     validation: graft.doc.DocValidation = graft.doc.DocValidation.StatusCode2XX,
     blobDir: Option[String] = None,
-    blobOffloadBytes: Long = Long.MaxValue
-) extends Serializable
+    blobOffloadBytes: Long = Long.MaxValue,
+    checkpointDir: Option[String] = None,
+    checkpointEveryEpochs: Int = 8
+) extends Serializable {
+
+  /** Blob store in effect: explicit `blobDir`, else a `blobs/` subdir of the
+    * DFS cache tier — so configuring a cache dir alone already gives
+    * two-level doc storage (100-TB default: doc bodies never ride shuffles).
+    */
+  def effectiveBlobDir: Option[String] =
+    blobDir.orElse(dfsCacheDir.map(d => d.stripSuffix("/") + "/blobs"))
+
+  /** Offload threshold in effect: explicit value, else 1 MiB whenever a blob
+    * dir is available, else disabled.
+    */
+  def effectiveBlobOffloadBytes: Long =
+    if (blobOffloadBytes != Long.MaxValue) blobOffloadBytes
+    else if (effectiveBlobDir.isDefined) GraftConf.DefaultBlobOffloadBytes
+    else Long.MaxValue
+}
 
 object GraftConf {
+
+  /** Default inline-body bound once a blob dir exists: 1 MiB. */
+  val DefaultBlobOffloadBytes: Long = 1L << 20
 
   /** Cheap dry-run of whole pipelines (reference SpookyConf.scala:101-110
     * previewMode: FirstN(1) + depth <= 2).

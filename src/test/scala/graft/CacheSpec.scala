@@ -108,6 +108,60 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows2.head.trajectory.doc.get.contentPtr.isEmpty)
   }
 
+  test("wayback pin older than the TTL still hits: TTL window is relative to the pin") {
+    val key = "wb-ttl-key"
+    def doc(ts: Long) = Doc(DocUID(key), "u", s"t$ts".getBytes("UTF-8"), timestampMillis = ts)
+    InMemoryDocCache.put(key, Seq(doc(600L)), 600L)
+    InMemoryDocCache.put(key, Seq(doc(1000L)), 1000L)
+    val now = 1000000L // far past: both entries long out of TTL measured from real now
+    val conf = GraftConf(docTtlMillis = 500L, waybackMillis = Some(1200L))
+    // window is [1200-500, 1200]: ts=1000 hits, ts=600 is expired relative to the pin
+    val got = InMemoryDocCache.get(key, conf, now)
+    assert(got.isDefined && got.get.head.timestampMillis == 1000L)
+    val narrow = GraftConf(docTtlMillis = 100L, waybackMillis = Some(1200L))
+    assert(InMemoryDocCache.get(key, narrow, now).isEmpty) // [1100,1200]: nothing
+  }
+
+  test("memory tier keeps at most MaxVersionsPerKey newest versions per key") {
+    val key = "hot-key"
+    def doc(ts: Long) = Doc(DocUID(key), "u", "x".getBytes("UTF-8"), timestampMillis = ts)
+    (1L to 20L).foreach(ts => InMemoryDocCache.put(key, Seq(doc(ts)), ts))
+    // newest survives; versions older than the newest N are gone
+    val newest = InMemoryDocCache.get(key, GraftConf(), 1000L)
+    assert(newest.get.head.timestampMillis == 20L)
+    val tooOld = InMemoryDocCache.get(key, GraftConf(waybackMillis = Some(5L)), 1000L)
+    assert(tooOld.isEmpty, "evicted versions must not be readable")
+    val kept = InMemoryDocCache.get(key,
+      GraftConf(waybackMillis = Some(20L - InMemoryDocCache.MaxVersionsPerKey + 1)), 1000L)
+    assert(kept.isDefined, "the newest N versions must all be readable")
+  }
+
+  test("blob offload defaults on with a DFS cache dir; warm hits carry pointers") {
+    val conf = GraftConf(dfsCacheDir = Some("/tmp/c"))
+    assert(conf.effectiveBlobDir.contains("/tmp/c/blobs"))
+    assert(conf.effectiveBlobOffloadBytes == GraftConf.DefaultBlobOffloadBytes)
+    assert(GraftConf().effectiveBlobDir.isEmpty)
+    assert(GraftConf().effectiveBlobOffloadBytes == Long.MaxValue)
+
+    // end-to-end: big doc + DFS cache tier only (no explicit blobDir);
+    // cold row AND the cached entry carry pointers, so warm hits do too
+    val body = "<html><body>" + ("y" * 2000) + "</body></html>"
+    val uri = writeFixture("cache4/bigwarm.html", body)
+    val cacheDir = scratchDir("dfscache4")
+    val ctx = new GraftContext(spark,
+      GraftConf(dfsCacheDir = Some(cacheDir), blobOffloadBytes = 100))
+    import spark.implicits._
+    def fetchDoc() = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri")))
+      .collect().head.trajectory.doc.get
+    val cold = fetchDoc()
+    assert(cold.content.isEmpty && cold.contentPtr.isDefined)
+    val warm = fetchDoc()
+    assert(ctx.metrics.pagesFetched.value == 1) // second run was a cache hit
+    assert(warm.content.isEmpty && warm.contentPtr.isDefined,
+      "warm rows must carry pointers, not re-inlined bodies")
+    assert(warm.root.text.contains("yyy")) // lazy blob load still transparent
+  }
+
   test("per-action wayback pins the cache read (overrides conf)") {
     val uri = "file:/wb/page.html"
     val key = Trace.of(Wget(uri)).dryRun.head.cacheKey

@@ -105,6 +105,46 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(failed.size == 1 && failed.head.depth == 1) // the dead link, at its depth
   }
 
+  test("reliable checkpointing (checkpointDir set) reproduces the diamond golden") {
+    val site = diamondSite("explore8")
+    val ckpt = scratchDir("explore-ckpt")
+    val ctx = new GraftContext(spark,
+      GraftConf(checkpointDir = Some(ckpt), checkpointEveryEpochs = 1))
+    import spark.implicits._
+    val rows = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand).collect()
+    assert(ctx.metrics.pagesFetched.value == 4)
+    val byTitle = rows.map(r => r.row.trajectory.texts("title").mkString -> r.depth).toMap
+    assert(byTitle == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2))
+    // the reliable checkpoints actually hit the configured dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "expected RDD checkpoint files under checkpointDir")
+  }
+
+  test("explore never flips AQE on the caller's session (concurrent observer)") {
+    val site = diamondSite("explore9")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    @volatile var flipped = false
+    @volatile var watching = true
+    val watcher = new Thread(() => {
+      while (watching) {
+        if (spark.conf.get("spark.sql.adaptive.enabled") != "true") flipped = true
+        Thread.sleep(20)
+      }
+    })
+    watcher.start()
+    try {
+      val ctx = new GraftContext(spark, GraftConf())
+      import spark.implicits._
+      val n = ctx.create(Seq(s"file:${site("A")}"))
+        .explore(u => Trace.of(Wget(u)))(linkExpand).count()
+      assert(n == 4)
+    } finally { watching = false; watcher.join() }
+    assert(!flipped, "caller session lost AQE during explore")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")

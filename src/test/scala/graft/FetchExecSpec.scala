@@ -136,6 +136,42 @@ class FetchExecSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(names.sorted == Seq("f2.txt", "sub"))
   }
 
+  test("offloaded fetched views shuffle pointers, not payloads (100 TB invariant)") {
+    // ~2 MiB body; DFS cache dir configured => blob offload defaults ON
+    val big = "<html><head><title>HUGE</title></head><body>" +
+      ("z" * (2 << 20)) + "</body></html>"
+    val uri = writeFixture("fetch10/huge.html", big)
+    val ctx = freshCtx(GraftConf(dfsCacheDir = Some(scratchDir("fetch10cache"))))
+    import spark.implicits._
+    val view = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri")))
+    view.persist()
+    assert(view.count() == 1) // materialize the fetch once
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach(m =>
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = view.dataset.repartition(4) // forces a full shuffle of the rows
+        .map(_.trajectory.texts("title").mkString)(
+          org.apache.spark.sql.Encoders.STRING).collect()
+      assert(docs.toSeq == Seq("HUGE")) // doc still fully readable after the shuffle
+      // listener events are posted async; wait for the metrics to drain
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline &&
+             (shuffleBytes.get() == 0 || shuffleBytes.get() != last)) {
+        last = shuffleBytes.get(); Thread.sleep(200)
+      }
+      assert(shuffleBytes.get() > 0, "expected the repartition to shuffle something")
+      assert(shuffleBytes.get() < 256 * 1024,
+        s"shuffled ${shuffleBytes.get()} bytes — the 2 MiB body rode the shuffle")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("trajectory save writes doc bodies") {
     val uri = writeFixture("fetch9/doc.html", "<p>saved</p>")
     val out = scratchDir("save")

@@ -51,6 +51,31 @@ class TraceSpec extends AnyFunSuite {
     assert(l1.cacheKey == l2.cacheKey)
   }
 
+  test("cache-key rendering is injective: field boundaries cannot be forged") {
+    // case-class toString would render both of these as TextInput(x,y,z)
+    val a = Trace.of(Visit("u"), TextInput("x,y", "z"), Snapshot())
+    val b = Trace.of(Visit("u"), TextInput("x", "y,z"), Snapshot())
+    assert(a.cacheKey != b.cacheKey)
+    // same for the ')'-ish and ';' delimiters and empty-vs-missing fields
+    val c = Trace.of(Wget("file:/a;Wget(file:/b"))
+    val d = Trace.of(Wget("file:/a"), Wget("file:/b"))
+    assert(c.cacheKey != d.cacheKey)
+  }
+
+  test("Driverless exports are keyed on the action alone (backtrace rule)") {
+    // identical Wgets behind different browser prefixes share one cache key
+    val plain = Trace.of(Wget("file:/x"))
+    val behindA = Trace.of(Visit("a"), Click("go"), Wget("file:/x"))
+    val behindB = Trace.of(Visit("b"), Wget("file:/x"))
+    assert(behindA.dryRun == plain.dryRun)
+    assert(behindA.cacheKey == plain.cacheKey)
+    assert(behindB.cacheKey == plain.cacheKey)
+    // browser exports DO keep their state-change prefix
+    val snapA = Trace.of(Visit("a"), Snapshot())
+    val snapB = Trace.of(Visit("b"), Snapshot())
+    assert(snapA.cacheKey != snapB.cacheKey)
+  }
+
   test("Mock identity comes from its observations") {
     val d1 = Doc(DocUID("k"), "u1", "hello".getBytes("UTF-8"))
     val d2 = Doc(DocUID("k"), "u1", "other".getBytes("UTF-8"))
