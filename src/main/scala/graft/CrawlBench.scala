@@ -41,7 +41,9 @@ object CrawlBench {
           .filter(k => k < n && k != i).distinct
         val links = kids.map(k => s"""<a href="p$k.html">k$k</a>""").mkString("\n")
         val html = s"""<html><head><title>p $i</title></head><body>$links</body></html>"""
-        Files.write(Paths.get(dir, s"p$i.html"), html.getBytes(StandardCharsets.UTF_8))
+        // Hadoop FS: on a cluster, point the dir at shared storage and this
+        // generator still works (java.nio would strand files per-executor)
+        graft.agent.DocIO.writeText(dir, s"p$i.html", html)
       }
     }
 

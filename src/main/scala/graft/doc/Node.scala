@@ -87,13 +87,15 @@ object Node {
     * content-type dispatch; Tika normalisation replaced by native parsers per
     * family).
     */
-  def parse(content: Array[Byte], mime: String, uri: String = ""): Node = {
+  def parse(content: Array[Byte], mime: String, uri: String = "",
+            charset: String = "UTF-8"): Node = {
     val m = mime.toLowerCase
     try {
-      if (m.contains("html") || m.contains("xml")) HtmlNode.parse(new String(content, "UTF-8"), uri)
-      else if (m.contains("json")) JsonNode.parse(new String(content, "UTF-8"))
-      else if (m.startsWith("text/csv")) CsvNode.parse(new String(content, "UTF-8"))
-      else if (m.startsWith("text/")) PlainNode(new String(content, "UTF-8"))
+      lazy val str = new String(content, java.nio.charset.Charset.forName(charset))
+      if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
+      else if (m.contains("json")) JsonNode.parse(str)
+      else if (m.startsWith("text/csv")) CsvNode.parse(str)
+      else if (m.startsWith("text/")) PlainNode(str)
       else Unrecognisable
     } catch {
       case scala.util.control.NonFatal(_) => Unrecognisable

@@ -94,16 +94,20 @@ final case class Doc(
       .filter(_.nonEmpty).filter(_ != "application/octet-stream")
       .getOrElse(Mime.sniff(uri, bytes))
 
-  def charset: String = "UTF-8"
+  /** Detected charset: Content-Type parameter > BOM > meta/XML-decl sniff >
+    * UTF-8 (stands in for the reference's universalchardet, Doc.scala:70-144).
+    */
+  lazy val charset: String = Charsets.detect(declaredMime, bytes)
 
-  lazy val contentStr: String = new String(bytes, StandardCharsets.UTF_8)
+  lazy val contentStr: String =
+    new String(bytes, java.nio.charset.Charset.forName(charset))
 
   def isImage: Boolean = mime.startsWith("image/")
 
   /** Root of the selector-queryable tree; [[Node.Unrecognisable]] for binary
     * content (reference Node.scala:8-26 null-object).
     */
-  @transient lazy val root: Node = Node.parse(bytes, mime, uri)
+  @transient lazy val root: Node = Node.parse(bytes, mime, uri, charset)
 
   // content is an Array — default case-class equality would be reference
   // equality; identity here is uid + bytes.
@@ -143,8 +147,53 @@ final case class DocError(
   override def isSuccess: Boolean = false
 }
 
+/** Charset detection without universalchardet (reference Doc.scala:70-144
+  * resolves charset via the http header, then detectCharset): the declared
+  * Content-Type `charset=` parameter wins, then a byte-order mark, then an
+  * ASCII-compatible scan of the head for an HTML `<meta charset=…>` /
+  * `http-equiv` or XML `encoding=…` declaration; UTF-8 otherwise. Unknown
+  * or unsupported names fall through to the next source.
+  */
+object Charsets {
+
+  def detect(declaredMime: Option[String], content: Array[Byte]): String =
+    fromMime(declaredMime)
+      .orElse(fromBom(content))
+      .orElse(fromMarkup(content))
+      .getOrElse("UTF-8")
+
+  private def valid(name: String): Option[String] =
+    scala.util.Try(java.nio.charset.Charset.forName(name.trim).name()).toOption
+
+  private def fromMime(m: Option[String]): Option[String] = m.flatMap { s =>
+    val lower = s.toLowerCase
+    val i = lower.indexOf("charset=")
+    if (i < 0) None
+    else valid(s.substring(i + 8).takeWhile(c => c != ';' && !c.isWhitespace)
+      .stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'"))
+  }
+
+  private def fromBom(c: Array[Byte]): Option[String] =
+    if (c.length >= 3 && c(0) == 0xEF.toByte && c(1) == 0xBB.toByte && c(2) == 0xBF.toByte)
+      Some("UTF-8")
+    else if (c.length >= 2 && c(0) == 0xFE.toByte && c(1) == 0xFF.toByte) Some("UTF-16BE")
+    else if (c.length >= 2 && c(0) == 0xFF.toByte && c(1) == 0xFE.toByte) Some("UTF-16LE")
+    else None
+
+  private val metaRe = """(?i)charset\s*=\s*["']?([A-Za-z0-9._\-]+)""".r
+  private val xmlRe = """(?i)<\?xml[^>]*encoding\s*=\s*["']([A-Za-z0-9._\-]+)["']""".r
+
+  private def fromMarkup(c: Array[Byte]): Option[String] = {
+    // ISO-8859-1 decodes any byte, so the ASCII-range markup survives
+    val head = new String(c.take(1024), StandardCharsets.ISO_8859_1)
+    xmlRe.findFirstMatchIn(head).map(_.group(1))
+      .orElse(metaRe.findFirstMatchIn(head).map(_.group(1)))
+      .flatMap(valid)
+  }
+}
+
 /** Extension + magic-byte mime sniffing (stands in for the reference's
-  * Tika/universalchardet detection, which is not on our classpath).
+  * Tika detection, which is not on our classpath).
   */
 object Mime {
   private val byExt = Map(

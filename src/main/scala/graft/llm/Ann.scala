@@ -20,6 +20,59 @@ object Ann {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
 
+  /** IVF cell count for a corpus of `n` vectors: k ≈ √n (the standard IVF
+    * sizing — keeps both the centroid broadcast (k) and the expected cell
+    * size (n/k ≈ √n) sub-linear; a FIXED k makes within-cell work O(n²/k),
+    * quadratic again at scale).
+    */
+  def autoCellCount(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Build a production IVF index: k-means with k ≈ √n unless overridden.
+    * Returns (centroids, cell-tagged corpus). One `count()` job to size k —
+    * fine for an index build.
+    */
+  def buildIndex(vectors: DataFrame, k: Int = 0, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val kk = if (k > 0) k else autoCellCount(vectors.count())
+    val centroids = trainCentroids(vectors, kk, seed)
+    (centroids, assignCells(vectors, centroids))
+  }
+
+  /** Hot-cell guard: split cells larger than `maxCellSize` into deterministic
+    * sub-cells (`sub_id` = hash(vec_id) mod ceil(size/max)), so any
+    * within-cell O(|cell|²) work is bounded by ~maxCellSize² per sub-cell
+    * regardless of skew (one mega-cluster cannot produce an unbounded pair
+    * join). Trade-off, documented: pairs BETWEEN sub-cells of a split cell
+    * are not generated — on a skewed corpus this bounds cost at a recall
+    * loss inside mega-clusters (re-cluster hot cells with more centroids to
+    * recover it). Cell sizes are a tiny aggregate — broadcast back.
+    */
+  def capCellSizes(corpus: DataFrame, maxCellSize: Long): DataFrame = {
+    require(maxCellSize > 0, "maxCellSize must be positive")
+    val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n"))
+    corpus.join(broadcast(sizes), "cell_id")
+      .withColumn("n_sub",
+        greatest(lit(1L), ceil(col("cell_n").cast("double") / maxCellSize).cast("long")))
+      .withColumn("sub_id", pmod(xxhash64(col("vec_id")), col("n_sub")))
+      .drop("cell_n", "n_sub")
+  }
+
+  /** Within-cell near-duplicate candidate pairs with the hot-cell guard
+    * applied: pair volume is bounded by ~n·maxCellSize/2 total instead of
+    * O(Σ|cell|²) (which one skewed cell turns quadratic).
+    * Input: (vec_id, v, norm, cell_id). Output: (id_a, id_b, cosine).
+    */
+  def nearDupPairs(corpus: DataFrame, maxCellSize: Long): DataFrame = {
+    val guarded = capCellSizes(corpus, maxCellSize)
+    val a = guarded.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = guarded.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell_id", "sub_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot("va", "vb") / (col("na") * col("nb")), 4).as("cosine"))
+  }
+
   /** Train `k` real centroids with MLlib k-means (deterministic seed) and
     * return them in the (cell_id, cv, cnorm) shape [[assignCells]] expects.
     * The q34 oracle path uses fixed first-k vectors instead (an oracle must

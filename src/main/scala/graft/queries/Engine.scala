@@ -56,12 +56,15 @@ object EngineQ {
     val fix = fixtureDir(dir, "q31")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0)
 
+    // executor-side writes go through Hadoop FS (DocIO) — on a cluster, point
+    // fixtureDir at a shared FS and the same code works; java.nio here would
+    // strand each executor's files on its local disk
     docs.select("doc_id", "lang", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
         val json =
           s"""{"doc_id":$id,"lang":${jstr(r.getString(1))},"text":${jstr(r.getString(2))}}"""
-        Files.write(Paths.get(fix, s"doc_$id.json"), json.getBytes(StandardCharsets.UTF_8))
+        graft.agent.DocIO.writeText(fix, s"doc_$id.json", json)
       }
     }
 
@@ -135,7 +138,7 @@ object EngineQ {
              |<body><p>${r.getString(1)}</p>
              |$links
              |</body></html>""".stripMargin
-        Files.write(Paths.get(fix, s"page_$id.html"), html.getBytes(StandardCharsets.UTF_8))
+        graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
       }
     }
 
@@ -184,26 +187,27 @@ object EngineQ {
   /** Near-dup candidate generation over embeddings WITHOUT the O(n²)
     * all-pairs join: vectors are cell-tagged (map-side, shared with q34) and
     * only same-cell pairs are scored — the standard embedding-dedup shape at
-    * scale (cell count trades recall for pair volume). Output: top-50 pairs
+    * scale. The pair join goes through [[Ann.nearDupPairs]], which applies
+    * the hot-cell guard (cells above 4x the mean split into sub-cells, so
+    * one mega-cluster can never turn the join quadratic); at production
+    * scale the cell count itself should be ~sqrt(n) ([[Ann.autoCellCount]] /
+    * [[Ann.buildIndex]]) — the 8 fixed centroids here exist so the DuckDB
+    * oracle can replicate the assignment exactly. Output: top-50 pairs
     * by cosine (this corpus plants no near-identical vectors, so a fixed
     * 0.9x threshold would be vacuous; ranked output validates real values).
     */
   def q36EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
     val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
       .withColumn("norm", expr(s"sqrt(${dotE("v", "v")})"))
     val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
       .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
     val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
       .persist() // both sides of the pair join read the cell-tagged corpus
-    val a = corpus.select(col("cell_id"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("norm").as("na"))
-    val b = corpus.select(col("cell_id"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("cell_id")).filter($"id_a" < $"id_b")
-      .select(col("id_a"), col("id_b"),
-        round(expr(dotE("va", "vb")) / (col("na") * col("nb")), 4).as("cosine"))
+    // hot-cell cap at 4x the mean cell size: near-uniform corpora (this one)
+    // are untouched — the oracle joins on cell_id alone — while a skewed cell
+    // gets split instead of exploding the join
+    val maxCell = math.max(1L, 4L * corpus.count() / 8L)
+    Ann.nearDupPairs(corpus, maxCell)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
   }

@@ -65,6 +65,39 @@ class LlmSpec extends AnyFunSuite {
     assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("hot-cell guard bounds pair volume under total skew; uniform cells untouched") {
+    val spark0 = spark
+    import spark0.implicits._
+    // pathological input: ALL 120 vectors collapse into one cell
+    val skewed = (0L until 120L).map(i => (i, Seq(1.0, 0.0), 1.0, 0L))
+      .toDF("vec_id", "v", "norm", "cell_id")
+    val unboundedPairs = 120L * 119L / 2
+    val capped = Ann.nearDupPairs(skewed, maxCellSize = 10L)
+    val got = capped.count()
+    // ceil(120/10)=12 sub-cells of ~10 => ≤ 12 * C(~10+slack,2); far below n²/2
+    assert(got > 0 && got < unboundedPairs / 4,
+      s"guard did not bound the join: $got of $unboundedPairs pairs")
+    // per-(cell,sub) group sizes are actually bounded near the cap
+    val sub = Ann.capCellSizes(skewed, 10L)
+      .groupBy("cell_id", "sub_id").count().agg(max("count")).collect().head.getLong(0)
+    assert(sub <= 30, s"a sub-cell still holds $sub rows") // hash-uniform slack
+    // uniform input below the cap: identical to the unguarded within-cell join
+    val uniform = (0L until 40L).map(i => (i, Seq(1.0, 0.0), 1.0, i % 4))
+      .toDF("vec_id", "v", "norm", "cell_id")
+    assert(Ann.nearDupPairs(uniform, maxCellSize = 100L).count() == 4 * (10L * 9 / 2))
+  }
+
+  test("autoCellCount ~ sqrt(n); buildIndex wires it to train+assign") {
+    assert(Ann.autoCellCount(0) == 1)
+    assert(Ann.autoCellCount(100) == 10)
+    assert(Ann.autoCellCount(1000000) == 1000)
+    val e = embedded.select(col("vec_id"), col("v"), col("norm"))
+    val (centroids, corpus) = Ann.buildIndex(e)
+    assert(centroids.count() == Ann.autoCellCount(e.count()))
+    assert(corpus.count() == e.count())
+    assert(corpus.columns.contains("cell_id"))
+  }
+
   test("multimodal decode: deterministic byte features, empty payload safe") {
     val f = Multimodal.Codec.decode("abc".getBytes("UTF-8"))
     assert(f.n_bytes == 3 && f.head_byte == 'a'.toInt && f.checksum == 97 + 98 + 99)

@@ -133,6 +133,37 @@ class NodeSpec extends AnyFunSuite {
     assert(sniffed.root.findAll("p").size == 1)
   }
 
+  test("charset: header param, BOM and meta-tag detection; non-UTF-8 round-trips") {
+    // Content-Type parameter wins
+    val sjis = "こんにちは" // こんにちは
+    val d1 = Doc(DocUID("cs1"), "file:/a.txt", sjis.getBytes("Shift_JIS"),
+      Some("text/plain; charset=Shift_JIS"))
+    assert(d1.charset == "Shift_JIS")
+    assert(d1.contentStr == sjis)
+    assert(d1.root.text == sjis)
+    // meta tag sniff on a Latin-1 page with no header charset
+    val latin = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
+      "<body><p>café</p></body></html>"
+    val d2 = Doc(DocUID("cs2"), "file:/b.html", latin.getBytes("ISO-8859-1"),
+      Some("text/html"))
+    assert(d2.charset.equalsIgnoreCase("ISO-8859-1"))
+    assert(d2.root.findOnly("p").text == "café")
+    // a UTF-8 read of those bytes would have mangled the é
+    assert(new String(latin.getBytes("ISO-8859-1"), "UTF-8") != latin)
+    // XML declaration
+    val xml = """<?xml version="1.0" encoding="ISO-8859-1"?><r>olé</r>"""
+    val d3 = Doc(DocUID("cs3"), "file:/c.xml", xml.getBytes("ISO-8859-1"), Some("text/xml"))
+    assert(d3.charset.equalsIgnoreCase("ISO-8859-1"))
+    // UTF-16 BOM
+    val d4 = Doc(DocUID("cs4"), "file:/d.txt", ("\uFEFF" + "hi").getBytes("UTF-16BE"),
+      Some("text/plain"))
+    assert(d4.charset == "UTF-16BE")
+    assert(d4.contentStr.endsWith("hi"))
+    // default stays UTF-8
+    val d5 = Doc(DocUID("cs5"), "file:/e.txt", "plain".getBytes("UTF-8"), Some("text/plain"))
+    assert(d5.charset == "UTF-8")
+  }
+
   test("doc validations") {
     val ok = Doc(DocUID("k"), "u", "<html><head><title>t</title></head></html>".getBytes("UTF-8"),
       Some("text/html"))
