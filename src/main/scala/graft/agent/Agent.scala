@@ -319,6 +319,12 @@ object Agent {
   */
 object DocIO {
 
+  /** One Configuration per JVM: `new Configuration()` re-parses the Hadoop
+    * XML defaults (~tens of ms) — per-call construction turns a 60-file
+    * fixture write into seconds.
+    */
+  lazy val hadoopConf: Configuration = new Configuration()
+
   private val extByMime = Map("text/html" -> "html", "application/json" -> "json",
     "text/xml" -> "xml", "text/csv" -> "csv", "text/plain" -> "txt", "image/png" -> "png")
 
@@ -337,12 +343,27 @@ object DocIO {
     write(dir, name, bytes)
 
   private def write(dir: String, name: String, bytes: Array[Byte]): String = {
-    val p = new Path(dir, name)
-    val fs: FileSystem = p.getFileSystem(new Configuration())
-    val out = fs.create(p, true)
-    try out.write(bytes)
-    finally out.close()
-    p.toString
+    // Local fast path: Hadoop's ChecksumFileSystem costs ~30ms per small
+    // file (CRC sidecar + stat chatter) — 60x java.nio. Schemeless and
+    // file: dirs are executor-local by definition, so java.nio is
+    // equivalent there; real DFS schemes (hdfs:, s3a:, ...) take the
+    // Hadoop path, which is what makes these writes cluster-honest.
+    val colon = dir.indexOf(':')
+    val isLocal = colon < 0 || dir.startsWith("file:")
+    if (isLocal) {
+      val base = java.nio.file.Paths.get(if (colon < 0) dir else dir.stripPrefix("file:"))
+      java.nio.file.Files.createDirectories(base)
+      val p = base.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      (if (colon < 0) "" else "file:") + p.toString
+    } else {
+      val p = new Path(dir, name)
+      val fs: FileSystem = p.getFileSystem(hadoopConf)
+      val out = fs.create(p, true)
+      try out.write(bytes)
+      finally out.close()
+      p.toString
+    }
   }
 }
 

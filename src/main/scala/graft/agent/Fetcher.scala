@@ -29,7 +29,7 @@ object Fetcher {
       // non-HTTP POST = upload: write the entity to the target path
       // (reference Wpost.scala:16-103), observation is a contentless NoDoc
       val path = new Path(stripFileScheme(uri))
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(DocIO.hadoopConf)
       val out = fs.create(path, true)
       try out.write(entity.getBytes(StandardCharsets.UTF_8))
       finally out.close()
@@ -79,7 +79,7 @@ object Fetcher {
     */
   private def fsGet(uri: String, uid: DocUID, now: Long): Observation = {
     val path = new Path(stripFileScheme(uri))
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(DocIO.hadoopConf)
     val status = fs.getFileStatus(path)
     if (status.isDirectory) {
       val entries = fs.listStatus(path).sortBy(_.getPath.getName).map { st =>

@@ -80,7 +80,7 @@ object InMemoryDocCache extends DocCache {
 final class DfsDocCache(dir: String) extends DocCache with Serializable {
 
   @transient private lazy val fs: FileSystem =
-    new Path(dir).getFileSystem(new Configuration())
+    new Path(dir).getFileSystem(graft.agent.DocIO.hadoopConf)
 
   private def keyDir(key: String) = new Path(dir, key)
 

@@ -69,7 +69,7 @@ final case class Doc(
 
   @transient private lazy val loaded: Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(contentPtr.get)
-    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in = p.getFileSystem(graft.agent.DocIO.hadoopConf).open(p)
     try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
     finally in.close()
   }

@@ -84,9 +84,7 @@ object ExploreExec {
     // the caller's session keep their AQE (clone shares the SparkContext and
     // cached blocks but has its own SQLConf); epoch sizing (`sized`) replaces
     // AQE's partition coalescing here.
-    val loopSession = spark.newSession()
-    for ((k, v) <- spark.conf.getAll)
-      scala.util.Try(loopSession.conf.set(k, v)) // skip non-modifiable entries
+    val loopSession = cloneSession(spark)
     loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     implicit val seedEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seedsRebound = loopSession.createDataset(seeds.rdd)
@@ -97,6 +95,25 @@ object ExploreExec {
     // materialized (checkpointed), so this wrap is a zero-cost lineage leaf
     spark.createDataset(result.rdd)
   }
+
+  /** A session sharing this one's SparkContext/caches but with an isolated
+    * SQLConf. `SparkSession.cloneSession()` is exactly that but `private
+    * [sql]` — which compiles to a public method, so call it reflectively
+    * (cheap: one method call; it is what Structured Streaming uses
+    * internally for the same isolation). Fallback: `newSession()` (default
+    * conf from the launch-time SparkConf — fine for the loop, which sizes
+    * its own partitions) plus the session timezone, the one semantic conf
+    * the loop's queries read.
+    */
+  private def cloneSession(spark: SparkSession): SparkSession =
+    try spark.getClass.getMethod("cloneSession").invoke(spark).asInstanceOf[SparkSession]
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        val s = spark.newSession()
+        scala.util.Try(s.conf.set("spark.sql.session.timeZone",
+          spark.conf.get("spark.sql.session.timeZone")))
+        s
+    }
 
   // (loop body split out so the cloned-session AQE guard wraps it cleanly)
   private def exploreLoop[D](

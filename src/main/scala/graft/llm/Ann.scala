@@ -49,12 +49,26 @@ object Ann {
     */
   def capCellSizes(corpus: DataFrame, maxCellSize: Long): DataFrame = {
     require(maxCellSize > 0, "maxCellSize must be positive")
+    subBucket(corpus, ceil(col("cell_n").cast("double") / maxCellSize))
+  }
+
+  /** [[capCellSizes]] with a RELATIVE cap: cells above `skewFactor` × the
+    * mean cell size split. Needs no absolute threshold (and no extra corpus
+    * count job) — the mean comes from the same tiny cell-size aggregate.
+    */
+  def capCellSkew(corpus: DataFrame, skewFactor: Double = 4.0): DataFrame = {
+    require(skewFactor > 0, "skewFactor must be positive")
+    subBucket(corpus,
+      ceil(col("cell_n").cast("double") / (avg(col("cell_n")).over() * skewFactor)))
+  }
+
+  private def subBucket(corpus: DataFrame, nSubExpr: Column): DataFrame = {
     val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n"))
+      .withColumn("n_sub", greatest(lit(1L), nSubExpr.cast("long")))
+      .select("cell_id", "n_sub")
     corpus.join(broadcast(sizes), "cell_id")
-      .withColumn("n_sub",
-        greatest(lit(1L), ceil(col("cell_n").cast("double") / maxCellSize).cast("long")))
       .withColumn("sub_id", pmod(xxhash64(col("vec_id")), col("n_sub")))
-      .drop("cell_n", "n_sub")
+      .drop("n_sub")
   }
 
   /** Within-cell near-duplicate candidate pairs with the hot-cell guard
@@ -62,8 +76,16 @@ object Ann {
     * O(Σ|cell|²) (which one skewed cell turns quadratic).
     * Input: (vec_id, v, norm, cell_id). Output: (id_a, id_b, cosine).
     */
-  def nearDupPairs(corpus: DataFrame, maxCellSize: Long): DataFrame = {
-    val guarded = capCellSizes(corpus, maxCellSize)
+  def nearDupPairs(corpus: DataFrame, maxCellSize: Long): DataFrame =
+    pairsOf(capCellSizes(corpus, maxCellSize))
+
+  /** [[nearDupPairs]] with the relative (skew-factor) guard — no absolute
+    * threshold or extra count job needed.
+    */
+  def nearDupPairsBySkew(corpus: DataFrame, skewFactor: Double = 4.0): DataFrame =
+    pairsOf(capCellSkew(corpus, skewFactor))
+
+  private def pairsOf(guarded: DataFrame): DataFrame = {
     val a = guarded.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val b = guarded.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),

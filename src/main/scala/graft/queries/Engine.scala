@@ -206,8 +206,7 @@ object EngineQ {
     // hot-cell cap at 4x the mean cell size: near-uniform corpora (this one)
     // are untouched — the oracle joins on cell_id alone — while a skewed cell
     // gets split instead of exploding the join
-    val maxCell = math.max(1L, 4L * corpus.count() / 8L)
-    Ann.nearDupPairs(corpus, maxCell)
+    Ann.nearDupPairsBySkew(corpus, skewFactor = 4.0)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
   }

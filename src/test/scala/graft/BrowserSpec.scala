@@ -126,6 +126,22 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ctx.metrics.pagesFetched.value == 2) // one rollout per distinct hop
   }
 
+  test("Selenium factory is classpath-guarded: absent here, fails with guidance") {
+    import graft.agent.SeleniumDriverFactory
+    if (SeleniumDriverFactory.isAvailable) {
+      // environments WITH selenium on the classpath: the factory must build
+      // a real driver; same interpreter assertions as the mock (not run here)
+      succeed
+    } else {
+      val e = intercept[IllegalArgumentException](SeleniumDriverFactory().create())
+      assert(e.getMessage.contains("Selenium"))
+      // the factory itself is serializable for closure shipping either way
+      val out = new java.io.ObjectOutputStream(new java.io.ByteArrayOutputStream())
+      out.writeObject(SeleniumDriverFactory())
+      out.close()
+    }
+  }
+
   test("browser action without a driver factory fails cleanly") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._

@@ -178,7 +178,8 @@ class FetchExecSpec extends AnyFunSuite with BeforeAndAfterEach {
     val ctx = freshCtx()
     import spark.implicits._
     ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).save(out)
-    val files = new java.io.File(out).listFiles()
+    // skip Hadoop LocalFileSystem's .crc checksum sidecars
+    val files = new java.io.File(out).listFiles().filterNot(_.getName.endsWith(".crc"))
     assert(files.nonEmpty)
     assert(new String(java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
       .contains("saved"))

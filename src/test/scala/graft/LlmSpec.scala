@@ -85,6 +85,13 @@ class LlmSpec extends AnyFunSuite {
     val uniform = (0L until 40L).map(i => (i, Seq(1.0, 0.0), 1.0, i % 4))
       .toDF("vec_id", "v", "norm", "cell_id")
     assert(Ann.nearDupPairs(uniform, maxCellSize = 100L).count() == 4 * (10L * 9 / 2))
+    // relative (skew-factor) guard: uniform cells untouched, a 10x hot cell split
+    assert(Ann.nearDupPairsBySkew(uniform, 4.0).count() == 4 * (10L * 9 / 2))
+    val hot = ((0L until 100L).map(i => (i, Seq(1.0, 0.0), 1.0, 0L)) ++
+      (100L until 110L).map(i => (i, Seq(1.0, 0.0), 1.0, i))) // mean ~ 10
+      .toDF("vec_id", "v", "norm", "cell_id")
+    val hotPairs = Ann.nearDupPairsBySkew(hot, 2.0).count()
+    assert(hotPairs < 100L * 99 / 2 / 2, s"hot cell not split: $hotPairs pairs")
   }
 
   test("autoCellCount ~ sqrt(n); buildIndex wires it to train+assign") {
