@@ -52,8 +52,15 @@ object CrawlBench {
 
     // DFS cache tier on: the memory tier is LRU-bounded (8192 keys), so for
     // N beyond the cap only the filesystem tier makes warm re-runs fetch 0.
+    // GRAFT_CRAWL_CKPT=true additionally runs the fault-tolerant mode:
+    // reliable checkpoints every 4 epochs instead of localCheckpoint-only.
     val cacheDir = dirPath.resolveSibling(s"cache-$n").toString
-    val conf = GraftConf(dfsCacheDir = Some(cacheDir))
+    val ckptDir =
+      if (sys.env.get("GRAFT_CRAWL_CKPT").contains("true"))
+        Some(dirPath.resolveSibling(s"ckpt-$n").toString)
+      else None
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir),
+      checkpointDir = ckptDir, checkpointEveryEpochs = 4)
 
     def crawl(label: String, expectRemote: Option[Long]): Unit = {
       val ctx = new GraftContext(spark, conf)

@@ -197,7 +197,12 @@ object Agent {
             Some("image/png"), timestampMillis = now))
         case Loop(body, limit) =>
           // repeat until exception or limit; observations concatenated and
-          // re-indexed (reference ControlBlock.scala:133-163)
+          // re-indexed. DELIBERATELY keeps a failing iteration's partial
+          // output, byte-for-byte the reference semantics (ControlBlock.scala
+          // Loop.doExeNoUID: `pages ++= action.exe` straight into the shared
+          // buffer, catch aborts but keeps the buffer) — pagination relies on
+          // it: Loop(Snapshot, ClickNext) must keep the LAST page's snapshot
+          // taken just before ClickNext exhausts.
           val out = Seq.newBuilder[Observation]
           var i = 0
           var done = false

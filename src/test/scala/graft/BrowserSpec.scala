@@ -126,6 +126,22 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ctx.metrics.pagesFetched.value == 2) // one rollout per distinct hop
   }
 
+  test("Loop keeps a failing iteration's partial output (reference ControlBlock semantics)") {
+    // snapshot-THEN-click pagination: the last page's snapshot happens in the
+    // same iteration as the click that fails — it must survive
+    val site = Map(
+      "mock://q1" -> """<html><head><title>Q1</title></head><body>
+        |<a class="next" href="mock://q2">next</a></body></html>""".stripMargin,
+      "mock://q2" -> """<html><head><title>Q2</title></head><body>last</body></html>""")
+    val ctx = new GraftContext(spark, GraftConf()).withDrivers(MockBrowserFactory(site))
+    import spark.implicits._
+    val trace = Trace.of(Visit("mock://q1"),
+      Loop(Trace.of(Snapshot(), Click("a.next")), limit = 10))
+    val titles = ctx.create(Seq(0)).fetchOne(_ => trace)
+      .selectMany(_.trajectory.texts("title")).collect()
+    assert(titles == Seq("Q1", "Q2")) // Q2's snapshot came from the aborted iteration
+  }
+
   test("Selenium factory is classpath-guarded: absent here, fails with guidance") {
     import graft.agent.SeleniumDriverFactory
     if (SeleniumDriverFactory.isAvailable) {
