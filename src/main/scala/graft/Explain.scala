@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.filterNot(_.startsWith("/")).toSeq
-                else SparkEntry.queries.keys.toSeq.sorted
+    // a lone sfDir arg must not be read as an (empty) query list
+    val qArgs = args.filterNot(_.startsWith("/")).toSeq
+    val names = if (qArgs.nonEmpty) qArgs else SparkEntry.queries.keys.toSeq.sorted
     val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -59,9 +59,12 @@ final case class Trace(actions: Seq[Action]) extends Serializable {
 
   /** Stable canonical cache key: SHA-256 over the rendered dryRun. Two traces
     * with equal dryRun MUST yield equal keys (ScalaCheck property in
-    * TraceSpec); names/timeouts/delays never affect it.
+    * TraceSpec); names/timeouts/delays never affect it. Memoized — the fetch
+    * hot path keys every row by it (transient: recomputed after
+    * deserialization, so executors pay it once per instance, not per use).
     */
-  def cacheKey: String = Trace.digest(dryRun.map(Trace.render).mkString("\n"))
+  @transient lazy val cacheKey: String =
+    Trace.digest(dryRun.map(Trace.render).mkString("\n"))
 }
 
 object Trace {
