@@ -103,12 +103,11 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
     }
   }
 
-  override def put(key: String, obs: Seq[Observation], ts: Long): Unit = {
-    val p = new Path(keyDir(key), s"$ts.obs")
-    val out = fs.create(p, true)
-    try out.write(serialize(obs))
-    finally out.close()
-  }
+  override def put(key: String, obs: Seq[Observation], ts: Long): Unit =
+    // DocIO fast-paths executor-local dirs via java.nio (Hadoop's checksummed
+    // LocalFileSystem costs ~30ms per small file — dominates cold crawls);
+    // real DFS schemes take the Hadoop path
+    graft.agent.DocIO.writeBytes(keyDir(key).toString, s"$ts.obs", serialize(obs))
 
   private def serialize(obs: Seq[Observation]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

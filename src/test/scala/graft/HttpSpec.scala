@@ -44,6 +44,15 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
         "application/json")
     })
     server.createContext("/missing", (ex: HttpExchange) => respond(ex, 404, "gone"))
+    server.createContext("/latin", (ex: HttpExchange) => {
+      // ISO-8859-1 page whose charset only the header declares
+      val bytes = "<html><body><p>café crème</p></body></html>"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=ISO-8859-1")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.createContext("/oauth", (ex: HttpExchange) => {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
       if (auth.startsWith("OAuth ") && auth.contains("oauth_signature="))
@@ -64,6 +73,16 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(titles == Seq("HTTP OK", "HTTP OK", "HTTP OK"))
     assert(view.dataset.head().trajectory.doc.get.mime == "text/html")
     assert(ctx.metrics.pagesFetched.value == 1)
+  }
+
+  test("HTTP charset header drives decoding end-to-end (non-UTF-8 page)") {
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val uri = s"$base/latin"
+    val doc = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(uri)))
+      .collect().head.trajectory.doc.get
+    assert(doc.charset.equalsIgnoreCase("ISO-8859-1"))
+    assert(doc.root.findOnly("p").text == "café crème")
   }
 
   test("HTTP 4xx fails StatusCode2XX validation into the error path") {
