@@ -136,6 +136,19 @@ class FetchExecSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(names.sorted == Seq("f2.txt", "sub"))
   }
 
+  test("ftp: scheme routes to Hadoop FTPFileSystem (reference OmniResolver coverage)") {
+    // no FTP server in this sandbox — the wiring is proven by getting a
+    // CONNECTION error from the FTP filesystem, not an unknown-scheme error
+    val ctx = freshCtx(GraftConf(remoteRetries = 0, cacheEnabled = false))
+    import spark.implicits._
+    val rows = ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wget("ftp://user:pw@127.0.0.1:1/x.txt", timeoutMillis = 5000)))
+      .collect()
+    val err = rows.head.trajectory.failed.head.asInstanceOf[graft.doc.DocError]
+    assert(!err.message.contains("No FileSystem for scheme"),
+      s"ftp scheme unsupported: ${err.message}")
+  }
+
   test("offloaded fetched views shuffle pointers, not payloads (100 TB invariant)") {
     // ~2 MiB body; DFS cache dir configured => blob offload defaults ON
     val big = "<html><head><title>HUGE</title></head><body>" +
