@@ -49,7 +49,7 @@ object Ann {
     */
   def capCellSizes(corpus: DataFrame, maxCellSize: Long): DataFrame = {
     require(maxCellSize > 0, "maxCellSize must be positive")
-    subBucket(corpus, ceil(col("cell_n").cast("double") / maxCellSize))
+    subBucket(corpus, (n, _) => math.ceil(n.toDouble / maxCellSize).toLong)
   }
 
   /** [[capCellSizes]] with a RELATIVE cap: cells above `skewFactor` × the
@@ -58,17 +58,30 @@ object Ann {
     */
   def capCellSkew(corpus: DataFrame, skewFactor: Double = 4.0): DataFrame = {
     require(skewFactor > 0, "skewFactor must be positive")
-    subBucket(corpus,
-      ceil(col("cell_n").cast("double") / (avg(col("cell_n")).over() * skewFactor)))
+    subBucket(corpus, (n, mean) => math.ceil(n.toDouble / (mean * skewFactor)).toLong)
   }
 
-  private def subBucket(corpus: DataFrame, nSubExpr: Column): DataFrame = {
-    val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n"))
-      .withColumn("n_sub", greatest(lit(1L), nSubExpr.cast("long")))
-      .select("cell_id", "n_sub")
-    corpus.join(broadcast(sizes), "cell_id")
-      .withColumn("sub_id", pmod(xxhash64(col("vec_id")), col("n_sub")))
-      .drop("n_sub")
+  /** The cell-size aggregate is k ≈ √n rows — small enough to decide splits
+    * on the driver. The common (no-skew) case then adds a constant `sub_id`
+    * column and NO join; only corpora with actual hot cells pay for a
+    * (driver-built, k-term) CASE mapping. This is a driver decision over an
+    * AGGREGATE, not a driver-side data loop.
+    */
+  private def subBucket(corpus: DataFrame, nSub: (Long, Double) => Long): DataFrame = {
+    val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n")).collect()
+    val mean =
+      if (sizes.isEmpty) 1.0
+      else sizes.map(_.getLong(1)).sum.toDouble / sizes.length
+    val splits = sizes.iterator
+      .map(r => r.get(0) -> math.max(1L, nSub(r.getLong(1), mean)))
+      .filter(_._2 > 1L).toSeq
+    if (splits.isEmpty) corpus.withColumn("sub_id", lit(0L))
+    else {
+      val nSubCol = splits.foldLeft(lit(1L): Column) { case (acc, (cell, n)) =>
+        when(col("cell_id") === lit(cell), lit(n)).otherwise(acc)
+      }
+      corpus.withColumn("sub_id", pmod(xxhash64(col("vec_id")), nSubCol))
+    }
   }
 
   /** Within-cell near-duplicate candidate pairs with the hot-cell guard

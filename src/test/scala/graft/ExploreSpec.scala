@@ -122,6 +122,20 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(wrote > 0, "expected RDD checkpoint files under checkpointDir")
   }
 
+  test("reliable checkpoints do not re-run fetch side effects (cache disabled)") {
+    val site = diamondSite("explore10")
+    val ckpt = scratchDir("explore-ckpt2")
+    // cache OFF: any checkpoint-write recompute would hit the network again
+    val ctx = new GraftContext(spark, GraftConf(cacheEnabled = false,
+      checkpointDir = Some(ckpt), checkpointEveryEpochs = 1))
+    import spark.implicits._
+    val n = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand).count()
+    assert(n == 4)
+    assert(ctx.metrics.pagesFetched.value == 4,
+      s"checkpoint write re-ran fetches: ${ctx.metrics.pagesFetched.value}")
+  }
+
   test("explore never flips AQE on the caller's session (concurrent observer)") {
     val site = diamondSite("explore9")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
