@@ -159,6 +159,47 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("explore shuffles keys and pointers, not doc bodies (100 TB invariant)") {
+    // diamond site whose root page carries a ~2 MiB body; offload defaults on
+    // via the DFS cache dir, so every stage of the loop moves pointers
+    val pad = "<!-- " + ("x" * (2 << 20)) + " -->"
+    writeFixture("explore11/A.html",
+      s"""<html><head><title>A</title></head><body>$pad
+         |<a href="B.html">B</a><a href="C.html">C</a></body></html>""".stripMargin)
+    writeFixture("explore11/B.html",
+      """<html><head><title>B</title></head><body><a href="D.html">D</a></body></html>""")
+    writeFixture("explore11/C.html",
+      """<html><head><title>C</title></head><body><a href="D.html">D</a></body></html>""")
+    writeFixture("explore11/D.html",
+      """<html><head><title>D</title></head><body>leaf</body></html>""")
+    val root = fixtureRoot.resolve("explore11/A.html")
+    val ctx = new GraftContext(spark,
+      GraftConf(dfsCacheDir = Some(scratchDir("explore11cache"))))
+    import spark.implicits._
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach(m =>
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = ctx.create(Seq(s"file:$root"))
+        .explore(u => Trace.of(Wget(u)))(linkExpand).collect()
+      assert(rows.length == 4)
+      // big body still transparently readable on the driver
+      assert(rows.find(_.depth == 0).get.row.trajectory.texts("title") == Seq("A"))
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && shuffleBytes.get() != last) {
+        last = shuffleBytes.get(); Thread.sleep(200)
+      }
+      assert(shuffleBytes.get() < 512 * 1024,
+        s"explore shuffled ${shuffleBytes.get()} bytes — a doc body rode a shuffle")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")
