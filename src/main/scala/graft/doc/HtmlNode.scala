@@ -144,6 +144,7 @@ object HtmlNode {
     val root = mk("#root", Map.empty, baseUri, None, "")
     var stack = List(root)
     val n = html.length
+    val lower = html.toLowerCase // once — per-script recompute is quadratic on real pages
     var i = 0
     var textStart = 0
 
@@ -188,7 +189,7 @@ object HtmlNode {
           i = next
           val tag = el.tag
           if (!selfClosed && rawTextTags.contains(tag)) {
-            val close = html.toLowerCase.indexOf(s"</$tag", i)
+            val close = lower.indexOf(s"</$tag", i)
             val end = if (close < 0) n else close
             val raw = html.substring(i, end)
             if (raw.trim.nonEmpty) el.kids += mk("#text", Map.empty, baseUri, Some(el), raw)
@@ -224,12 +225,14 @@ object HtmlNode {
       val c = html.charAt(i)
       if (c == '>') { done = true; i += 1 }
       else if (c == '/' && i + 1 < n && html.charAt(i + 1) == '>') { selfClosed = true; done = true; i += 2 }
+      else if (c == '/') i += 1 // stray slash inside a tag: skip (no-progress loop otherwise)
       else if (c.isWhitespace) i += 1
       else {
         val aStart = i
         while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
           html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
         val aName = html.substring(aStart, i).toLowerCase
+        if (i == aStart) i += 1 // non-name char ('='): guarantee progress
         var aVal = ""
         while (i < n && html.charAt(i).isWhitespace) i += 1
         if (i < n && html.charAt(i) == '=') {
