@@ -82,9 +82,50 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
   @transient private lazy val fs: FileSystem =
     new Path(dir).getFileSystem(graft.agent.DocIO.hadoopConf)
 
+  // executor-local dirs (schemeless / file:) read via java.nio — Hadoop's
+  // checksummed LocalFileSystem costs ~ms per stat/open, which dominates
+  // warm crawls probing thousands of keys; real DFS schemes use Hadoop
+  private val localBase: Option[String] = {
+    val colon = dir.indexOf(':')
+    if (colon < 0) Some(dir)
+    else if (dir.startsWith("file:")) Some(dir.stripPrefix("file:"))
+    else None
+  }
+
   private def keyDir(key: String) = new Path(dir, key)
 
-  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
+  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] =
+    localBase match {
+      case Some(base) => getLocal(base, key, conf, now)
+      case None       => getHadoop(key, conf, now)
+    }
+
+  private def getLocal(base: String, key: String, conf: GraftConf,
+                       now: Long): Option[Seq[Observation]] = {
+    val kd = java.nio.file.Paths.get(base, key)
+    if (!java.nio.file.Files.isDirectory(kd)) None
+    else {
+      val stream = java.nio.file.Files.list(kd)
+      val versions =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .flatMap { p =>
+              val name = p.getFileName.toString
+              if (name.endsWith(".obs"))
+                scala.util.Try(name.stripSuffix(".obs").toLong).toOption.map(_ -> p)
+              else None
+            }
+            .filter { case (ts, _) => inWindow(ts, conf, now) }
+            .toSeq
+        } finally stream.close()
+      versions.sortBy(-_._1).headOption.map { case (_, p) =>
+        deserialize(java.nio.file.Files.readAllBytes(p))
+      }
+    }
+  }
+
+  private def getHadoop(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
     val kd = keyDir(key)
     if (!fs.exists(kd)) None
     else {
