@@ -13,9 +13,7 @@ Test / fork := true
 run / fork := true
 // Forked run output goes STRAIGHT to stdout/stderr — no "[info] " log
 // prefix — so graft.Bench's final JSON line is machine-parseable as-is.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

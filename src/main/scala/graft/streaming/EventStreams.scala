@@ -54,6 +54,34 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the ingest-side twin of q24 for a training-data
+    * pipeline: keep the first document per content fingerprint, dropping
+    * re-crawls/re-uploads as they arrive. `dropDuplicates` keys the state
+    * store on the fingerprint; the event-time watermark bounds that state
+    * (duplicates arriving later than the watermark horizon are admitted
+    * again — the standard trade; use the batch dedup for exact global
+    * semantics). Works identically on batch frames (state-free distinct).
+    *
+    * @param cols dedup key columns; e.g. a SHA-256 `fingerprint` column
+    */
+  def dedupByFingerprint(docs: DataFrame, cols: Seq[String] = Seq("fingerprint"),
+                         watermark: String = "1 hour"): DataFrame =
+    if (docs.isStreaming)
+      docs.withWatermark("ts", watermark).dropDuplicates("ts" +: cols)
+    else docs.dropDuplicates(cols)
+
+  /** Streaming dedup with EXACT keep-first semantics independent of event
+    * time: `dropDuplicatesWithinWatermark` keys state on the fingerprint
+    * alone (any-time duplicates within the watermark horizon collapse, state
+    * still bounded).
+    */
+  def dedupWithinWatermark(docs: DataFrame, cols: Seq[String] = Seq("fingerprint"),
+                           watermark: String = "1 hour"): DataFrame =
+    if (docs.isStreaming)
+      docs.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+    else docs.dropDuplicates(cols)
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

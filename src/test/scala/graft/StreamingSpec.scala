@@ -97,6 +97,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.agg(sum("n_events")).collect().head.getLong(0) == total)
   }
 
+  test("streaming dedup drops cross-batch re-crawls; keep-first per fingerprint") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF.toDF("ts", "doc_id", "fingerprint")
+    val q = EventStreams.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      // batch 1: 3 distinct fingerprints, one duplicated within the batch
+      input.addData(
+        (new Timestamp(base), 1L, "fpA"), (new Timestamp(base + 1000), 2L, "fpB"),
+        (new Timestamp(base + 2000), 3L, "fpA"), (new Timestamp(base + 3000), 4L, "fpC"))
+      q.processAllAvailable()
+      // batch 2: re-crawls of fpA/fpB at later times + one new fingerprint
+      input.addData(
+        (new Timestamp(base + 60000), 5L, "fpA"), (new Timestamp(base + 61000), 6L, "fpB"),
+        (new Timestamp(base + 62000), 7L, "fpD"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dd").collect().map(r => r.getString(2)).sorted.toSeq
+    assert(got == Seq("fpA", "fpB", "fpC", "fpD")) // exactly one survivor per fingerprint
+    // batch mode: plain distinct-by-key
+    val batch = EventStreams.dedupWithinWatermark(
+      Seq((new Timestamp(base), 1L, "x"), (new Timestamp(base + 1), 2L, "x"))
+        .toDF("ts", "doc_id", "fingerprint"))
+    assert(batch.count() == 1)
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
