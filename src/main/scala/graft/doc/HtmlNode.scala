@@ -116,18 +116,26 @@ final class HtmlNode private[doc] (
     walk(this)
   }
 
-  /** Density heuristic standing in for the boilerpipe library: text of
-    * paragraph-ish blocks with low link density; falls back to full text.
+  /** Article-text extraction reimplementing boilerpipe's default pipeline
+    * (the reference delegates to the boilerpipe LIBRARY — HtmlNode.scala:
+    * 166-170): segment the DOM into text blocks at block-level tag
+    * boundaries, then classify each with the published NumWordsRules
+    * decision tree over (words, link density) of the previous/current/next
+    * block (Kohlschütter, Fankhauser, Nejdl: "Boilerplate Detection using
+    * Shallow Text Features", WSDM 2010 — the rules are Fig. 4 / the
+    * DefaultExtractor classifier). Falls back to full text when nothing
+    * classifies as content.
     */
   override def boilerPipe: String = {
-    val blocks = findAll("p, h1, h2, h3, h4, h5, h6, li, blockquote, pre, article")
-      .collect { case h: HtmlNode => h }
-      .filter { b =>
-        val t = b.text
-        val linkLen = b.findAll("a").map(_.text.length).sum
-        t.length >= 10 && (t.isEmpty || linkLen.toDouble / math.max(t.length, 1) < 0.5)
-      }
-    if (blocks.isEmpty) text else blocks.map(_.text).mkString("\n")
+    val blocks = HtmlNode.textBlocks(this)
+    val content = blocks.indices.collect {
+      case i if HtmlNode.isContent(
+        if (i > 0) Some(blocks(i - 1)) else None,
+        blocks(i),
+        if (i + 1 < blocks.length) Some(blocks(i + 1)) else None) =>
+        blocks(i).text
+    }
+    if (content.isEmpty) text else content.mkString("\n")
   }
 
   override def toString: String = if (isText) s"#text(${textData.trim})" else s"<$tag>"
@@ -138,6 +146,73 @@ object HtmlNode {
   private val voidTags = Set("area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr")
   private val rawTextTags = Set("script", "style")
+
+  // ---- boilerpipe-style article extraction (WSDM 2010 shallow features) ----
+
+  private val blockBoundaryTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "ul", "ol", "table", "tr", "td", "th", "blockquote", "pre", "article",
+    "section", "header", "footer", "aside", "nav", "form", "body", "html", "br")
+  private val skippedTags = Set("script", "style", "title", "option", "select", "noscript")
+
+  private[doc] final case class TextBlock(text: String, numWords: Int, linkWords: Int) {
+    def linkDensity: Double = if (numWords == 0) 0.0 else linkWords.toDouble / numWords
+  }
+
+  /** Segment the subtree into text blocks at block-level tag boundaries,
+    * counting words and anchor-text words per block (the shallow features).
+    */
+  private[doc] def textBlocks(root: HtmlNode): Vector[TextBlock] = {
+    val out = Vector.newBuilder[TextBlock]
+    val sb = new StringBuilder
+    var words = 0
+    var linkWords = 0
+
+    def flush(): Unit = {
+      if (words > 0) out += TextBlock(sb.toString.trim, words, linkWords)
+      sb.clear(); words = 0; linkWords = 0
+    }
+
+    def walk(n: HtmlNode, inAnchor: Boolean): Unit =
+      if (n.isText) {
+        val w = n.textData.split("\\s+").count(_.nonEmpty)
+        if (w > 0) {
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(n.textData.trim)
+          words += w
+          if (inAnchor) linkWords += w
+        }
+      } else if (!skippedTags.contains(n.tag)) {
+        val boundary = blockBoundaryTags.contains(n.tag)
+        if (boundary) flush()
+        n.kids.foreach(walk(_, inAnchor || n.tag == "a"))
+        if (boundary) flush()
+      }
+
+    walk(root, inAnchor = false)
+    flush()
+    out.result()
+  }
+
+  /** The published NumWordsRules decision tree (Kohlschütter et al., WSDM
+    * 2010, Fig. 4 — boilerpipe's DefaultExtractor classifier): a block is
+    * content iff these rules over (prev, curr, next) word counts and link
+    * densities say so.
+    */
+  private[doc] def isContent(prev: Option[TextBlock], curr: TextBlock,
+                             next: Option[TextBlock]): Boolean = {
+    val prevWords = prev.map(_.numWords).getOrElse(0)
+    val nextWords = next.map(_.numWords).getOrElse(0)
+    val prevLink = prev.map(_.linkDensity).getOrElse(0.0)
+    if (curr.linkDensity > 0.333333) false
+    else if (prevLink <= 0.555556) {
+      if (curr.numWords > 16) true
+      else if (nextWords > 15) true
+      else prevWords > 4
+    } else {
+      if (curr.numWords > 40) true
+      else nextWords > 17
+    }
+  }
 
   /** Parse an HTML/XML string into a tree rooted at a synthetic `#root`. */
   def parse(html: String, baseUri: String = ""): HtmlNode = {
