@@ -112,6 +112,10 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
 
   def intersect(other: DataView[D]): DataView[D] = wrap(dataset.intersect(other.dataset))
   def except(other: DataView[D]): DataView[D] = wrap(dataset.except(other.dataset))
+  def distinct(): DataView[D] = wrap(dataset.distinct())
+
+  def take(n: Int): Seq[D] = dataset.take(n).toSeq
+  def count(): Long = dataset.count()
 
   def coalesce(n: Int): DataView[D] = wrap(dataset.coalesce(n))
   def repartition(n: Int): DataView[D] = wrap(dataset.repartition(n))
