@@ -71,6 +71,14 @@ object SimQ {
     * and persisted; both the signature side and the verify side read the
     * cached (doc_id, grams) — at scale the doc scan is the dominant cost and
     * must not run twice.
+    *
+    * Known LSH skew caveat, and the standard pipeline order that defuses it:
+    * a mega-cluster of exact duplicates puts its whole cluster in one band
+    * bucket, making the self-join quadratic in the cluster size. Run EXACT
+    * dedup first (q24 hash-groupBy keeps one doc per byte-identical cluster)
+    * so LSH only sees cluster representatives; residual near-dup hot buckets
+    * can be salted with [[graft.scale.Skew.saltedJoin]] or size-capped like
+    * [[graft.llm.Ann.capCellSizes]].
     */
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
