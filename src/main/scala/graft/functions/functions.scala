@@ -40,6 +40,18 @@ object functions {
   def json_text(json: Column, path: Column): Column =
     native(graft.sql.JsonText(ex(json), ex(path)))
 
+  /** Dot product of two float32/float64 array columns, double accumulation
+    * (native codegen expression — the hot loop of the embedding queries).
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    native(graft.sql.VecDot(ex(a), ex(b)))
+
+  /** Intersection cardinality of two sorted-distinct int64 array columns
+    * (native codegen two-pointer merge — the set-similarity verify loop).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    native(graft.sql.SortedIntersectCount(ex(a), ex(b)))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

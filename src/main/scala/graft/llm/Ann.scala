@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  // native codegen dot product (graft.sql.VecDot) — accepts float32 or
+  // float64 arrays, double accumulation, same value as the HOF formulation
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)")
+    graft.functions.vec_dot(col(a), col(b))
 
   /** IVF cell count for a corpus of `n` vectors: k ≈ √n (the standard IVF
     * sizing — keeps both the centroid broadcast (k) and the expected cell
@@ -45,43 +47,37 @@ object Ann {
     * join). Trade-off, documented: pairs BETWEEN sub-cells of a split cell
     * are not generated — on a skewed corpus this bounds cost at a recall
     * loss inside mega-clusters (re-cluster hot cells with more centroids to
-    * recover it). Cell sizes are a tiny aggregate — broadcast back.
+    * recover it).
     */
   def capCellSizes(corpus: DataFrame, maxCellSize: Long): DataFrame = {
     require(maxCellSize > 0, "maxCellSize must be positive")
-    subBucket(corpus, (n, _) => math.ceil(n.toDouble / maxCellSize).toLong)
+    subBucket(corpus, (n, _) => ceil(n / lit(maxCellSize.toDouble)))
   }
 
   /** [[capCellSizes]] with a RELATIVE cap: cells above `skewFactor` × the
-    * mean cell size split. Needs no absolute threshold (and no extra corpus
-    * count job) — the mean comes from the same tiny cell-size aggregate.
+    * mean cell size split. Needs no absolute threshold — the mean comes from
+    * the same tiny cell-size aggregate.
     */
   def capCellSkew(corpus: DataFrame, skewFactor: Double = 4.0): DataFrame = {
     require(skewFactor > 0, "skewFactor must be positive")
-    subBucket(corpus, (n, mean) => math.ceil(n.toDouble / (mean * skewFactor)).toLong)
+    subBucket(corpus, (n, mean) => ceil(n / (mean * lit(skewFactor))))
   }
 
-  /** The cell-size aggregate is k ≈ √n rows — small enough to decide splits
-    * on the driver. The common (no-skew) case then adds a constant `sub_id`
-    * column and NO join; only corpora with actual hot cells pay for a
-    * (driver-built, k-term) CASE mapping. This is a driver decision over an
-    * AGGREGATE, not a driver-side data loop.
+  /** The split factor per cell comes from a broadcast join against the
+    * k-row cell-size aggregate — a single action end-to-end, no driver
+    * collect and no k-term CASE (at 100 TB k ≈ √n can be millions of cells;
+    * a broadcast hash join on `cell_id` stays map-side and O(1) per row).
+    * `nSub(cell_n, mean_n)` is evaluated as a column over that aggregate.
     */
-  private def subBucket(corpus: DataFrame, nSub: (Long, Double) => Long): DataFrame = {
-    val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n")).collect()
-    val mean =
-      if (sizes.isEmpty) 1.0
-      else sizes.map(_.getLong(1)).sum.toDouble / sizes.length
-    val splits = sizes.iterator
-      .map(r => r.get(0) -> math.max(1L, nSub(r.getLong(1), mean)))
-      .filter(_._2 > 1L).toSeq
-    if (splits.isEmpty) corpus.withColumn("sub_id", lit(0L))
-    else {
-      val nSubCol = splits.foldLeft(lit(1L): Column) { case (acc, (cell, n)) =>
-        when(col("cell_id") === lit(cell), lit(n)).otherwise(acc)
-      }
-      corpus.withColumn("sub_id", pmod(xxhash64(col("vec_id")), nSubCol))
-    }
+  private def subBucket(corpus: DataFrame, nSub: (Column, Column) => Column): DataFrame = {
+    val sizes = corpus.groupBy("cell_id").agg(count(lit(1)).as("cell_n"))
+    val sized = sizes
+      .crossJoin(broadcast(sizes.agg(avg(col("cell_n")).as("mean_n"))))
+      .select(col("cell_id"),
+        greatest(lit(1L), nSub(col("cell_n"), col("mean_n")).cast("long")).as("n_sub"))
+    corpus.join(broadcast(sized), Seq("cell_id"), "left")
+      .withColumn("sub_id", pmod(xxhash64(col("vec_id")), coalesce(col("n_sub"), lit(1L))))
+      .drop("n_sub")
   }
 
   /** Within-cell near-duplicate candidate pairs with the hot-cell guard
@@ -117,7 +113,8 @@ object Ann {
     val spark = vectors.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val assembled = vectors.select(array_to_vector(col("v")).as("features"))
+    val assembled = vectors
+      .select(array_to_vector(col("v").cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(assembled)
     val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray.toSeq)
@@ -136,14 +133,15 @@ object Ann {
     * formulation would hash-partition the full corpus by vec_id first).
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    // the argmax fold references vec_dot by name inside a lambda — make sure
+    // the native expression is visible to this session's SQL parser
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
     // one row: sorted array of (cell_id, cv, cnorm); sort => ties resolve to
     // the lowest cell_id (strict > keeps the earliest best)
     val packed = centroids
       .agg(sort_array(collect_list(struct(col("cell_id"), col("cv"), col("cnorm"))))
         .as("cells"))
-    val score =
-      "aggregate(zip_with(v, c.cv, (x, y) -> x * y), cast(0.0 AS double), (a, p) -> a + p)" +
-        " / (norm * c.cnorm)"
+    val score = "vec_dot(v, c.cv) / (norm * c.cnorm)"
     vectors.crossJoin(broadcast(packed))
       .withColumn("cell_id", expr(
         s"""aggregate(cells,

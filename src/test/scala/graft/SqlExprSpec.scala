@@ -57,6 +57,81 @@ class SqlExprSpec extends AnyFunSuite {
     assert(out.getString(1) == "x")
   }
 
+  test("vec_dot: float/double/mixed arrays, HOF-equivalent values, null semantics") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5f, -1.5f, 2.25f), Seq(-2.0, 0.25, 8.0))
+    ).toDF("f", "d")
+    val rows = df.select(
+      vec_dot(col("f"), col("d")).as("fd"),
+      vec_dot(col("d"), col("d")).as("dd"),
+      vec_dot(col("f"), col("f")).as("ff"),
+      // the HOF formulation it replaces — must be bit-identical
+      expr("aggregate(zip_with(cast(f AS array<double>), d, (x, y) -> x * y), " +
+        "cast(0.0 AS double), (acc, v) -> acc + v)").as("hof")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(3), "vec_dot != HOF aggregate")
+    }
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(0).getDouble(1) == 77.0)
+    assert(rows(0).getDouble(2) == 14.0)
+    // null array, length mismatch, null element => null
+    val edge = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),
+      (None, Some(Seq(Some(1.0))))
+    ).toDF("a", "b")
+    val er = edge.select(vec_dot(col("a"), col("b"))).collect()
+    assert(er.forall(_.isNullAt(0)))
+  }
+
+  test("vec_dot runs inside WholeStageCodegen") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val df = spark.range(4)
+      .select(array(col("id").cast("double"), lit(2.0)).as("v"))
+      .select(vec_dot(col("v"), col("v")).as("n2"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(4.0, 5.0, 8.0, 13.0))
+  }
+
+  test("sorted_intersect_count: merge semantics match array_intersect cardinality") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),   // overlap {3,5}
+      (Seq(-7L, 0L, 2L), Seq(-7L, 0L, 2L)),          // identical
+      (Seq(1L, 2L), Seq(3L, 4L)),                    // disjoint
+      (Seq.empty[Long], Seq(1L))                     // empty side
+    ).toDF("a", "b")
+    val rows = df.select(
+      sorted_intersect_count(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("oracle")
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 0L, 0L))
+  }
+
+  test("vec_dot/sorted_intersect_count callable from spark.sql (lambda-visible)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 7L)) AS n,
+        |  aggregate(array(array(1.0d, 0.0d), array(0.0d, 1.0d)), cast(0.0 AS double),
+        |    (acc, c) -> acc + vec_dot(c, array(1.0d, 1.0d))) AS in_lambda
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)
+  }
+
   test("per-thread parse cache: repeated extraction over one doc is cheap and correct") {
     val spark0 = spark
     import spark0.implicits._
