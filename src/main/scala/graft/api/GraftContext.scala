@@ -150,10 +150,11 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
     * Lineage is cut every epoch (see [[graft.exec.ExploreExec]]).
     */
   def explore(seed: D => Trace)(next: FetchedRow[D] => Seq[(Trace, D)],
-              minDepth: Int = 0, maxDepth: Int = Int.MaxValue): ExploredView[D] = {
+              minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
+              epochInterval: Int = 0): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
-    val params = ExploreParams(minDepth, maxDepth)
+    val params = ExploreParams(minDepth, maxDepth, epochInterval)
     new ExploredView(
       ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params), ctx)
   }

@@ -76,6 +76,14 @@ object DownSampling {
   *                             reference TemporaryRefs cycle) on a cadence
   * @param checkpointEveryEpochs reliable-checkpoint cadence; localCheckpoint
   *                             (fast, block-replicated) between them
+  * @param exploreEpochInterval BFS levels explore chains lazily into ONE
+  *                             Spark job between materialized epoch cuts
+  *                             (reference SpookyConf.exploreEpochInterval —
+  *                             its unit is per-partition fetch iterations,
+  *                             ours whole level-synchronous levels, keeping
+  *                             dedup exact). Higher = less per-job driver
+  *                             latency for shallow crawls; lower = fresher
+  *                             epoch counts on explosive fan-out
   */
 final case class GraftConf(
     cacheEnabled: Boolean = true,
@@ -92,7 +100,8 @@ final case class GraftConf(
     blobDir: Option[String] = None,
     blobOffloadBytes: Long = Long.MaxValue,
     checkpointDir: Option[String] = None,
-    checkpointEveryEpochs: Int = 8
+    checkpointEveryEpochs: Int = 8,
+    exploreEpochInterval: Int = 8
 ) extends Serializable {
 
   /** Blob store in effect: explicit `blobDir`, else a `blobs/` subdir of the
