@@ -158,6 +158,85 @@ class BrowserSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  // --- W3C wire binding: the REAL remote binding against a protocol stub ---
+
+  private def withStub[A](pages: Map[String, String])(f: (W3CStubServer, String) => A): A = {
+    val stub = new W3CStubServer(pages).start()
+    try f(stub, stub.endpoint) finally stub.stop()
+  }
+
+  test("W3C wire client: session lifecycle, navigation, elements, screenshot, errors") {
+    withStub(site) { (stub, endpoint) =>
+      val b = graft.agent.RemoteWebDriverFactory(endpoint).create()
+      try {
+        b.visit("mock://home")
+        assert(b.currentUri == "mock://home")
+        assert(b.pageSource.contains("next"))
+        b.click("#next")
+        assert(b.currentUri == "mock://page2")
+        assert(new String(b.screenshot, "UTF-8") == "PNG-STUB:mock://page2")
+        b.waitFor("p", 500) // present => returns
+        val gone = intercept[IllegalStateException](b.waitFor("#nope", 150))
+        assert(gone.getMessage.contains("never appeared"))
+        // protocol error envelope surfaces with the W3C error code
+        val missing = intercept[graft.agent.WebDriverHttpBrowser.WebDriverException](
+          b.click("#does-not-exist"))
+        assert(missing.getMessage.contains("no such element"))
+      } finally b.close()
+      assert(stub.openSessions == 0, "DELETE /session not honored")
+      assert(stub.requestCount.get() > 0)
+    }
+  }
+
+  test("W3C wire client: engine trace (Visit+Click+Snapshot), deduped, sessions closed") {
+    withStub(site) { (stub, endpoint) =>
+      val ctx = new GraftContext(spark, GraftConf())
+        .withDrivers(graft.agent.RemoteWebDriverFactory(endpoint))
+      import spark.implicits._
+      val titles = ctx.create(Seq(1, 2, 3))
+        .fetchOne(_ => Trace.of(Visit("mock://home"), Click("#next"), Snapshot()))
+        .select(_.trajectory.texts("title").mkString).collect()
+      assert(titles == Seq("Page2", "Page2", "Page2"))
+      assert(ctx.metrics.pagesFetched.value == 1) // 3 rows, 1 wire rollout
+      assert(stub.openSessions == 0, "engine leaked a WebDriver session")
+    }
+  }
+
+  test("W3C wire client: TextInput + Submit navigates the form (named inputs)") {
+    withStub(site) { (_, endpoint) =>
+      val ctx = new GraftContext(spark, GraftConf())
+        .withDrivers(graft.agent.RemoteWebDriverFactory(endpoint))
+      import spark.implicits._
+      val out = ctx.create(Seq("spark"))
+        .fetchOne(q => Trace.of(Visit("mock://home"),
+          TextInput("input[name=q]", q), Submit("form"), Snapshot()))
+        .select(_.trajectory.texts("p").mkString)
+        .collect()
+      assert(out == Seq("found spark"))
+    }
+  }
+
+  test("W3C wire client: Loop + ClickNext paginates over the wire") {
+    val pagedSite = Map(
+      "mock://p1" -> """<html><head><title>P1</title></head><body><p>one</p>
+        |<a class="next" href="mock://p2">next</a></body></html>""".stripMargin,
+      "mock://p2" -> """<html><head><title>P2</title></head><body><p>two</p>
+        |<a class="next" href="mock://p3">next</a></body></html>""".stripMargin,
+      "mock://p3" -> """<html><head><title>P3</title></head><body><p>three</p></body></html>"""
+    )
+    withStub(pagedSite) { (_, endpoint) =>
+      val ctx = new GraftContext(spark, GraftConf())
+        .withDrivers(graft.agent.RemoteWebDriverFactory(endpoint))
+      import spark.implicits._
+      val texts = ctx.create(Seq(0)).fetchOne(_ => Trace.of(
+          Visit("mock://p1"), Snapshot(),
+          Loop(Trace.of(Click("a.next"), Snapshot()), limit = 10)))
+        .selectMany(_.trajectory.texts("p"))
+        .collect()
+      assert(texts == Seq("one", "two", "three"))
+    }
+  }
+
   test("browser action without a driver factory fails cleanly") {
     val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0))
     import spark.implicits._
