@@ -94,6 +94,7 @@ object Node {
       lazy val str = new String(content, java.nio.charset.Charset.forName(charset))
       if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
+      else if (m.contains("pdf")) PdfNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)
       else if (m.startsWith("text/")) PlainNode(str)
       else Unrecognisable

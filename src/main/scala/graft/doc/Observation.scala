@@ -151,8 +151,11 @@ final case class DocError(
   * resolves charset via the http header, then detectCharset): the declared
   * Content-Type `charset=` parameter wins, then a byte-order mark, then an
   * ASCII-compatible scan of the head for an HTML `<meta charset=…>` /
-  * `http-equiv` or XML `encoding=…` declaration; UTF-8 otherwise. Unknown
-  * or unsupported names fall through to the next source.
+  * `http-equiv` or XML `encoding=…` declaration, then a STATISTICAL
+  * byte-distribution fallback for legacy pages that declare nothing
+  * (UTF-8 validity scan → Shift_JIS / EUC-JP pair-structure scoring →
+  * windows-1252); UTF-8 otherwise. Unknown or unsupported names fall
+  * through to the next source.
   */
 object Charsets {
 
@@ -160,6 +163,7 @@ object Charsets {
     fromMime(declaredMime)
       .orElse(fromBom(content))
       .orElse(fromMarkup(content))
+      .orElse(fromBytes(content))
       .getOrElse("UTF-8")
 
   private def valid(name: String): Option[String] =
@@ -190,6 +194,81 @@ object Charsets {
       .orElse(metaRe.findFirstMatchIn(head).map(_.group(1)))
       .flatMap(valid)
   }
+
+  /** Statistical fallback when nothing is declared (the universalchardet
+    * stand-in, scoped to the encodings that dominate undeclared legacy
+    * pages): pure ASCII and well-formed multi-byte UTF-8 stay None/UTF-8;
+    * otherwise Shift_JIS and EUC-JP are scored by how much of the high-byte
+    * stream their lead/trail pair structure consumes (pairs outweigh SJIS
+    * half-width katakana singles, which any A1-DF byte fakes), and a text
+    * that fits neither falls back to windows-1252 (the ISO-8859-1 superset
+    * that real pages mean when they say nothing).
+    */
+  private[doc] def fromBytes(c: Array[Byte]): Option[String] = {
+    val b = if (c.length > 8192) java.util.Arrays.copyOf(c, 8192) else c
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xFF
+
+    var hasHigh = false
+    var utf8Ok = true
+    var i = 0
+    while (i < n) {
+      val x = u(i)
+      if (x < 0x80) i += 1
+      else {
+        hasHigh = true
+        val len =
+          if ((x & 0xE0) == 0xC0) 2
+          else if ((x & 0xF0) == 0xE0) 3
+          else if ((x & 0xF8) == 0xF0) 4
+          else 0
+        if (len == 0) { utf8Ok = false; i = n }
+        else if (i + len > n) i = n // truncated tail: inconclusive, not invalid
+        else {
+          var j = 1
+          while (j < len && (u(i + j) & 0xC0) == 0x80) j += 1
+          if (j < len) { utf8Ok = false; i = n } else i += len
+        }
+      }
+    }
+    if (!hasHigh) None
+    else if (utf8Ok) Some("UTF-8")
+    else {
+      // Shift_JIS: leads 81-9F/E0-FC with trails 40-FC (not 7F); A1-DF singles
+      var sjisPairs = 0; var sjisKata = 0; var sjisBad = 0
+      i = 0
+      while (i < n) {
+        val x = u(i)
+        if (x < 0x80) i += 1
+        else if ((x >= 0x81 && x <= 0x9F) || (x >= 0xE0 && x <= 0xFC)) {
+          if (i + 1 < n) {
+            val t = u(i + 1)
+            if (t >= 0x40 && t <= 0xFC && t != 0x7F) { sjisPairs += 1; i += 2 }
+            else { sjisBad += 1; i += 1 }
+          } else i += 1
+        } else if (x >= 0xA1 && x <= 0xDF) { sjisKata += 1; i += 1 }
+        else { sjisBad += 1; i += 1 }
+      }
+      // EUC-JP: A1-FE pairs; 8E + A1-DF half-width
+      var eucPairs = 0; var eucBad = 0
+      i = 0
+      while (i < n) {
+        val x = u(i)
+        if (x < 0x80) i += 1
+        else if (x >= 0xA1 && x <= 0xFE) {
+          if (i + 1 < n && u(i + 1) >= 0xA1 && u(i + 1) <= 0xFE) { eucPairs += 1; i += 2 }
+          else { eucBad += 1; i += 1 }
+        } else if (x == 0x8E && i + 1 < n && u(i + 1) >= 0xA1 && u(i + 1) <= 0xDF) {
+          eucPairs += 1; i += 2
+        } else { eucBad += 1; i += 1 }
+      }
+      val sjisScore = if (sjisBad > 0) -1.0 else sjisPairs * 2.0 + sjisKata * 0.5
+      val eucScore = if (eucBad > 0) -1.0 else eucPairs * 2.0
+      if (eucScore > 0 && eucScore >= sjisScore) Some("EUC-JP")
+      else if (sjisScore > 0) Some("Shift_JIS")
+      else Some("windows-1252")
+    }
+  }
 }
 
 /** Extension + magic-byte mime sniffing (stands in for the reference's
@@ -210,6 +289,7 @@ object Mime {
     byExt.get(ext).getOrElse {
       val head = new String(content.take(256), StandardCharsets.UTF_8).trim
       if (content.startsWith(Array[Byte](0x89.toByte, 'P', 'N', 'G'))) "image/png"
+      else if (head.startsWith("%PDF")) "application/pdf"
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"
