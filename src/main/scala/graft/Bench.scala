@@ -29,17 +29,30 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Timed: THREE passes, report the per-query MEDIAN (sandbox noise was
+    // measured at a ±10% band run-to-run — the median keeps one slow
+    // environmental outlier from reading as a code regression) plus the
+    // max-min spread so drift is visible.
+    val passes = 3
+    val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val med = names.map(n => n -> median(samples.map(_(n))))
+    val spread = names.map(n => n -> (samples.map(_(n)).max - samples.map(_(n)).min))
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val sp = spread.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = med.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""runs":$passes,"spread":$sp,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     // stop() BEFORE printing so the JSON is the final stdout line (no
     // shutdown log lines after it) — the driver parses the last line.

@@ -178,7 +178,12 @@ object Agent {
             Fetcher.post(w.uri, w.entity, w.contentType, w.timeoutMillis, DocUID(key, name = w.alias), now)))
         case o: OAuthV2 =>
           env.metrics.pagesFetched.add(1)
-          val header = OAuth1.authorizationHeader(o, nonce = key.take(16), timestampSec = now / 1000)
+          // RFC 5849 §3.3: nonce must be unique per (timestamp, token) — a
+          // deterministic nonce makes replays of the same trace rejectable
+          // by nonce-enforcing servers. Random per execution; NOT part of
+          // the cache key, so trace dedup/caching is unaffected.
+          val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+          val header = OAuth1.authorizationHeader(o, nonce = nonce, timestampSec = now / 1000)
           Seq(withTimeout(o.delegate.timeoutMillis)(
             Fetcher.httpGet(o.delegate.uri, o.delegate.timeoutMillis,
               DocUID(key, name = o.alias), now, headers = Map("Authorization" -> header))))

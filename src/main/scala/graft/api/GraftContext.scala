@@ -90,19 +90,45 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   def filter(p: D => Boolean): DataView[D] = wrap(dataset.filter(p))
   def where(p: D => Boolean): DataView[D] = filter(p)
 
-  /** Force effects row-wise (reference foreach/execute). */
-  def foreach(f: D => Unit): DataView[D] = { dataset.foreach(f); this }
-  def execute(): DataView[D] = { dataset.foreach(_ => ()); this }
+  /** Force effects row-wise and return the MATERIALIZED view (reference
+    * forces + yields the computed plan): the side-effect lambda runs exactly
+    * once per row during this call; downstream actions on the returned view
+    * read the checkpointed blocks and never re-fire it.
+    */
+  def foreach(f: D => Unit): DataView[D] =
+    wrap(dataset.map { d => f(d); d }.localCheckpoint(true))
+  def execute(): DataView[D] = wrap(dataset.localCheckpoint(true))
 
   // -- sorts / set ops / partitioning (reference DataView.scala:109-129,
   //    DataViewRDDInterface.scala)
 
+  /** Typed sort. For the standard primitive/String orderings the sort
+    * compiles to a NATIVE Catalyst Sort on an extracted key column (the key
+    * lambda runs once map-side, then the range-partitioned sort exchanges
+    * Tungsten rows — no RDD round-trip, no per-comparison deserialization);
+    * opaque custom `Ordering`s keep the faithful `rdd.sortBy` fallback.
+    * Caveat: String keys sort in UTF-8 binary order on the native path
+    * (Catalyst) vs UTF-16 code-unit order on the fallback — they differ only
+    * beyond the basic multilingual plane.
+    */
   def sortBy[K: Ordering: ClassTag](f: D => K, ascending: Boolean = true,
-                                    numPartitions: Int = 0): DataView[D] = {
-    val rdd = dataset.rdd
-    val n = if (numPartitions > 0) numPartitions else rdd.getNumPartitions
-    wrap(dataset.sparkSession.createDataset(rdd.sortBy(f, ascending, n)))
-  }
+                                    numPartitions: Int = 0): DataView[D] =
+    DataView.nativeKeyEncoder[K](implicitly[Ordering[K]]) match {
+      case Some(kEnc) =>
+        implicit val pairEnc: Encoder[(K, D)] = Encoders.tuple(kEnc, enc)
+        val keyed = dataset.map(d => (f(d), d))
+        val key = org.apache.spark.sql.functions.col("_1")
+        val c = if (ascending) key.asc else key.desc
+        val sorted =
+          if (numPartitions > 0)
+            keyed.repartitionByRange(numPartitions, c).sortWithinPartitions(c)
+          else keyed.orderBy(c)
+        wrap(sorted.map(_._2))
+      case None =>
+        val rdd = dataset.rdd
+        val n = if (numPartitions > 0) numPartitions else rdd.getNumPartitions
+        wrap(dataset.sparkSession.createDataset(rdd.sortBy(f, ascending, n)))
+    }
   def sorted(implicit ord: Ordering[D], ct: ClassTag[D]): DataView[D] =
     sortBy(identity[D])
 
@@ -165,6 +191,30 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   def asDataFrame: org.apache.spark.sql.DataFrame = dataset.toDF()
   def asJSONDataset: Dataset[String] = dataset.toJSON
   def collect(): Seq[D] = dataset.collect().toSeq
+}
+
+object DataView {
+
+  /** Encoder for sort keys whose standard Ordering agrees with Catalyst's
+    * native sort order — the gate for [[DataView.sortBy]]'s no-RDD path.
+    * Custom orderings return None and keep the rdd.sortBy fallback.
+    */
+  private[api] def nativeKeyEncoder[K](ord: Ordering[K]): Option[Encoder[K]] = {
+    val e: Option[Encoder[_]] = ord match {
+      case o if o eq Ordering.Int => Some(Encoders.scalaInt)
+      case o if o eq Ordering.Long => Some(Encoders.scalaLong)
+      case o if o eq Ordering.Short => Some(Encoders.scalaShort)
+      case o if o eq Ordering.Byte => Some(Encoders.scalaByte)
+      case o if o eq Ordering.Boolean => Some(Encoders.scalaBoolean)
+      case o if o eq Ordering.String => Some(Encoders.STRING)
+      case o if (o eq Ordering.Double.TotalOrdering) ||
+        (o eq Ordering.DeprecatedDoubleOrdering) => Some(Encoders.scalaDouble)
+      case o if (o eq Ordering.Float.TotalOrdering) ||
+        (o eq Ordering.DeprecatedFloatOrdering) => Some(Encoders.scalaFloat)
+      case _ => None
+    }
+    e.map(_.asInstanceOf[Encoder[K]])
+  }
 }
 
 /** View after a fetch: rows carry their trajectory (reference AgentRow).

@@ -109,7 +109,32 @@ class DataViewSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(v.asJSONDataset.collect().sorted.toSeq ==
       Seq("""{"_1":1,"_2":"a"}""", """{"_1":2,"_2":"b"}"""))
     val acc = spark.sparkContext.longAccumulator("dv-exec")
-    v.foreach { case (i, _) => acc.add(i) }
+    val forced = v.foreach { case (i, _) => acc.add(i) }
     assert(acc.value == 3)
+    // materialization contract: downstream actions on the returned view do
+    // NOT re-fire the side-effect lambda
+    assert(forced.count() == 2)
+    forced.collect()
+    assert(acc.value == 3, "foreach lambda re-fired on a downstream action")
+  }
+
+  test("sortBy compiles standard-ordering keys to a native Catalyst sort") {
+    import spark.implicits._
+    val v = ctx.create(Seq(5, 3, 9, 1, 7))
+    val sorted = v.sortBy(x => -x) // Ordering.Int => native path
+    assert(sorted.collect() == Seq(9, 7, 5, 3, 1))
+    val plan = sorted.dataset.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), s"expected a native Sort node:\n$plan")
+    assert(!plan.contains("ExternalRDD"), s"native path must not round-trip through an RDD:\n$plan")
+    // numPartitions respected on the native path
+    assert(v.sortBy(identity[Int], ascending = false, numPartitions = 2)
+      .dataset.rdd.getNumPartitions == 2)
+    // custom (opaque) Ordering keeps the faithful RDD fallback, same values
+    val weird: Ordering[Int] = Ordering.by((x: Int) => (x % 3, x))
+    val fb = v.sortBy(identity[Int])(weird, implicitly)
+    assert(fb.collect() == Seq(3, 9, 1, 7, 5))
+    // fallback sorts in rdd.sortBy, so the RESULT plan is a plain scan of
+    // the pre-sorted RDD — no Catalyst Sort node
+    assert(!fb.dataset.queryExecution.executedPlan.toString.contains("Sort"))
   }
 }

@@ -55,6 +55,8 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     })
     server.createContext("/oauth", (ex: HttpExchange) => {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      """oauth_nonce="([^"]+)"""".r.findFirstMatchIn(auth)
+        .foreach(m => HttpSpec.nonces.add(m.group(1)))
       if (auth.startsWith("OAuth ") && auth.contains("oauth_signature="))
         respond(ex, 200, "<p>authorized</p>")
       else respond(ex, 401, "unauthorized")
@@ -113,4 +115,24 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       .select(_.trajectory.texts("p").mkString).collect()
     assert(out == Seq("authorized"))
   }
+
+  test("OAuth nonce is unique per execution (RFC 5849 §3.3), signature still verifies") {
+    HttpSpec.nonces.clear()
+    import spark.implicits._
+    val action = OAuthV2(Wget(s"$base/oauth"), "ck", "cs", "tok", "ts")
+    // cache OFF so the SAME trace executes remotely on each run
+    (1 to 2).foreach { _ =>
+      val ctx = new GraftContext(spark, GraftConf(cacheEnabled = false))
+      val out = ctx.create(Seq(0)).fetchOne(_ => Trace.of(action))
+        .select(_.trajectory.texts("p").mkString).collect()
+      assert(out == Seq("authorized")) // server checked the signed header
+    }
+    val seen = HttpSpec.nonces.toArray(Array.empty[String]).toSeq
+    assert(seen.size == 2, s"expected 2 signed requests, saw $seen")
+    assert(seen.distinct.size == 2, s"nonce repeated across replays: $seen")
+  }
+}
+
+object HttpSpec {
+  val nonces = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
