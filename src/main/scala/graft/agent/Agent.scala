@@ -80,11 +80,23 @@ object Agent {
       DocCaches.probe(bt.cacheKey, conf, now)
     }
     if (hits.forall(_.isDefined)) {
-      val obs = hits.flatMap(_.get)
-      env.metrics.fetchFromCache.add(obs.size)
       // entries written since the offload default carry pointers already; this
-      // guards stale pre-offload entries so warm rows never re-inline big bodies
-      Some(offloadLarge(obs, env.conf))
+      // guards stale pre-offload entries so warm rows never re-inline big
+      // bodies. When a stale entry WAS offloaded here, the pointer-carrying
+      // entry is written back (original timestamp preserved) so subsequent
+      // hits read pointers instead of re-running the blob write forever.
+      val upgraded = backtraces.zip(hits).map { case (bt, hit) =>
+        val obs = hit.get
+        val off = offloadLarge(obs, env.conf)
+        if (off.zip(obs).exists { case (a, b) => a ne b }) {
+          val ts = off.headOption.map(_.timestampMillis).getOrElse(now)
+          DocCaches.write(bt.cacheKey, off, env.conf, ts)
+        }
+        off
+      }
+      val obs = upgraded.flatten
+      env.metrics.fetchFromCache.add(obs.size)
+      Some(obs)
     } else None
   }
 
@@ -365,6 +377,10 @@ object DocIO {
       java.nio.file.Files.createDirectories(base)
       val p = base.resolve(name)
       java.nio.file.Files.write(p, bytes)
+      // a file first written via Hadoop LocalFileSystem has a .<name>.crc
+      // sidecar; an overwrite here would leave it stale and later
+      // Hadoop-side reads would fail with ChecksumException — drop it
+      java.nio.file.Files.deleteIfExists(base.resolve("." + name + ".crc"))
       (if (colon < 0) "" else "file:") + p.toString
     } else {
       val p = new Path(dir, name)

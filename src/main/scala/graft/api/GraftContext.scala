@@ -175,14 +175,21 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
     * maxDepth)` (reference `recursively(range).explore(fn)` semantics).
     * Lineage is cut every epoch (see [[graft.exec.ExploreExec]]).
     */
+  /** An implicit `Ordering[D]`, when available, makes the per-trace winning
+    * payload fully deterministic (ADVICE r4; matches the reference's minBy);
+    * without one, Comparable payloads take their minimum and opaque
+    * payloads are first-seen.
+    */
   def explore(seed: D => Trace)(next: FetchedRow[D] => Seq[(Trace, D)],
               minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
-              epochInterval: Int = 0): ExploredView[D] = {
+              epochInterval: Int = 0)(
+              implicit ord: Ordering[D] = null): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
     val params = ExploreParams(minDepth, maxDepth, epochInterval)
     new ExploredView(
-      ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params), ctx)
+      ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params,
+        Option(ord)), ctx)
   }
 
   // -- export (reference DataView.scala:33-47)

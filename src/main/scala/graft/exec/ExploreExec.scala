@@ -101,12 +101,19 @@ object ExploreExec {
 
   private type OpenRow[D] = (String, (Trace, D, Int))
 
+  /** @param winnerOrdering when supplied, the per-key winning payload is
+    *        `min` by THIS ordering — fully deterministic for any payload
+    *        type; absent, naturally-ordered (Comparable) payloads take
+    *        their minimum and opaque payloads fall back to first-seen
+    *        (partition-order dependent — see [[winner]]).
+    */
   def explore[D](
       spark: SparkSession,
       seeds: Dataset[(Trace, D)],
       next: FetchedRow[D] => Seq[(Trace, D)],
       env: Env,
-      params: ExploreParams = ExploreParams()
+      params: ExploreParams = ExploreParams(),
+      winnerOrdering: Option[Ordering[D]] = None
   ): Dataset[ExploredRow[D]] = {
 
     implicit val exploredEnc: Encoder[ExploredRow[D]] = Encoders.kryo[ExploredRow[D]]
@@ -130,6 +137,12 @@ object ExploreExec {
     }
 
     val partitioner = new HashPartitioner(sc.defaultParallelism)
+
+    val win: ((Trace, D, Int), (Trace, D, Int)) => (Trace, D, Int) =
+      winnerOrdering match {
+        case Some(ord) => (a, b) => if (ord.compare(a._2, b._2) <= 0) a else b
+        case None      => winner[D] _
+      }
 
     // all fetched-row RDDs (one per level) and their keys-only projections;
     // both partitioner-aligned and block-cached, flat-unioned narrowly
@@ -160,7 +173,7 @@ object ExploreExec {
         if (r.depth + 1 >= maxDepth) Nil
         else down(next(r.row)).map { case (t, d) => (t.cacheKey, (t, d, r.depth + 1)) }
       }
-      val deduped = children.reduceByKey(partitioner, winner[D] _)
+      val deduped = children.reduceByKey(partitioner, win)
       // visited keys share the partitioner => sc.union is a
       // PartitionerAwareUnionRDD and the set-difference is narrow
       val visited = sc.union(visitedKeyParts.toSeq)
@@ -189,7 +202,7 @@ object ExploreExec {
 
     var frontier: RDD[OpenRow[D]] = seeds.rdd
       .map { case (t, d) => (t.cacheKey, (t, d, 0)) }
-      .reduceByKey(partitioner, winner[D] _)
+      .reduceByKey(partitioner, win)
     var openCount = cutCount(frontier)
     mark(s"seed-cut (open=$openCount)")
 

@@ -56,19 +56,19 @@ object EventStreams {
 
   /** Streaming exact dedup — the ingest-side twin of q24 for a training-data
     * pipeline: keep the first document per content fingerprint, dropping
-    * re-crawls/re-uploads as they arrive. `dropDuplicates` keys the state
-    * store on the fingerprint; the event-time watermark bounds that state
-    * (duplicates arriving later than the watermark horizon are admitted
-    * again — the standard trade; use the batch dedup for exact global
-    * semantics). Works identically on batch frames (state-free distinct).
+    * re-crawls/re-uploads as they arrive REGARDLESS of their event time
+    * (a re-crawl virtually always carries a new ts, so the key must be the
+    * fingerprint ALONE — `dropDuplicatesWithinWatermark` keys state on just
+    * the fingerprint while the watermark still bounds it; duplicates
+    * arriving beyond the watermark horizon are admitted again — the
+    * standard trade; use the batch dedup for exact global semantics).
+    * Works identically on batch frames (state-free distinct).
     *
     * @param cols dedup key columns; e.g. a SHA-256 `fingerprint` column
     */
   def dedupByFingerprint(docs: DataFrame, cols: Seq[String] = Seq("fingerprint"),
                          watermark: String = "1 hour"): DataFrame =
-    if (docs.isStreaming)
-      docs.withWatermark("ts", watermark).dropDuplicates("ts" +: cols)
-    else docs.dropDuplicates(cols)
+    dedupWithinWatermark(docs, cols, watermark)
 
   /** Streaming dedup with EXACT keep-first semantics independent of event
     * time: `dropDuplicatesWithinWatermark` keys state on the fingerprint

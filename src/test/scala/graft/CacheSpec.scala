@@ -162,6 +162,36 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(warm.root.text.contains("yyy")) // lazy blob load still transparent
   }
 
+  test("stale inline cache entry is rewritten with pointers after one warm offload") {
+    val body = "<html><body>" + ("z" * 5000) + "</body></html>"
+    val uri = writeFixture("cache5/legacy.html", body)
+    val cacheDir = scratchDir("dfscache5")
+    import spark.implicits._
+    // run 1: threshold above the body size => the cached entry is INLINE
+    val ctx1 = new GraftContext(spark,
+      GraftConf(dfsCacheDir = Some(cacheDir), blobOffloadBytes = 1 << 20))
+    ctx1.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).count()
+    // run 2: lower threshold => warm hit offloads the stale entry AND must
+    // write the pointer-carrying entry back (ADVICE r4)
+    InMemoryDocCache.clear()
+    val conf2 = GraftConf(dfsCacheDir = Some(cacheDir), blobOffloadBytes = 100)
+    val ctx2 = new GraftContext(spark, conf2)
+    val warm = ctx2.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri")))
+      .collect().head.trajectory.doc.get
+    assert(warm.contentPtr.isDefined)
+    assert(ctx2.metrics.pagesFetched.value == 0)
+    // proof of the writeback: a RAW cache probe (no offload path) now sees
+    // the pointer entry, so later hits never re-run the blob write
+    InMemoryDocCache.clear()
+    val key = Trace.of(Wget(s"file:$uri")).dryRun.head.cacheKey
+    val probed = graft.cache.DocCaches
+      .probe(key, conf2, System.currentTimeMillis()).get.head
+      .asInstanceOf[graft.doc.Doc]
+    assert(probed.contentPtr.isDefined,
+      "cache entry still inline: every warm hit re-runs the blob write")
+    assert(probed.root.text.contains("zzz")) // blob still transparently readable
+  }
+
   test("per-action wayback pins the cache read (overrides conf)") {
     val uri = "file:/wb/page.html"
     val key = Trace.of(Wget(uri)).dryRun.head.cacheKey

@@ -200,6 +200,24 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("implicit Ordering[D] makes the multi-lineage winning payload deterministic") {
+    val site = diamondSite("explore12")
+    import spark.implicits._
+    implicit val pairOrd: Ordering[(String, String)] = Ordering.Tuple2
+    // payloads are (url, parentTag): D is reached from B (tag zz) and C (tag aa);
+    // with an Ordering in scope the winner must be the MINIMUM, every run
+    (1 to 3).foreach { _ =>
+      InMemoryDocCache.clear()
+      val ctx = new GraftContext(spark, GraftConf())
+      val rows = ctx.create(Seq((s"file:${site("A")}", "seed")))
+        .explore((d: (String, String)) => Trace.of(Wget(d._1)))(
+          ExploreSpec.taggedExpand)
+        .collect()
+      val d = rows.find(_.row.trajectory.texts("title").mkString == "D").get
+      assert(d.row.data._2 == "aa", s"non-minimal payload won: ${d.row.data}")
+    }
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")
@@ -230,4 +248,13 @@ object ExploreSpec {
       .filter(_.attr("isDir").contains("true"))
       .flatMap(_.attr("uri"))
       .map(u => (Trace.of(Wget(u)), u))
+
+  /** Children tagged by the PARENT page's title — reaching D from B carries
+    * "zz", from C carries "aa" (the multi-lineage payload-conflict case).
+    */
+  def taggedExpand(r: FetchedRow[(String, String)]): Seq[(Trace, (String, String))] = {
+    val parent = r.trajectory.texts("title").mkString
+    val tag = if (parent == "B") "zz" else if (parent == "C") "aa" else "mm"
+    r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), (h, tag)))
+  }
 }

@@ -127,6 +127,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 1)
   }
 
+  test("dedupByFingerprint drops re-crawls with NEW event times (fingerprint-only key)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF.toDF("ts", "doc_id", "fingerprint")
+    val q = EventStreams.dedupByFingerprint(df)
+      .writeStream.format("memory").queryName("ddf").outputMode("append").start()
+    try {
+      input.addData((new Timestamp(base), 1L, "fpX"))
+      q.processAllAvailable()
+      // the ADVICE r4 case: SAME fingerprint, DIFFERENT ts — must be dropped
+      input.addData((new Timestamp(base + 30000), 2L, "fpX"),
+        (new Timestamp(base + 31000), 3L, "fpY"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ddf").collect().map(r => r.getString(2)).sorted.toSeq
+    assert(got == Seq("fpX", "fpY"), s"re-crawl with a new ts was not dropped: $got")
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
