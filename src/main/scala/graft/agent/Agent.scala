@@ -298,11 +298,18 @@ object Agent {
   private def withTimeout[T](millis: Long)(f: => T): T =
     if (millis <= 0) f
     else {
-      val fut = timeoutPool.submit(new Callable[T] { override def call(): T = f })
+      val worker = new java.util.concurrent.atomic.AtomicReference[Thread]()
+      val fut = timeoutPool.submit(new Callable[T] {
+        override def call(): T = { worker.set(Thread.currentThread()); f }
+      })
       try fut.get(millis, TimeUnit.MILLISECONDS)
       catch {
         case _: TimeoutException =>
           fut.cancel(true)
+          // interrupt alone cannot unblock HttpURLConnection reads — also
+          // hard-close the in-flight connection so the pool thread frees
+          // immediately instead of leaking until the socket timeout
+          Option(worker.get()).foreach(Fetcher.abortInFlight)
           throw new TimeoutException(s"action timed out after ${millis}ms")
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }

@@ -18,6 +18,28 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Fetcher {
 
+  // -- hard cancellation seam: HttpURLConnection reads IGNORE thread
+  //    interrupts, so a hung server would pin a worker thread until the
+  //    socket timeout even after the action's future is cancelled. The
+  //    in-flight connection is registered per worker thread; the timeout
+  //    path disconnects it, which makes the blocked read fail immediately.
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[Thread, HttpURLConnection]()
+
+  private def registered[T](conn: HttpURLConnection)(f: => T): T = {
+    val t = Thread.currentThread()
+    inFlight.put(t, conn)
+    try f finally inFlight.remove(t)
+  }
+
+  /** Force-close the HTTP connection `worker` is blocked on (no-op when it
+    * isn't inside an HTTP call). Called from the timeout watchdog.
+    */
+  private[agent] def abortInFlight(worker: Thread): Unit =
+    Option(inFlight.get(worker)).foreach { c =>
+      try c.disconnect() catch { case _: Throwable => () }
+    }
+
   def get(uri: String, timeoutMillis: Long, uid: DocUID, now: Long): Observation =
     if (isHttp(uri)) httpGet(uri, timeoutMillis, uid, now)
     else fsGet(uri, uid, now)
@@ -41,7 +63,7 @@ object Fetcher {
   private[agent] def httpGet(uri: String, timeoutMillis: Long, uid: DocUID, now: Long,
                              headers: Map[String, String] = Map.empty): Observation = {
     val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try {
+    try registered(conn) {
       conn.setConnectTimeout(timeoutMillis.toInt)
       conn.setReadTimeout(timeoutMillis.toInt)
       conn.setInstanceFollowRedirects(true)
@@ -57,7 +79,7 @@ object Fetcher {
   private def httpPost(uri: String, entity: String, contentType: String,
                        timeoutMillis: Long, uid: DocUID, now: Long): Observation = {
     val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try {
+    try registered(conn) {
       conn.setConnectTimeout(timeoutMillis.toInt)
       conn.setReadTimeout(timeoutMillis.toInt)
       conn.setRequestMethod("POST")

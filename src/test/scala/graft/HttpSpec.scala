@@ -53,6 +53,10 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       ex.getResponseBody.write(bytes)
       ex.close()
     })
+    server.createContext("/hang", (ex: HttpExchange) => {
+      try Thread.sleep(20000) catch { case _: InterruptedException => () }
+      try respond(ex, 200, "late") catch { case _: Throwable => () }
+    })
     server.createContext("/oauth", (ex: HttpExchange) => {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
       """oauth_nonce="([^"]+)"""".r.findFirstMatchIn(auth)
@@ -114,6 +118,29 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     val out = ctx.create(Seq(0)).fetchOne(_ => Trace.of(action))
       .select(_.trajectory.texts("p").mkString).collect()
     assert(out == Seq("authorized"))
+  }
+
+  test("action timeout hard-closes a hung HTTP connection (no pool-thread leak)") {
+    import scala.jdk.CollectionConverters._
+    def busyFetcherThreads: Int = Thread.getAllStackTraces.asScala.count { case (t, st) =>
+      t.getName.startsWith("graft-action-timeout") &&
+        st.exists(_.getClassName.contains("Fetcher"))
+    }
+    val ctx = new GraftContext(spark, GraftConf(remoteRetries = 0, cacheEnabled = false))
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    // server sleeps 20s; the action timeout is 500ms — well under the socket
+    // read timeout an un-aborted connection would wait for
+    val hangTrace = Trace.of(Wget(s"$base/hang", timeoutMillis = 500L))
+    val rows = ctx.create(Seq(0)).fetchOne(_ => hangTrace).collect()
+    assert((System.nanoTime() - t0) / 1e9 < 10, "timeout did not bound the fetch")
+    assert(rows.head.trajectory.failed.nonEmpty) // surfaced as an error row
+    // the worker must leave Fetcher promptly (disconnect unblocked the read)
+    val deadline = System.currentTimeMillis() + 3000
+    while (busyFetcherThreads > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(busyFetcherThreads == 0,
+      "a pool thread is still pinned inside Fetcher after the timeout")
   }
 
   test("OAuth nonce is unique per execution (RFC 5849 §3.3), signature still verifies") {
