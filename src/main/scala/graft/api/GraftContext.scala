@@ -143,6 +143,40 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   def take(n: Int): Seq[D] = dataset.take(n).toSeq
   def count(): Long = dataset.count()
 
+  /** Stream results to the driver partition-at-a-time while a background
+    * job keeps computing AHEAD into a bounded buffer (reference
+    * PreemptiveLocalOps.scala:1-128 "preemptive local collect"). Plain
+    * `Dataset.toLocalIterator` only computes a partition when the consumer
+    * reaches it — this overlaps cluster compute with driver consumption,
+    * holding at most `prefetchPartitions` partitions in driver memory.
+    */
+  def toLocalIterator(prefetchPartitions: Int = 2): Iterator[D] = {
+    val rdd = dataset.rdd
+    val sc = dataset.sparkSession.sparkContext
+    val n = rdd.getNumPartitions
+    if (n == 0) Iterator.empty
+    else {
+      implicit val vecTag: scala.reflect.ClassTag[Vector[D]] =
+        scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[Vector[D]]]
+      val queue = new java.util.concurrent.ArrayBlockingQueue[Either[Throwable, Vector[D]]](
+        math.max(1, prefetchPartitions))
+      val worker = new Thread(() => {
+        try (0 until n).foreach { p =>
+          val batch = sc.runJob(rdd, (it: Iterator[D]) => it.toVector, Seq(p)).head
+          queue.put(Right(batch))
+        } catch { case e: Throwable => queue.put(Left(e)) }
+      }, "graft-preemptive-collect")
+      worker.setDaemon(true)
+      worker.start()
+      (0 until n).iterator.flatMap { _ =>
+        queue.take() match {
+          case Right(batch) => batch
+          case Left(e)      => throw e
+        }
+      }
+    }
+  }
+
   def coalesce(n: Int): DataView[D] = wrap(dataset.coalesce(n))
   def repartition(n: Int): DataView[D] = wrap(dataset.repartition(n))
 

@@ -33,6 +33,48 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
   }
 
+  test("toLocalIterator streams partition-at-a-time with bounded prefetch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ctx = new graft.api.GraftContext(spark, graft.conf.GraftConf())
+    val acc = spark.sparkContext.longAccumulator("parts-computed")
+    val v = ctx.create((1 to 800).toSeq, numSlices = 8)
+      .map { x => if (x % 100 == 1) acc.add(1); x } // once per 100-row partition
+    val it = v.toLocalIterator(prefetchPartitions = 1)
+    // consume only the first partition's worth of rows
+    val first = it.take(100).toVector
+    assert(first.size == 100)
+    Thread.sleep(500) // let the prefetcher run as far as the buffer allows
+    // cap=1 bounds look-ahead to: 1 buffered + 1 in-flight + 1 the consumer's
+    // trailing hasNext already pulled + 1 freed by that pull = 4 of 8
+    assert(acc.value <= 4, s"prefetch not bounded: ${acc.value} of 8 partitions computed")
+    // draining the rest yields every row exactly once, each partition computed once
+    val rest = it.toVector
+    assert((first ++ rest).sorted == (1 to 800).toVector)
+    assert(acc.value == 8)
+  }
+
+  test("FallbackIterator: mid-stream failure, construction failure, drained-primary continuation") {
+    import graft.scale.FallbackIterator
+    def failingAt(n: Int): Iterator[Int] = (1 to 10).iterator.map { i =>
+      if (i == n) throw new IllegalStateException(s"broken at $i") else i
+    }
+    // primary breaks at 4 => backup takes over past the 3 emitted elements
+    val mid = FallbackIterator(() => failingAt(4), () => (1 to 10).iterator)
+    assert(mid.toVector == (1 to 10).toVector)
+    // primary cannot be constructed => backup serves from the start
+    val cons = FallbackIterator[Int](() => throw new IllegalStateException("no primary"),
+      () => (1 to 5).iterator)
+    assert(cons.toVector == (1 to 5).toVector)
+    // primary drains early (partial cache) => backup continues from its offset
+    val drained = FallbackIterator(() => (1 to 3).iterator, () => (1 to 8).iterator)
+    assert(drained.toVector == (1 to 8).toVector)
+    // healthy primary is never abandoned
+    val healthy = FallbackIterator(() => (1 to 4).iterator,
+      () => Iterator.empty[Int])
+    assert(healthy.toVector == (1 to 4).toVector)
+  }
+
   test("salted join == plain join; hot key spreads over all salts") {
     val spark0 = spark
     import spark0.implicits._
