@@ -95,48 +95,51 @@ object PdfNode {
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Extract one string per BT…ET block from a content stream. */
+  /** Extract one string per BT…ET block from a content stream. ONE scan
+    * with string-literal awareness: `BT`/`ET`/`Td` are only operators when
+    * they appear OUTSIDE a `(…)` literal or `<…>` hex string, so text that
+    * happens to contain "ET" (…MARKET…) can never truncate its own block.
+    */
   private[doc] def textBlocks(stream: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
+    var sb: StringBuilder = null // non-null while inside a BT…ET block
     var i = 0
-    while ({ i = stream.indexOf("BT", i); i >= 0 }) {
-      val end = stream.indexOf("ET", i + 2)
-      val body = if (end < 0) stream.substring(i + 2) else stream.substring(i + 2, end)
-      out += blockText(body)
-      i = if (end < 0) stream.length else end + 2
-    }
-    out.toSeq
-  }
-
-  /** Evaluate the text operators of one BT…ET body. */
-  private def blockText(body: String): String = {
-    val sb = new StringBuilder
-    var i = 0
+    val n = stream.length
     def newlineIfNeeded(): Unit =
-      if (sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
-    while (i < body.length) {
-      body.charAt(i) match {
+      if (sb != null && sb.nonEmpty && !sb.endsWith("\n")) sb += '\n'
+    while (i < n) {
+      stream.charAt(i) match {
         case '(' =>
-          val (s, next) = literalString(body, i)
-          sb ++= s
+          val (s, next) = literalString(stream, i)
+          if (sb != null) sb ++= s
           i = next
-        case '<' if i + 1 < body.length && body.charAt(i + 1) != '<' =>
-          val close = body.indexOf('>', i)
-          if (close < 0) i = body.length
+        case '<' if i + 1 < n && stream.charAt(i + 1) == '<' =>
+          i += 2 // dict open — not a hex string
+        case '<' =>
+          val close = stream.indexOf('>', i)
+          if (close < 0) i = n
           else {
-            sb ++= hexString(body.substring(i + 1, close))
+            if (sb != null) sb ++= hexString(stream.substring(i + 1, close))
             i = close + 1
           }
-        case 'T' if i + 1 < body.length =>
-          body.charAt(i + 1) match {
+        case 'B' if i + 1 < n && stream.charAt(i + 1) == 'T' =>
+          if (sb == null) sb = new StringBuilder
+          i += 2
+        case 'E' if sb != null && i + 1 < n && stream.charAt(i + 1) == 'T' =>
+          out += sb.result().trim
+          sb = null
+          i += 2
+        case 'T' if sb != null && i + 1 < n =>
+          stream.charAt(i + 1) match {
             case 'd' | 'D' | '*' => newlineIfNeeded(); i += 2
             case _ => i += 1
           }
-        case '\'' | '"' => newlineIfNeeded(); i += 1
+        case '\'' | '"' if sb != null => newlineIfNeeded(); i += 1
         case _ => i += 1
       }
     }
-    sb.result().trim
+    if (sb != null) out += sb.result().trim // truncated stream: keep partial
+    out.toSeq
   }
 
   /** PDF literal string starting at `(`: returns (decoded, indexAfter). */

@@ -220,6 +220,58 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q37 — PDF ingestion: generated PDFs fetched + text-extracted end-to-end
+  // -------------------------------------------------------------------------
+
+  /** PDF literal-string escaping (ISO-8859-1 byte strings; controls and
+    * high bytes as octal — matches the extractor's unescaping exactly).
+    */
+  private def pdfEscape(s: String): String = s.flatMap {
+    case '\\'               => "\\\\"
+    case '('                => "\\("
+    case ')'                => "\\)"
+    case c if c < ' ' || c > '~' => f"\\${(c.toInt & 0xFF)}%03o"
+    case c                  => c.toString
+  }
+
+  /** Minimal single-page PDF with `text` as an uncompressed content stream. */
+  private def minimalPdf(text: String): Array[Byte] = {
+    val body = s"BT /F1 11 Tf 72 720 Td (${pdfEscape(text)}) Tj ET"
+    ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${body.length} >> stream\n" +
+      body +
+      "\nendstream endobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Every 25th document becomes a PDF on disk; the engine Wgets each one
+    * and recovers the text purely through the Node seam (mime sniff →
+    * PdfNode → BT/ET text operators) — the whole PDF ingestion path under
+    * the DuckDB gate. The oracle reads the source table directly: extraction
+    * must be LOSSLESS for printable-ASCII text.
+    */
+  def q37PdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q37")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 0)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.pdf",
+          minimalPdf(r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.pdf")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "pdf_text")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
 
@@ -244,6 +296,7 @@ object EngineQ {
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
+    "q37_pdf_extract" -> q37PdfExtract _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -313,6 +366,9 @@ object EngineQ {
         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs
         |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q37_pdf_extract" ->
+      """SELECT doc_id, trim(text) AS pdf_text
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,

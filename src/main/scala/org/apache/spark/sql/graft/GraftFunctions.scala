@@ -17,12 +17,16 @@ object GraftFunctions {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Make `css_text`/`css_attr`/`json_text` callable from `spark.sql(...)`
-    * on an existing session.
+  /** Make the graft expressions callable from `spark.sql(...)` on an
+    * existing session. Idempotent: already-registered names are left alone
+    * (register is called from library entry points on every query, and
+    * re-replacement logs a warning per function per call).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     graft.sql.GraftExtensions.all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+  }
 }
