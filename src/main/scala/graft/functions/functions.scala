@@ -52,6 +52,12 @@ object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     native(graft.sql.SortedIntersectCount(ex(a), ex(b)))
 
+  /** Whole MinHash/set-similarity signature of a text column in one native
+    * pass: struct(hset sorted xxhash64 set, n_grams, s1..s6 minhash slices).
+    */
+  def shingle_signature(text: Column): Column =
+    native(graft.sql.ShingleSignature(ex(text)))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

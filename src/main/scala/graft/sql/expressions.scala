@@ -5,10 +5,12 @@ import graft.doc.{HtmlNode, JsonNode, Node}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, TernaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the scalar doc-extraction functions
@@ -270,6 +272,113 @@ final case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The whole per-document MinHash/set-similarity signature in ONE pass over
+  * the text: word-bigram shingles (distinct), 6 one-permutation minhash
+  * slices (md5 computed once per shingle, six 5-hex-digit slices, min per
+  * slice), the sorted-xxhash64 image of the shingle set for exact-Jaccard
+  * verification, and the shingle count.
+  *
+  * Value-identical to the composable-HOF formulation (split → transform →
+  * array_distinct → per-slice array_min(transform(substring(md5))) →
+  * sort_array(transform(xxhash64))) — pinned by an equivalence spec — but a
+  * single primitive loop instead of ~10 interpreted higher-order passes
+  * that each re-materialize an intermediate array per row. At corpus scale
+  * the signature pass IS the near-dup pipeline's map-side cost.
+  * CodegenFallback is deliberate: the body is one tight JVM loop per row,
+  * so codegen would only inline the call site.
+  *
+  * Output: struct(hset array<bigint> sorted asc, n_grams bigint,
+  * s1..s6 string).
+  */
+final case class ShingleSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import ShingleSignature._
+
+  override def dataType: DataType = SCHEMA
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // split(text, ' ') semantics (limit -1: trailing empties kept)
+    val toks = text.split(" ", -1)
+    val grams: Array[String] =
+      if (toks.length < 2) Array(text)
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < toks.length - 1) {
+          seen.add(toks(i) + " " + toks(i + 1))
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size()))
+      }
+    val md = threadMd5.get()
+    val mins = new Array[String](NUM_SLICES)
+    val hashes = new Array[Long](grams.length)
+    var g = 0
+    while (g < grams.length) {
+      val gram = grams(g)
+      md.reset()
+      val hex = toHex(md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var s = 0
+      while (s < NUM_SLICES) {
+        val slice = hex.substring(s * SLICE_LEN, s * SLICE_LEN + SLICE_LEN)
+        if (mins(s) == null || slice.compareTo(mins(s)) < 0) mins(s) = slice
+        s += 1
+      }
+      hashes(g) = XxHash64Function.hash(UTF8String.fromString(gram), StringType, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(hashes)
+    val out = new Array[Any](2 + NUM_SLICES)
+    out(0) = new GenericArrayData(hashes)
+    out(1) = grams.length.toLong
+    var s = 0
+    while (s < NUM_SLICES) { out(2 + s) = UTF8String.fromString(mins(s)); s += 1 }
+    new GenericInternalRow(out)
+  }
+
+  override protected def withNewChildrenInternal(newChild: Expression): ShingleSignature =
+    copy(child = newChild)
+}
+
+object ShingleSignature {
+
+  val NUM_SLICES = 6
+  val SLICE_LEN = 5
+
+  val SCHEMA: StructType = StructType(
+    Seq(StructField("hset", ArrayType(LongType, containsNull = false)),
+      StructField("n_grams", LongType)) ++
+      (1 to NUM_SLICES).map(i => StructField(s"s$i", StringType)))
+
+  private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = HEX(b >>> 4)
+      out(i * 2 + 1) = HEX(b & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live
@@ -300,6 +409,9 @@ object GraftExtensions {
       (c: Seq[Expression]) => VecDot(c(0), c(1))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1)))
+      (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
+    ("shingle_signature",
+      new ExpressionInfo(classOf[ShingleSignature].getName, "shingle_signature"),
+      (c: Seq[Expression]) => ShingleSignature(s(c(0))))
   )
 }
