@@ -61,22 +61,6 @@ object SimQ {
 
   private val NUM_HASHES = 6 // 3 bands x 2 rows
 
-  /** MinHash signature columns s1..s6 over the shingle set, one-permutation
-    * style: md5 runs ONCE per shingle and the 6 "permutations" are disjoint
-    * 5-hex-digit slices of that hash (slices of a strong hash are
-    * independent hash functions of the shingle). The naive alternative —
-    * md5(i || ':' || g) per permutation — costs 6 md5 evaluations per
-    * shingle; at corpus scale the signature pass is md5-bound, so this is a
-    * direct 6x cut of the dominant term.
-    */
-  private def withSigs(df: DataFrame): DataFrame = {
-    val hashed = df.withColumn("hs", expr("transform(grams, g -> md5(g))"))
-    (1 to NUM_HASHES).foldLeft(hashed) { (d, i) =>
-      d.withColumn(s"s$i",
-        expr(s"array_min(transform(hs, h -> substring(h, ${1 + (i - 1) * 5}, 5)))"))
-    }.drop("hs")
-  }
-
   /** q26 — MinHash + LSH near-duplicate pairs: 6 md5-slice minhashes, 3
     * bands of 2, band-equality self-join for candidates, exact Jaccard >=
     * 0.8 verify.
@@ -102,24 +86,31 @@ object SimQ {
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    // ONE pass over the corpus computes everything per doc: the 6 minhash
-    // slices AND the sorted-xxhash64 image of the shingle set used by the
-    // exact verify (|A∩B| is invariant under an injective hash and
+    // ONE native pass over the corpus computes everything per doc
+    // ([[graft.sql.ShingleSignature]]): the 6 minhash slices (one-permutation
+    // style — md5 runs ONCE per shingle, the "permutations" are disjoint
+    // 5-hex slices) AND the sorted-xxhash64 image of the shingle set used by
+    // the exact verify (|A∩B| is invariant under an injective hash and
     // |A∪B| = |A|+|B|−|A∩B|, so Jaccard matches the oracle's string-set
     // arithmetic exactly). Only this compact projection is persisted — the
-    // shingle strings themselves never enter the cache or a shuffle.
-    val base = withSigs(withGrams(spark, dir).select(col("doc_id"), col("grams")))
-      .withColumn("hset", sort_array(expr("transform(grams, g -> xxhash64(g))")))
-      .withColumn("n_grams", size(col("grams")).cast("double"))
-      .drop("grams")
+    // shingle strings themselves never enter the cache or a shuffle, and the
+    // tokenize→shingle→hash→min/sort pipeline is one tight JVM loop per row
+    // instead of ~10 interpreted HOF passes (value-equivalence vs the HOF
+    // formulation pinned by SqlExprSpec).
+    // The signature stays ONE struct column through the persist boundary so
+    // the expression is guaranteed to run once per row (cache fill); band
+    // and verify branches read fields out of the cached struct.
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.shingle_signature(col("text")).as("sig"))
       .persist()
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the
     // shuffle; both self-join sides re-derive them from the cached base
     val bands = base.select(col("doc_id"), explode(array(
-      struct(lit(1).as("band_id"), concat_ws("|", col("s1"), col("s2")).as("band_key")),
-      struct(lit(2).as("band_id"), concat_ws("|", col("s3"), col("s4")).as("band_key")),
-      struct(lit(3).as("band_id"), concat_ws("|", col("s5"), col("s6")).as("band_key"))
+      struct(lit(1).as("band_id"), concat_ws("|", col("sig.s1"), col("sig.s2")).as("band_key")),
+      struct(lit(2).as("band_id"), concat_ws("|", col("sig.s3"), col("sig.s4")).as("band_key")),
+      struct(lit(3).as("band_id"), concat_ws("|", col("sig.s5"), col("sig.s6")).as("band_key"))
     )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
 
     val cand = bands.as("x").join(bands.as("y"),
@@ -129,10 +120,10 @@ object SimQ {
       .distinct()
 
     val out = cand
-      .join(base.select(col("doc_id").as("id_a"), col("hset").as("hs_a"),
-        col("n_grams").as("n_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("hset").as("hs_b"),
-        col("n_grams").as("n_b")), "id_b")
+      .join(base.select(col("doc_id").as("id_a"), col("sig.hset").as("hs_a"),
+        col("sig.n_grams").cast("double").as("n_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sig.hset").as("hs_b"),
+        col("sig.n_grams").cast("double").as("n_b")), "id_b")
       .withColumn("inter",
         graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))

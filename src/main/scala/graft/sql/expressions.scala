@@ -345,7 +345,7 @@ final case class ShingleSignature(child: Expression)
     new GenericInternalRow(out)
   }
 
-  override protected def withNewChildrenInternal(newChild: Expression): ShingleSignature =
+  override protected def withNewChildInternal(newChild: Expression): ShingleSignature =
     copy(child = newChild)
 }
 

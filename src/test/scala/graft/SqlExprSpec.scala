@@ -119,6 +119,63 @@ class SqlExprSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 0L, 0L))
   }
 
+  test("shingle_signature: value-equivalent to the composable HOF formulation") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox",
+      "repeat repeat repeat repeat",       // duplicate shingles collapse
+      "single",                            // < 2 tokens => gram = whole text
+      "",                                  // empty => [""]
+      "a  b",                              // empty token from double space
+      "trailing space ",                   // split keeps trailing empty
+      null
+    ).toDF("text")
+    // the exact HOF pipeline shingle_signature replaces (SimQ round-4 shape)
+    val hof = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 2 THEN array(text)
+          |ELSE array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+          |END""".stripMargin))
+      .withColumn("hs", expr("transform(grams, g -> md5(g))"))
+    val hofSigs = (1 to 6).foldLeft(hof) { (d, i) =>
+      d.withColumn(s"e$i",
+        expr(s"array_min(transform(hs, h -> substring(h, ${1 + (i - 1) * 5}, 5)))"))
+    }
+      .withColumn("e_hset", sort_array(expr("transform(grams, g -> xxhash64(g))")))
+      .withColumn("e_n", size(col("grams")).cast("long"))
+    val rows = hofSigs
+      .withColumn("sig", shingle_signature(col("text")))
+      .select(Seq(col("text"), col("sig"), col("e_hset"), col("e_n")) ++
+        (1 to 6).map(i => col(s"e$i")): _*)
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "null text => null signature")
+      else {
+        val sig = r.getStruct(1)
+        assert(sig.getSeq[Long](0) == r.getSeq[Long](2), s"hset mismatch for '${r.getString(0)}'")
+        assert(sig.getLong(1) == r.getLong(3), s"n_grams mismatch for '${r.getString(0)}'")
+        (1 to 6).foreach { i =>
+          assert(sig.getString(1 + i) == r.getString(3 + i),
+            s"s$i mismatch for '${r.getString(0)}'")
+        }
+      }
+    }
+  }
+
+  test("shingle_signature callable from spark.sql") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_signature('a b c').n_grams AS n, shingle_signature('a b c').s1 AS s1")
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getString(1).length == 5)
+  }
+
   test("vec_dot/sorted_intersect_count callable from spark.sql (lambda-visible)") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val r = spark.sql(
