@@ -180,6 +180,21 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   def coalesce(n: Int): DataView[D] = wrap(dataset.coalesce(n))
   def repartition(n: Int): DataView[D] = wrap(dataset.repartition(n))
 
+  /** Widen partition count by `factor` WITHOUT a shuffle (narrow round-robin
+    * slices — [[graft.scale.NarrowDisperseRDD]], reference
+    * NarrowDispersedRDD). The fetch-concurrency fix for a narrow seed list:
+    * a frontier read as 1-2 partitions caps agent parallelism at 1-2 tasks,
+    * and `disperse(k).fetch(...)` buys k-way parallelism for the price of
+    * re-reading the (tiny, or cached) upstream iterator per slice — no
+    * exchange, no driver barrier. Prefer `repartition` for wide uncached
+    * parents.
+    */
+  def disperse(factor: Int): DataView[D] = {
+    implicit val ct: ClassTag[D] = enc.clsTag
+    wrap(dataset.sparkSession.createDataset(
+      graft.scale.NarrowDisperseRDD(dataset.rdd, factor)))
+  }
+
   def persist(): DataView[D] = { dataset.persist(); this }
   def cache(): DataView[D] = persist()
   def unpersist(): DataView[D] = { dataset.unpersist(); this }

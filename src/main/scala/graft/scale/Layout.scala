@@ -1,5 +1,9 @@
 package graft.scale
 
+import scala.reflect.ClassTag
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +39,47 @@ object Layout {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
+}
+
+/** Locality-preserving cogroup (reference IndexingLocalityImpl,
+  * utils/locality/IndexingLocalityImpl.scala:28-100 — SURVEY §4 #6): join a
+  * LARGE in-place left side with a right side by moving ONLY the right.
+  * An index of left's keys → hosting partition is aggregated to the driver
+  * (keys only, never values — the same bound as the reference's
+  * treeAggregate map), broadcast as a custom Partitioner, the right side is
+  * shuffled BY THAT MAP, and the two are `zipPartitions`-cogrouped. The
+  * left side — the expensive one, e.g. fetched trajectories pinned where
+  * their doc-cache entries live — never serializes, never moves.
+  *
+  * Use when left's KEY SET fits comfortably on the driver (frontier /
+  * beacon-scale keys, not data). Right-only keys fall back to hash
+  * placement so full cogroup semantics hold.
+  */
+object Locality {
+
+  def cogroupKeepLeft[K: ClassTag, V: ClassTag, W: ClassTag](
+      left: RDD[(K, V)], right: RDD[(K, W)]): RDD[(K, (Seq[V], Seq[W]))] = {
+    val n = left.getNumPartitions
+    val keyToPart: Map[K, Int] = left
+      .mapPartitionsWithIndex((i, it) => it.map { case (k, _) => (k, i) },
+        preservesPartitioning = true)
+      .treeAggregate(Map.empty[K, Int])(_ + _, _ ++ _)
+    val index = left.sparkContext.broadcast(keyToPart)
+    val byLeftPlacement = new Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int =
+        index.value.getOrElse(key.asInstanceOf[K], math.floorMod(key.hashCode, n))
+    }
+    left.zipPartitions(right.partitionBy(byLeftPlacement),
+      preservesPartitioning = true) { (lit, rit) =>
+      val ls = lit.toVector.groupBy(_._1)
+      val rs = rit.toVector.groupBy(_._1)
+      (ls.keySet ++ rs.keySet).iterator.map { k =>
+        (k, (ls.getOrElse(k, Vector.empty).map(_._2),
+          rs.getOrElse(k, Vector.empty).map(_._2)))
+      }
+    }
+  }
 }
 
 /** Skew mitigation: salt a hot-keyed fact side so one key's rows spread over

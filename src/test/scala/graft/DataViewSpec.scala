@@ -37,6 +37,25 @@ class DataViewSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(v.coalesce(1).dataset.rdd.getNumPartitions == 1)
   }
 
+  test("disperse widens partitions without shuffle, rows intact") {
+    import spark.implicits._
+    val narrow = ctx.create((1 to 40).toSeq, numSlices = 1)
+    assert(narrow.dataset.rdd.getNumPartitions == 1)
+    val wide = narrow.disperse(8)
+    val rdd = wide.dataset.rdd
+    // no ShuffleDependency between the view's top and the disperse step
+    // (create(numSlices=1) legitimately shuffles UPSTREAM of it)
+    def narrowDownToDisperse(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.isInstanceOf[graft.scale.NarrowDisperseRDD[_]] ||
+        (r.dependencies.nonEmpty && r.dependencies.forall {
+          case _: org.apache.spark.ShuffleDependency[_, _, _] => false
+          case d => narrowDownToDisperse(d.rdd)
+        })
+    assert(narrowDownToDisperse(rdd), "disperse must reach the view top shuffle-free")
+    assert(rdd.getNumPartitions == 8)
+    assert(wide.collect().sorted == (1 to 40))
+  }
+
   test("flatMap honors conf downsampling at the fan-out") {
     import spark.implicits._
     val limited = new GraftContext(spark, GraftConf(downSampling = DownSampling.FirstN(2)))

@@ -94,4 +94,68 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("key") === 1).select("_salt").distinct().count()
     assert(saltsUsed == n)
   }
+
+  test("NarrowDisperseRDD: factor x partitions, balanced, shuffle-free, element-preserving") {
+    import graft.scale.NarrowDisperseRDD
+    val sc = spark.sparkContext
+    val parent = sc.parallelize(1 to 1000, 2)
+    val factor = 8
+    val d = NarrowDisperseRDD(parent, factor)
+    assert(d.getNumPartitions == 2 * factor)
+    // narrow: the ONLY dependency is a NarrowDependency straight to parent
+    assert(d.dependencies.forall(_.isInstanceOf[org.apache.spark.NarrowDependency[_]]))
+    // no shuffle anywhere in the job it runs
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val collected = d.collect()
+      assert(collected.sorted.toSeq == (1 to 1000))
+      // balanced round-robin slices: each child partition within 1 row of even
+      val sizes = d.mapPartitions(it => Iterator.single(it.size)).collect()
+      assert(sizes.length == 16 && sizes.forall(s => s >= 62 && s <= 63), sizes.toSeq.toString)
+      // listener bus is async; settle like the FetchExecSpec shuffle specs do
+      var last = -1L
+      var spins = 0
+      while (spins < 50 && (stages.get() < 1 || shuffled.get() != last)) {
+        last = shuffled.get(); Thread.sleep(200); spins += 1
+      }
+      assert(stages.get() >= 1 && shuffled.get() == 0,
+        s"disperse must not shuffle (wrote ${shuffled.get()} bytes)")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("Locality.cogroupKeepLeft == cogroup; left rows stay on their original partition") {
+    import graft.scale.Locality
+    val sc = spark.sparkContext
+    val left = sc.parallelize((1 to 100).map(k => (k, s"L$k")), 4)
+    // right: two rows per shared key, plus keys absent from left
+    val right = sc.parallelize(
+      (1 to 100).flatMap(k => Seq((k, s"Ra$k"), (k, s"Rb$k"))) ++
+        Seq((500, "orphan1"), (501, "orphan2")), 3)
+    val got = Locality.cogroupKeepLeft(left, right)
+    assert(got.getNumPartitions == left.getNumPartitions)
+    // the cogroup step itself is narrow on BOTH sides (the only shuffle in
+    // the lineage is right.partitionBy, upstream of the zip)
+    assert(got.dependencies.forall(_.isInstanceOf[org.apache.spark.NarrowDependency[_]]))
+    val expect = left.cogroup(right)
+      .mapValues { case (vs, ws) => (vs.toSet, ws.toSet) }.collect().toMap
+    val actual = got.mapValues { case (vs, ws) => (vs.toSet, ws.toSet) }.collect().toMap
+    assert(actual == expect)
+    // co-location: each left key's output partition == its input partition
+    val leftPlacement = left
+      .mapPartitionsWithIndex((i, it) => it.map { case (k, _) => (k, i) }).collect().toMap
+    val outPlacement = got
+      .mapPartitionsWithIndex((i, it) => it.map { case (k, _) => (k, i) }).collect().toMap
+    leftPlacement.foreach { case (k, p) =>
+      assert(outPlacement(k) == p, s"key $k moved from partition $p to ${outPlacement(k)}")
+    }
+  }
 }
