@@ -92,7 +92,10 @@ object Node {
     val m = mime.toLowerCase
     try {
       lazy val str = new String(content, java.nio.charset.Charset.forName(charset))
-      if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
+      // "officedocument…ml" mimes contain "xml" — dispatch them before markup
+      if (m.contains("officedocument") || m.contains("application/zip"))
+        OfficeNode.parse(content)
+      else if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
       else if (m.contains("pdf")) PdfNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)

@@ -280,7 +280,10 @@ object Mime {
     "json" -> "application/json", "xml" -> "text/xml", "csv" -> "text/csv",
     "txt" -> "text/plain", "md" -> "text/plain",
     "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
-    "gif" -> "image/gif", "pdf" -> "application/pdf"
+    "gif" -> "image/gif", "pdf" -> "application/pdf",
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation"
   )
 
   def sniff(uri: String, content: Array[Byte]): String = {
@@ -290,6 +293,8 @@ object Mime {
       val head = new String(content.take(256), StandardCharsets.UTF_8).trim
       if (content.startsWith(Array[Byte](0x89.toByte, 'P', 'N', 'G'))) "image/png"
       else if (head.startsWith("%PDF")) "application/pdf"
+      // zip magic: could be an OOXML doc — OfficeNode decides by entry names
+      else if (content.startsWith(Array[Byte]('P', 'K', 3, 4))) "application/zip"
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"
