@@ -272,6 +272,61 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q38 — OOXML ingestion: generated .docx fetched + text-extracted
+  // -------------------------------------------------------------------------
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c   => c.toString
+  }
+
+  /** Minimal valid-enough docx: a zip whose word/document.xml holds `text`
+    * as one paragraph run.
+    */
+  private def minimalDocx(text: String): Array[Byte] = {
+    val xml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+        "<w:body><w:p><w:r><w:t xml:space=\"preserve\">" + xmlEscape(text) +
+        "</w:t></w:r></w:p></w:body></w:document>"
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bout)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(xml.getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    z.close()
+    bout.toByteArray
+  }
+
+  /** Every 25th document (offset 7 — disjoint from q37's PDFs) becomes a
+    * .docx on disk; the engine Wgets each one and recovers the text purely
+    * through the Node seam (extension mime sniff → OfficeNode zip walk →
+    * w:t runs, entity-decoded) — the whole OOXML ingestion path under the
+    * DuckDB gate. The oracle reads the source table: extraction must be
+    * LOSSLESS round-tripped through XML escaping.
+    */
+  def q38DocxExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q38")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 7)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.docx",
+          minimalDocx(r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.docx")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "docx_text")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
 
@@ -297,6 +352,7 @@ object EngineQ {
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
     "q37_pdf_extract" -> q37PdfExtract _,
+    "q38_docx_extract" -> q38DocxExtract _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -369,6 +425,9 @@ object EngineQ {
     "q37_pdf_extract" ->
       """SELECT doc_id, trim(text) AS pdf_text
         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+    "q38_docx_extract" ->
+      """SELECT doc_id, text AS docx_text
+        |FROM documents WHERE doc_id % 25 = 7 ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,
