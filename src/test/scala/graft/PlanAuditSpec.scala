@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan red-flag audit as a TEST, not just a tool: every
+  * declarative query's executed plan must be free of the shapes that kill a
+  * 100x scale-up (accidental cartesian products, unpushed filters, scans
+  * that read columns the query never touches). The side-effecting engine
+  * queries (q31-q38: fetch/explore/fixture writes) are audited by the
+  * `runMain graft.Explain` tool instead — building their DataFrames runs
+  * jobs, which doesn't belong in a unit spec.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def declarative: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    graft.queries.Relational.all ++ graft.queries.EventsQ.all ++
+      graft.queries.TextQ.all ++ graft.queries.SimQ.all
+
+  test("no accidental CartesianProduct and no SortMergeJoin in any declarative plan") {
+    declarative.foreach { case (name, f) =>
+      val plan = f(spark, dir).queryExecution.executedPlan.toString
+      // q13 is the cartesian-product OPERATOR itself — everything else that
+      // goes cartesian is a missing join condition
+      if (name != "q13_cross_join")
+        assert(!plan.contains("CartesianProduct"), s"$name went cartesian:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name sort-merge-joins where broadcast/hash was expected:\n$plan")
+    }
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val q01 = graft.queries.Relational.all("q01_scan_filter")(spark, dir)
+    val s01 = q01.queryExecution.executedPlan.toString
+    assert(s01.contains("PushedFilters: [") && !s01.contains("PushedFilters: []"),
+      s"q01 filter not pushed to parquet:\n$s01")
+
+    val q20 = graft.queries.TextQ.all("q20_token_stats")(spark, dir)
+    val s20 = q20.queryExecution.executedPlan.toString
+    val readSchema = s20.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // token stats touch doc_id + text; reading lang/url/etc. would be a
+    // pruning failure that multiplies scan bytes at corpus scale
+    assert(readSchema.nonEmpty && !readSchema.contains("lang") && !readSchema.contains("url"),
+      s"q20 reads more columns than it uses: $readSchema")
+  }
+}
