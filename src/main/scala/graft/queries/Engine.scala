@@ -344,6 +344,48 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q41 — media ingestion: real PNG/WAV files through the binaryFile source
+  // -------------------------------------------------------------------------
+
+  /** Every 10th document (offset 3) becomes a REAL grayscale PNG (correct
+    * CRCs, zlib IDAT) whose dimensions derive from doc_id; every 10th
+    * (offset 6) a canonical PCM WAV whose rate/sample count derive from
+    * doc_id. The query ingests the whole directory through Spark's
+    * `binaryFile` datasource — the bulk path for media corpora: distributed
+    * file listing, payload bytes batched per partition (never shuffled;
+    * metadata is extracted first), and path/length predicates prunable at
+    * the source (`pathGlobFilter`, pushed filters). Container metadata is
+    * then recovered by the REAL header parsers ([[Multimodal.Probe]] —
+    * magic-byte dispatch, not filename trust), and the oracle predicts
+    * every field from the id formulas alone: the parse must round-trip the
+    * synthesized containers exactly.
+    */
+  def q41MediaIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q41")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 6)
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 3)
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.png",
+            Multimodal.Synth.png((1 + id % 16).toInt, (1 + id % 9).toInt, id))
+        else
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.wav",
+            Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
+      }
+    }
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(fix)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
+        col("content").as("media"), lit("application/octet-stream").as("mime"))
+    Multimodal.probeMeta(files.as[Multimodal.MediaRow]).toDF()
+      .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
+        col("bit_depth"), col("n_channels"), col("sample_rate"), col("n_samples"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -353,6 +395,7 @@ object EngineQ {
     "q36_embed_neardup" -> q36EmbedNearDup _,
     "q37_pdf_extract" -> q37PdfExtract _,
     "q38_docx_extract" -> q38DocxExtract _,
+    "q41_media_ingest" -> q41MediaIngest _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -428,6 +471,20 @@ object EngineQ {
     "q38_docx_extract" ->
       """SELECT doc_id, text AS docx_text
         |FROM documents WHERE doc_id % 25 = 7 ORDER BY doc_id""".stripMargin,
+    "q41_media_ingest" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(1 + doc_id % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 9 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth, CAST(1 AS INT) AS n_channels,
+        |  CAST(-1 AS INT) AS sample_rate, CAST(-1 AS BIGINT) AS n_samples
+        |FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT doc_id, 'wav', CAST(-1 AS INT), CAST(-1 AS INT),
+        |  CAST(16 AS INT), CAST(1 AS INT),
+        |  CAST(8000 + 100 * (doc_id % 5) AS INT),
+        |  CAST(500 + doc_id % 100 AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 6
+        |ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,

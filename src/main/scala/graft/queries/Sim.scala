@@ -138,6 +138,79 @@ object SimQ {
     out
   }
 
+  /** q39 — near-duplicate GROUPS: the transitive closure of q26's verified
+    * pairs via distributed connected components ([[graft.llm.Dedup]],
+    * large-star/small-star). Output: one row per doc incident to a near-dup
+    * pair, labeled with the minimum doc_id of its group — the canonical
+    * "keeper" assignment a dedup pipeline acts on. Groups genuinely chain in
+    * this corpus (sizes 3-4 appear at sf0.1), so pair output alone
+    * under-deduplicates: A~B, B~C with no A~C pair must still collapse to
+    * one keeper.
+    *
+    * 100 TB shape: the CC loop shuffles only (long, long) edges — corpus
+    * text never enters it — and runs O(log² n) rounds independent of
+    * cluster diameter.
+    */
+  def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q26MinhashLsh(spark, dir).select(col("id_a"), col("id_b"))
+    graft.llm.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val QUALITY_CUT = 0.5
+
+  /** q40 — the flagship corpus-cleaning pipeline, composed end-to-end:
+    * quality scoring (q21's formula) → near-dup grouping restricted to the
+    * quality-passing subcorpus (q26 pairs → q39 components) → keeper
+    * selection (min doc_id per group) → per-language survivor stats. This is
+    * the standard pretraining-data order: filter first so junk can't be a
+    * dedup keeper, then collapse near-dup groups to one representative.
+    * Exact dedup (q24) is subsumed: byte-identical docs share all LSH bands
+    * and verify at jaccard 1.0.
+    *
+    * 100 TB shape: quality is a pure column expression on the scan; the
+    * pair-endpoint filter is two semi-joins against the (tiny, checkpointed)
+    * pair list — AQE broadcasts the pair side; the CC loop shuffles longs;
+    * the final aggregate is a groupBy on a low-cardinality key.
+    */
+  def q40CorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(
+        s"size(filter(toks, t -> t IN (${TextQ.STOPWORDS.map(s => s"'$s'").mkString(", ")})))"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+
+    val passIds = docs.filter(col("quality") >= QUALITY_CUT).select(col("doc_id"))
+    val pairs = q26MinhashLsh(spark, dir).select(col("id_a"), col("id_b"))
+      .join(passIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(passIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+    val comp = graft.llm.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+
+    val status = when(col("quality") < QUALITY_CUT, "quality")
+      .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), "near_dup")
+      .otherwise("kept")
+    // shuffle-hash, not sort-merge: the comp side (near-dup members only) is
+    // far smaller than the corpus but can still be billions of rows at
+    // 100 TB, so broadcast is wrong; hash-build on the small side skips both
+    // sorts. AQE still upgrades to broadcast when comp is actually tiny.
+    docs.join(comp.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .withColumn("status", status)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("status") === "quality", 1L).otherwise(0L)).as("n_dropped_quality"),
+        sum(when(col("status") === "near_dup", 1L).otherwise(0L)).as("n_dropped_dup"),
+        sum(when(col("status") === "kept", col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   private val SIM_BITS = 16
 
   /** q27 — SimHash document fingerprint: bit b = sign of the sum over
@@ -216,6 +289,8 @@ object SimQ {
     "q28_cosine_pairs"  -> q28CosinePairs _,
     "q29_ann_topk"      -> q29AnnTopK _,
     "q30_label_stats"   -> q30LabelStats _,
+    "q39_neardup_groups" -> q39NeardupGroups _,
+    "q40_corpus_clean"   -> q40CorpusClean _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -234,6 +309,51 @@ object SimQ {
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
 
+  /** The q26 near-dup pair pipeline as a reusable CTE chain (ends in
+    * `pairs(id_a, id_b)` with unrounded jaccard available in `j`); shared by
+    * the q26/q39/q40 oracles so all three gates pin the SAME pair semantics.
+    */
+  private val PAIRS_CTES =
+    s"""g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents),
+       |s AS (SELECT doc_id, grams,
+       |    $SIG_SQL
+       |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band_id, s1 || '|' || s2 AS band_key FROM s
+       |  UNION ALL SELECT doc_id, 2, s3 || '|' || s4 FROM s
+       |  UNION ALL SELECT doc_id, 3, s5 || '|' || s6 FROM s),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+       |    len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+       |  FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b),
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8)""".stripMargin
+
+  /** Transitive closure of an edge CTE named `eset(id_a, id_b)` → per-node
+    * minimum reachable id, as recursive-CTE SQL (DuckDB recursive UNION
+    * dedups, so the closure terminates).
+    */
+  private val CLOSURE_CTES =
+    """edges AS (
+      |  SELECT id_a AS esrc, id_b AS edst FROM eset
+      |  UNION SELECT id_b, id_a FROM eset),
+      |nodes AS (SELECT DISTINCT esrc AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.edst AS r FROM reach JOIN edges e ON e.esrc = reach.r),
+      |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private val QUALITY_SQL =
+    """round(least(1.0, round(len(list_filter(string_split(text, ' '),
+      |  t -> t IN ('the', 'a', 'of', 'to', 'in'))) * 1.0 /
+      |  len(string_split(text, ' ')), 4) * 2 +
+      |  len(string_split(text, ' ')) / 100.0), 4)""".stripMargin.replace("\n", " ")
+
   val oracles: Map[String, String] = Map(
     "q25_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
@@ -243,25 +363,37 @@ object SimQ {
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin,
     "q26_minhash_lsh" ->
-      s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents),
-         |s AS (SELECT doc_id, grams,
-         |    $SIG_SQL
-         |  FROM g),
-         |bands AS (
-         |  SELECT doc_id, 1 AS band_id, s1 || '|' || s2 AS band_key FROM s
-         |  UNION ALL SELECT doc_id, 2, s3 || '|' || s4 FROM s
-         |  UNION ALL SELECT doc_id, 3, s5 || '|' || s6 FROM s),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |    len(list_intersect(ga.grams, gb.grams)) * 1.0 /
-         |    len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
-         |  FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b)
+      s"""WITH $PAIRS_CTES
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM j
          |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q39_neardup_groups" ->
+      s"""WITH RECURSIVE $PAIRS_CTES,
+         |eset AS (SELECT id_a, id_b FROM pairs),
+         |$CLOSURE_CTES
+         |SELECT id AS doc_id, comp AS group_id FROM comp ORDER BY doc_id""".stripMargin,
+    "q40_corpus_clean" ->
+      s"""WITH RECURSIVE $PAIRS_CTES,
+         |q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         |    $QUALITY_SQL AS quality
+         |  FROM documents),
+         |pass AS (SELECT doc_id FROM q WHERE quality >= 0.5),
+         |eset AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE id_a IN (SELECT doc_id FROM pass)
+         |    AND id_b IN (SELECT doc_id FROM pass)),
+         |$CLOSURE_CTES,
+         |f AS (
+         |  SELECT q.lang, q.n_tokens,
+         |    CASE WHEN q.quality < 0.5 THEN 'quality'
+         |         WHEN c.id IS NOT NULL AND c.comp <> q.doc_id THEN 'near_dup'
+         |         ELSE 'kept' END AS status
+         |  FROM q LEFT JOIN comp c ON c.id = q.doc_id)
+         |SELECT lang,
+         |  (count(*) FILTER (WHERE status = 'kept'))::BIGINT AS n_kept,
+         |  (count(*) FILTER (WHERE status = 'quality'))::BIGINT AS n_dropped_quality,
+         |  (count(*) FILTER (WHERE status = 'near_dup'))::BIGINT AS n_dropped_dup,
+         |  coalesce(sum(n_tokens) FILTER (WHERE status = 'kept'), 0)::BIGINT AS tokens_kept
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q27_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h

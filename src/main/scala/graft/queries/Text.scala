@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQ {
 
-  private val STOPWORDS = Seq("the", "a", "of", "to", "in")
+  private[queries] val STOPWORDS = Seq("the", "a", "of", "to", "in")
 
   /** q20 — token counting: whitespace tokens + distinct tokens + byte len. */
   def q20TokenStats(spark: SparkSession, dir: String): DataFrame =

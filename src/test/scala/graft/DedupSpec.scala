@@ -1,0 +1,100 @@
+package graft
+
+import graft.llm.Dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Distributed connected components (large-star/small-star) specs: union-find
+  * oracle on random graphs, O(log n) round bound on chains (the case where
+  * naive label propagation needs n rounds), canonicalization edge cases.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  private def edgeDf(edges: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** Local union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // min-id labeling
+    val keys = parent.keys.toSeq
+    val byRoot = keys.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edgeDf(edges), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graphs match a union-find oracle (min-id component labels)") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 100 + trial * 30
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(run(edges) == ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("chain of 256 nodes collapses to one component in O(log n) rounds") {
+    val chain = (0L until 255L).map(i => (i, i + 1))
+    val (df, rounds) = Dedup.connectedComponentsWithStats(edgeDf(chain), "src", "dst")
+    val comps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 256 && comps.values.forall(_ == 0L))
+    // naive min-label propagation would need ~255 rounds here; the star
+    // operators are logarithmic (paper bound O(log^2 n), observed ~log n)
+    assert(rounds <= 12, s"took $rounds rounds")
+  }
+
+  test("self-loops, duplicate and reversed edges canonicalize away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 1L), (3L, 3L), (4L, 5L))
+    val comps = run(edges)
+    // node 3 only ever appears in a self-loop => isolated => absent
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("empty edge list yields an empty result") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
+  test("disjoint stars are already a fixpoint (single round to detect)") {
+    val stars = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (10L, 12L))
+    val (df, rounds) = Dedup.connectedComponentsWithStats(edgeDf(stars), "src", "dst")
+    val comps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(rounds == 1, s"took $rounds rounds")
+  }
+
+  test("q39/q40 semantics: groups chain transitively and keepers are group minima") {
+    // A~B, B~C with no A~C edge: one group, keeper = min
+    val comps = run(Seq((7L, 3L), (7L, 9L)))
+    assert(comps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.llm.Multimodal
+import graft.llm.Multimodal.{MediaRow, Probe, Synth}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real media-container parsing specs. The synthesized PNG/WAV are validated
+  * with the JDK's OWN decoders (ImageIO / AudioSystem) — independent
+  * implementations — so the fixtures q41 ingests are genuinely valid
+  * containers, not merely bytes our parser happens to accept; then the
+  * header parsers are pinned against handcrafted JPEG/GIF/BMP headers and
+  * corrupt-input fallbacks.
+  */
+class MediaSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  test("Synth.png is a real PNG: the JDK decoder accepts it and pixels match the formula") {
+    val (w, h, seed) = (13, 7, 42L)
+    val bytes = Synth.png(w, h, seed)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = img.getRaster.getSample(x, y, 0)
+      assert(gray == ((seed + 31L * y + x) & 0xff).toInt, s"pixel ($x,$y)")
+    }
+  }
+
+  test("Synth.wav is a real WAV: the JDK audio system reads format and frame count") {
+    val bytes = Synth.wav(11025, 777, 9L)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 11025f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == 777L)
+  }
+
+  test("Probe round-trips Synth containers (png dims/depth/channels, wav rate/samples)") {
+    val p = Probe.probe(Synth.png(640, 360, 1L))
+    assert(p.format == "png" && p.width == 640 && p.height == 360 &&
+      p.bit_depth == 8 && p.n_channels == 1 && p.sample_rate == -1)
+    val a = Probe.probe(Synth.wav(16000, 1234, 2L))
+    assert(a.format == "wav" && a.sample_rate == 16000 && a.n_samples == 1234L &&
+      a.bit_depth == 16 && a.n_channels == 1 && a.width == -1)
+  }
+
+  test("JPEG SOF parsing: walks past APP segments to the frame header") {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10); (0 until 14).foreach(_ => out.write(0)) // APP0 len 16
+    b(0xff, 0xdb, 0x00, 0x04, 0x00, 0x00) // DQT len 4
+    // SOF0: len 17, precision 8, height 1080, width 1920, 3 components
+    b(0xff, 0xc0, 0x00, 0x11, 0x08, 0x04, 0x38, 0x07, 0x80, 0x03)
+    (0 until 9).foreach(_ => out.write(0))
+    val m = Probe.probe(out.toByteArray)
+    assert(m.format == "jpeg" && m.width == 1920 && m.height == 1080 &&
+      m.bit_depth == 8 && m.n_channels == 3)
+  }
+
+  test("GIF and BMP header parsing") {
+    val gif = "GIF89a".getBytes ++ Array[Byte](
+      0x40, 0x01, // width 320 LE
+      0xc8.toByte, 0x00, // height 200 LE
+      0x70, 0x00, 0x00) // flags: color resolution (7>>4 &7)+1 = 8
+    val g = Probe.probe(gif ++ new Array[Byte](8))
+    assert(g.format == "gif" && g.width == 320 && g.height == 200 && g.bit_depth == 8)
+
+    val bmp = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(800).putInt(-600) // negative height = top-down
+    bmp.putShort(1).putShort(24)
+    val m = Probe.probe(bmp.array())
+    assert(m.format == "bmp" && m.width == 800 && m.height == 600 &&
+      m.bit_depth == 24 && m.n_channels == 3)
+  }
+
+  test("corrupt and truncated containers degrade to raw, never throw") {
+    val truncPng = Synth.png(4, 4, 0L).take(20) // signature ok, IHDR cut off
+    assert(Probe.probe(truncPng).format == "raw")
+    assert(Probe.probe(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00)).format == "raw")
+    assert(Probe.probe("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).format == "raw")
+    assert(Probe.probe(Array.emptyByteArray).format == "raw")
+    assert(Probe.probe("just some text".getBytes).format == "raw")
+  }
+
+  test("probeMeta: per-partition batch contract preserves ids and dispatches by magic") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      MediaRow(1L, Synth.png(3, 2, 1L), "application/octet-stream"),
+      MediaRow(2L, Synth.wav(8000, 100, 2L), "application/octet-stream"),
+      MediaRow(3L, "not media".getBytes, "application/octet-stream"))
+    val out = Multimodal.probeMeta(rows.toDS().repartition(2))
+      .collect().map(m => m.id -> m.format).toMap
+    assert(out == Map(1L -> "png", 2L -> "wav", 3L -> "raw"))
+  }
+}

@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * that read columns the query never touches). The side-effecting engine
   * queries (q31-q38: fetch/explore/fixture writes) are audited by the
   * `runMain graft.Explain` tool instead — building their DataFrames runs
-  * jobs, which doesn't belong in a unit spec.
+  * jobs, which doesn't belong in a unit spec. (q39/q40 DO run their small
+  * connected-components loop during construction — intentional: the loop is
+  * milliseconds at sf0.001 and the audited final plan still pins the
+  * join/aggregate shapes downstream of the checkpointed loop output.)
   */
 class PlanAuditSpec extends AnyFunSuite {
 
