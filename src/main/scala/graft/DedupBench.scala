@@ -1,0 +1,80 @@
+package graft
+
+import graft.llm.Dedup
+
+import org.apache.spark.sql.SparkSession
+
+/** Connected-components scale-stress: an N-edge similarity graph built from
+  * the three shapes that matter at corpus scale —
+  *   - mega-clusters (mirror-site dup farms): dense stars, the skew case
+  *   - long chains (drifting boilerplate, doc i ~ doc i±1): the
+  *     diameter-adversarial case where naive label propagation needs
+  *     O(chain length) rounds but large-star/small-star stays logarithmic
+  *   - random pairs (background near-dup noise)
+  * Asserts component counts/labels against closed-form expectations (each
+  * shape's min-id labeling is predictable), prints one JSON line with round
+  * count and edges/sec.
+  *
+  * `GRAFT_DEDUP_EDGES=2000000 sbt "runMain graft.DedupBench"`
+  */
+object DedupBench {
+
+  def main(args: Array[String]): Unit = {
+    val nEdges = sys.env.getOrElse("GRAFT_DEDUP_EDGES", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Thirds; node-id spaces are disjoint so expectations stay closed-form.
+    val third = nEdges / 3
+    val CHAIN_LEN = 100000L // each chain: 100k nodes strung end to end
+    val STAR_SIZE = 10000L  // each cluster: one hub, 10k members
+
+    val chains = spark.range(third).map { i =>
+      val chain = i / (CHAIN_LEN - 1)                  // which chain
+      val off = i % (CHAIN_LEN - 1)                    // position in chain
+      val base = 1000000000L + chain * CHAIN_LEN
+      (base + off, base + off + 1)
+    }
+    val stars = spark.range(third).map { i =>
+      val cluster = i / (STAR_SIZE - 1)
+      val off = i % (STAR_SIZE - 1)
+      val base = 2000000000L + cluster * STAR_SIZE
+      (base, base + 1 + off)
+    }
+    val rand = spark.range(nEdges - 2 * third).map { i =>
+      // xorshift-ish deterministic scatter over a 10M-node space
+      val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 41
+      val b = (i * 2862933555777941757L + 3037000493L) >>> 41
+      (3000000000L + (a % 10000000L), 3000000000L + (b % 10000000L))
+    }
+    val edges = chains.union(stars).union(rand).toDF("src", "dst")
+
+    val t0 = System.nanoTime()
+    val (comps, rounds) = Dedup.connectedComponentsWithStats(edges, "src", "dst")
+    // closed-form golden for the structured thirds: every chain/star node
+    // must label to its chain/star minimum
+    val bad = comps
+      .filter($"id" < 3000000000L)
+      .filter(
+        ($"id" >= 2000000000L && $"comp" =!= ($"id" - (($"id" - 2000000000L) % STAR_SIZE))) ||
+        ($"id" < 2000000000L && $"comp" =!= ($"id" - (($"id" - 1000000000L) % CHAIN_LEN))))
+      .count()
+    val nComps = comps.select("comp").distinct().count()
+    val nNodes = comps.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(bad == 0L, s"$bad structured nodes mislabeled")
+
+    val json =
+      s"""{"metric":"dedup_cc","edges":$nEdges,"nodes":$nNodes,"components":$nComps,""" +
+        s""""rounds":$rounds,"sec":${f"$sec%.2f"},"edges_per_sec":${(nEdges / sec).toLong}}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -181,4 +181,63 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH — the bucketed ANN alternative to IVF
+  // -------------------------------------------------------------------
+
+  /** Tag vectors with an n-bit random-hyperplane signature: bit j =
+    * [dot(v, plane_j) > 0] (the SimHash construction over real vectors).
+    * The planes ARE the index definition — a handful of driver-held
+    * vectors, the same class as IVF's broadcast centroid table — so
+    * tagging is a PURE MAP-SIDE projection over native `vec_dot`: the
+    * corpus never shuffles to acquire its signature, at any scale.
+    */
+  def lshTag(vectors: DataFrame, vecCol: String, sigCol: String,
+             planes: Seq[Array[Float]]): DataFrame = {
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.vec_dot(col(vecCol), typedLit(p.toSeq)) > 0d,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+    vectors.withColumn(sigCol, sig)
+  }
+
+  /** Banded LSH top-k search: candidates are corpus vectors sharing at
+    * least one of the `nBits / bandBits` signature bands with a query;
+    * only candidates are ranked by exact cosine. `bandBits = 0` degrades
+    * to one universal bucket — exact brute force — which anchors the spec
+    * to the q29 oracle. At 100 TB the shape matches MinHash-LSH (q26):
+    * band keys are a few bytes, the band join shuffles ids only, and the
+    * exact-rank join touches candidates, never corpus × queries.
+    *
+    * @param corpus  (vec_id, v, norm, sig)  — tagged by [[lshTag]]
+    * @param queries (q_id, qv, qn, qsig)    — small, broadcast
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame,
+                nBits: Int, bandBits: Int, k: Int): DataFrame = {
+    val nBands = if (bandBits <= 0) 1 else math.max(1, nBits / bandBits)
+    def bands(sigc: Column): Column = array((0 until nBands).map { b =>
+      val key = if (bandBits <= 0) lit(0L)
+      else shiftright(sigc, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }: _*)
+    val cb = corpus
+      .select(col("vec_id"), explode(bands(col("sig"))).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+    val qb = queries
+      .select(col("q_id"), explode(bands(col("qsig"))).as("b"))
+      .select(col("q_id"), col("b.band_id"), col("b.band_key"))
+    val cand = cb.join(broadcast(qb),
+        cb("band_id") === qb("band_id") && cb("band_key") === qb("band_key") &&
+          cb("vec_id") =!= qb("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .withColumn("cosine", round(dot("qv", "v") / (col("qn") * col("norm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

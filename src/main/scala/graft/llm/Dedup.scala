@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components for near-duplicate clustering.
@@ -17,14 +18,23 @@ import org.apache.spark.sql.functions._
   * clusters, e.g. drifting boilerplate where doc i matches only doc i±1),
   * the star operators converge in O(log² n) rounds regardless of shape.
   *
-  * 100 TB design: each round is two aggregate-shuffles keyed by node id over
-  * the edge list; rows are two longs (~16 B each) — the documents themselves
-  * never enter the loop. The edge set only shrinks (both operators map every
-  * edge to one edge or drop it as a self-loop), every round cuts lineage via
-  * `localCheckpoint` so the plan stays O(1) across iterations (same
-  * discipline as [[graft.exec.ExploreExec]]'s level chain), and convergence
-  * is detected from a count+hash signature computed in the SAME pass that
-  * materializes the checkpoint — no extra scan, no driver-side data collect.
+  * Execution shape, tuned like the explore level chain (iterative loops pay
+  * fixed driver cost per materialization, so both the shuffle count per
+  * round and the planning overhead are engineered down):
+  *   - each star phase is ONE hash-shuffle: the per-node neighborhood
+  *     minimum rides a window aggregate over the node key (no groupBy+join
+  *     round trip), and the Tungsten shuffle moves two-long rows (~16 B per
+  *     similarity pair at 100 TB — documents never enter the loop);
+  *   - one `distinct` per round bounds the edge set, which only SHRINKS as
+  *     stars collapse;
+  *   - the loop runs on a CLONED session with AQE off (clone shares the
+  *     SparkContext and cache; concurrent queries on the caller's session
+  *     keep their AQE) — the loop's plans are tiny and fixed, so AQE's
+  *     per-stage materialization barriers are pure driver latency here;
+  *   - every round cuts lineage with a LAZY `localCheckpoint` materialized
+  *     by the same action that computes the convergence signature
+  *     (count + XOR of edge hashes: commutative, overflow-free under ANSI,
+  *     no second scan, no driver-side data collect).
   *
   * Reference analog: none — the reference has no graph operator family. This
   * closes the pairs→groups gap of the training-data-pipeline extensions
@@ -54,59 +64,50 @@ object Dedup {
     */
   def connectedComponentsWithStats(edges: DataFrame, src: String, dst: String,
                                    maxIter: Int = 30): (DataFrame, Int) = {
-    // canonical undirected edge list: u < v, nulls/self-loops dropped
-    val canon0 = edges
-      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val caller = edges.sparkSession
+    val spark = cloneSession(caller)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    // (row count, order-independent xxhash64 XOR) — a fixpoint signature.
-    // Computed on the freshly checkpointed frame, so it doubles as the
-    // materializing action; XOR is commutative (partition-order independent)
-    // and cannot overflow under ANSI mode, and the canonical edge set is
-    // distinct so no hash self-cancels.
+    // canonical undirected edge list: u < v, nulls/self-loops dropped.
+    // Rebound onto the loop session (one narrow pass; schema is two longs).
+    val canonCaller = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+    val canon0 = spark.createDataFrame(canonCaller.rdd, canonCaller.schema).distinct()
+
+    // (row count, order-independent xxhash64 XOR) — the fixpoint signature,
+    // and the action that materializes each round's lazy checkpoint. XOR is
+    // commutative (partition-order independent), cannot overflow under ANSI
+    // mode, and the canonical edge set is distinct so no hash self-cancels.
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    def canonicalize(e: DataFrame): DataFrame =
-      e.filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
+    val byNode = Window.partitionBy("u")
 
     // large-star: every node u attaches each STRICTLY LARGER neighbor to the
-    // minimum of u's closed neighborhood. One shuffle (groupBy u over both
-    // orientations), join back to the oriented edges.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      canonicalize(
-        sym.join(mins, "u")
-          .filter(col("v") > col("u"))
-          .select(col("v").as("a"), col("m").as("b")))
-    }
+    // minimum of u's closed neighborhood. Output (m, v) is canonical (m < v)
+    // by construction — no re-canonicalization needed. One shuffle: the
+    // window over u (the union symmetrization is narrow).
+    def largeStar(e: DataFrame): DataFrame =
+      e.union(e.select(col("v"), col("u")))
+        .withColumn("m", least(min(col("v")).over(byNode), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
 
     // small-star: every node attaches its SMALLER neighbors (and itself) to
-    // the minimum of those. On the canonical (u<v) frame the "big" endpoint
-    // is v, so no symmetrization is needed — one shuffle.
-    def smallStar(e: DataFrame): DataFrame = {
-      val t = e.select(col("v").as("u"), col("u").as("v")) // u = big endpoint
-      val mins = t.groupBy("u").agg(min(col("v")).as("m")) // m < u always
-      canonicalize(
-        t.join(mins, "u")
-          .select(col("v").as("a"), col("m").as("b"))
-          .union(mins.select(col("u").as("a"), col("m").as("b"))))
-    }
+    // the minimum of those. Rows are oriented (big, small), so no
+    // symmetrization; the member and self edges ride one explode so the
+    // window subtree evaluates once. One shuffle + the round's distinct.
+    def smallStar(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .withColumn("m", min(col("v")).over(byNode)) // m < u always
+        .select(col("m").as("u"), explode(array(col("v"), col("u"))).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
 
-    // lazy checkpoints: the signature aggregate is the materializing action,
-    // so each round costs ONE Spark job (checkpoint-fill + convergence check
-    // together), not two — the same fixed-driver-latency discipline as the
-    // explore level chain.
     var cur = canon0.localCheckpoint(eager = false)
     var sig = signature(cur)
     var rounds = 0
@@ -117,13 +118,27 @@ object Dedup {
       rounds += 1
       converged = nextSig == sig
       sig = nextSig
-      cur = next // old checkpoint blocks are ContextCleaner-freed
+      val prev = cur
+      cur = next
+      prev.unpersist(blocking = false) // checkpoint blocks ContextCleaner-freed
     }
 
     // Fixpoint = disjoint stars rooted at each component's minimum: every
-    // canonical edge is (root, member). Roots map to themselves.
+    // canonical edge is (root, member). Roots map to themselves. Handed back
+    // on the CALLER's session (narrow re-wrap over the materialized blocks).
     val comps = cur.select(col("v").as("id"), col("u").as("comp"))
       .union(cur.select(col("u").as("id"), col("u").as("comp")).distinct())
-    (comps, rounds)
+    (caller.createDataFrame(comps.rdd, comps.schema), rounds)
   }
+
+  /** A session sharing this one's SparkContext/caches but with an isolated
+    * SQLConf — `SparkSession.cloneSession()` is `private[sql]` but compiles
+    * to a public method, so call it reflectively (what Structured Streaming
+    * uses internally for the same isolation). Fallback: `newSession()`.
+    */
+  private def cloneSession(spark: SparkSession): SparkSession =
+    try spark.getClass.getMethod("cloneSession").invoke(spark).asInstanceOf[SparkSession]
+    catch {
+      case scala.util.control.NonFatal(_) => spark.newSession()
+    }
 }

@@ -184,6 +184,33 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q42 — LSH ANN (random hyperplanes; the bucketed alternative to q34)
+  // -------------------------------------------------------------------------
+
+  /** 8 deterministic hyperplanes (vectors 20..27 — drawn from the corpus so
+    * the DuckDB oracle can recompute the EXACT signatures from the table
+    * alone), 8-bit signatures in 2 bands of 4, top-10 by exact cosine over
+    * band-sharing candidates. Collecting the 8 plane rows driver-side is an
+    * index-definition fetch (broadcast-dimension class), not a data
+    * collect; signature tagging itself is map-side ([[Ann.lshTag]]).
+    */
+  def q42AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNormE(spark, dir)
+    val planes = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    val corpus = Ann.lshTag(
+      e.select(col("vec_id"), col("v"), col("norm")), "v", "sig", planes)
+    val queries = Ann.lshTag(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+      "qv", "qsig", planes)
+    Ann.lshSearch(corpus, queries, nBits = 8, bandBits = 4, k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------------
   // q36 — embedding-cosine near-duplicate detection, IVF-pruned
   // -------------------------------------------------------------------------
 
@@ -396,6 +423,7 @@ object EngineQ {
     "q37_pdf_extract" -> q37PdfExtract _,
     "q38_docx_extract" -> q38DocxExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
+    "q42_ann_lsh"      -> q42AnnLsh _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -471,6 +499,39 @@ object EngineQ {
     "q38_docx_extract" ->
       """SELECT doc_id, text AS docx_text
         |FROM documents WHERE doc_id % 25 = 7 ORDER BY doc_id""".stripMargin,
+    "q42_ann_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS norm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id - 20 AS plane_id, v AS pv FROM e
+        |      WHERE vec_id >= 20 AND vec_id < 28),
+        |sig AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN ${dotSql("e.v", "p.pv")} > 0
+        |      THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id),
+        |cb AS (
+        |  SELECT vec_id, 0 AS band_id, sig & 15 AS band_key FROM sig
+        |  UNION ALL SELECT vec_id, 1, (sig >> 4) & 15 FROM sig),
+        |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 5),
+        |qb AS (SELECT q_id, band_id, band_key
+        |       FROM cb JOIN qs ON cb.vec_id = qs.q_id),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, cb.vec_id
+        |  FROM cb JOIN qb ON cb.band_id = qb.band_id AND cb.band_key = qb.band_key
+        |  WHERE cb.vec_id <> qb.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(${dotSql("eq.v", "ec.v")} / (eq.norm * ec.norm), 4) AS cosine
+        |  FROM cand JOIN e eq ON eq.vec_id = cand.q_id
+        |            JOIN e ec ON ec.vec_id = cand.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q41_media_ingest" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 16 AS INT) AS width,

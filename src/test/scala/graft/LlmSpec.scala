@@ -126,6 +126,52 @@ class LlmSpec extends AnyFunSuite {
     assert(feats == Map(1L -> 5L, 2L -> 7L))
   }
 
+  /** Raw float corpus + native vec_dot norm — the exact shape q42 uses. */
+  private def embeddedF = spark.read.parquet(s"$sf/embeddings.parquet")
+    .withColumn("norm", sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))))
+    .withColumnRenamed("embedding", "v")
+
+  private def lshPlanes = embeddedF
+    .filter(col("vec_id") >= 20 && col("vec_id") < 28)
+    .select(col("vec_id"), col("v")).collect()
+    .sortBy(_.getLong(0))
+    .map(_.getSeq[Float](1).toArray).toSeq
+
+  test("LSH with bandBits=0 (one universal bucket) == brute-force top-k") {
+    val e = embeddedF
+    val corpus = Ann.lshTag(e.select(col("vec_id"), col("v"), col("norm")), "v", "sig", lshPlanes)
+    val queries = Ann.lshTag(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+      "qv", "qsig", lshPlanes)
+    val lshAll = Ann.lshSearch(corpus, queries, nBits = 8, bandBits = 0, k = 10)
+      .select("q_id", "neighbor_id", "cosine", "rank").collect().map(_.toSeq).toSet
+    val brute = graft.queries.SimQ.q29AnnTopK(spark, sf)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(lshAll == brute)
+  }
+
+  test("LSH banding: every returned neighbor shares at least one signature band") {
+    val e = embeddedF
+    val corpus = Ann.lshTag(e.select(col("vec_id"), col("v"), col("norm")), "v", "sig", lshPlanes)
+    val queries = Ann.lshTag(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")),
+      "qv", "qsig", lshPlanes)
+    val sigs = corpus.select("vec_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Ann.lshSearch(corpus, queries, nBits = 8, bandBits = 4, k = 10)
+      .select("q_id", "neighbor_id").collect()
+    assert(out.nonEmpty)
+    def bandsOf(s: Long) = Seq(s & 15L, (s >> 4) & 15L)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      val shared = bandsOf(sigs(q)).zip(bandsOf(sigs(n))).exists { case (a, b) => a == b }
+      assert(shared, s"neighbor $n of query $q shares no band")
+    }
+  }
+
   test("extraction functions: css/json column DSL") {
     val spark0 = spark
     import spark0.implicits._
