@@ -1,9 +1,9 @@
 package graft.api
 
-import graft.actions.{Mock, Trace, TraceSet}
+import graft.actions.{Mock, Trace, TraceSet, Wget}
 import graft.agent.{DriverFactory, Env}
 import graft.conf.GraftConf
-import graft.doc.{Observation, Trajectory}
+import graft.doc.{Doc, DocUID, Observation, Trajectory}
 import graft.exec.{ExploredRow, ExploreExec, ExploreParams, FetchedRow, FetchExec, Locality, Metrics}
 
 import org.apache.spark.rdd.RDD
@@ -47,6 +47,36 @@ final class GraftContext(
     * SpookyContext.scala:257-261 `createBlank`).
     */
   def createBlank: DataView[Int] = create(Seq(0))(Encoders.scalaInt)
+
+  /** Bulk file ingestion — the corpus-directory path at scale. Every file
+    * under `path` becomes one fetched row through Spark's `binaryFile`
+    * source: DISTRIBUTED listing and partition-sized batching replace
+    * per-URL fetch loops (use [[DataView.fetch]] + [[graft.actions.Wget]]
+    * for per-URI access; use this to ingest a crawl dump or media
+    * directory wholesale). `glob` prunes at LISTING time (`pathGlobFilter`
+    * — unmatched files are never opened); the resulting Doc carries the
+    * file bytes with mime sniffed by extension+magic, so the whole Node
+    * seam (HTML/JSON/CSV/PDF/OOXML/plain/media) applies downstream exactly
+    * as if the file had been Wget-fetched.
+    */
+  def readFiles(path: String, glob: Option[String] = None,
+                recursive: Boolean = false): FetchedView[String] = {
+    var reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    if (recursive) reader = reader.option("recursiveFileLookup", "true")
+    val files = reader.load(path)
+      .selectExpr("path", "CAST(modificationTime AS LONG) AS mtime", "content")
+      .as[(String, Long, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.BINARY))
+    implicit val enc: Encoder[FetchedRow[String]] = Encoders.kryo[FetchedRow[String]]
+    val rows = files.map { case (uri, mtimeSec, bytes) =>
+      val t = Trace.of(Wget(uri))
+      val doc = Doc(DocUID(t.cacheKey), uri, bytes,
+        declaredMime = None, status = 200, timestampMillis = mtimeSec * 1000L)
+      FetchedRow(uri, t.cacheKey, t, Trajectory(Seq(doc)))
+    }
+    new FetchedView(rows, this)
+  }
 
   /** Rows with pre-canned observations, no network — the test seam
     * (reference row/BuildRow.scala:8-63 + actions/Mock.scala).
