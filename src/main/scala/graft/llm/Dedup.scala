@@ -110,6 +110,14 @@ object Dedup {
 
     var cur = canon0.localCheckpoint(eager = false)
     var sig = signature(cur)
+    // Size the loop's shuffle exactly ONCE from the initial edge count (the
+    // signature already computed it — no extra job): AQE would do this per
+    // stage, but its materialization barriers are driver latency the loop
+    // pays every round; a fixed size is safe because the edge set only
+    // shrinks. ~50k two-long rows per partition, capped at 4x parallelism.
+    val loopParts = math.max(1L, math.min(sig._1 / 50000L + 1L,
+      spark.sparkContext.defaultParallelism.toLong * 4L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {

@@ -92,12 +92,56 @@ object TextQ {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper_id"))
 
+  /** q43 — BPE-ish subword token counting: regex word segmentation
+    * (`[A-Za-z0-9]+` runs — identical in Java and RE2 dialects) plus
+    * fixed-width subword chunking (`ceil(len/4)` as pure integer
+    * arithmetic), the deterministic stand-in for a learned BPE vocabulary:
+    * real merge tables are model artifacts, but the pipeline shape — regex
+    * pre-tokenization, per-word subword expansion, corpus aggregation — is
+    * exactly this, all in codegen'd column expressions with no UDF.
+    */
+  def q43SubwordTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("CAST(aggregate(transform(ws, w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x) AS BIGINT)")
+          .as("n_subwords"),
+        expr("CAST(aggregate(transform(ws, w -> length(w)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("n_word_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q44 — Rabin polynomial rolling hash (base-31 mod 2^31-1) over the
+    * normalized text as the document fingerprint, folded left-to-right over
+    * the char stream exactly as an incremental/streaming hasher would
+    * (`h = (h*B + c) mod M` — the property that lets an ingest pipeline
+    * fingerprint a document without buffering it). Identical integer
+    * arithmetic on both engines; duplicate detection (same n_same as q23's
+    * md5 route) falls out of the window count.
+    */
+  def q44RollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val rfp = expr(
+      """aggregate(
+        |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+        |  7L,
+        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin)
+    Tables.documents(spark, dir)
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+      .withColumn("rfp", rfp)
+      .withColumn("n_same_rfp", count(lit(1)).over(Window.partitionBy(col("rfp"))))
+      .select(col("doc_id"), col("rfp"), col("n_same_rfp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
     "q22_langid"      -> q22LangId _,
     "q23_fingerprint" -> q23Fingerprint _,
     "q24_exact_dedup" -> q24ExactDedup _,
+    "q43_subword_tokens" -> q43SubwordTokens _,
+    "q44_rolling_hash"   -> q44RollingHash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,5 +193,27 @@ object TextQ {
     "q24_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "q43_subword_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents
+        |)
+        |SELECT doc_id, len(ws) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, w -> (strlen(w) + 3) // 4)), 0) AS BIGINT) AS n_subwords,
+        |  CAST(coalesce(list_sum(list_transform(ws, w -> strlen(w))), 0) AS BIGINT) AS n_word_chars
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q44_rolling_hash" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(7::BIGINT,
+        |        list_transform(range(1, strlen(norm) + 1), i -> ascii(substr(norm, i, 1))::BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+        |  FROM n
+        |)
+        |SELECT doc_id, rfp, count(*) OVER (PARTITION BY rfp) AS n_same_rfp
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }
