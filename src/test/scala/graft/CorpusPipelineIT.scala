@@ -1,0 +1,85 @@
+package graft
+
+import graft.api.GraftContext
+import graft.conf.GraftConf
+import graft.llm.Dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end composition IT: a directory of HTML files goes through bulk
+  * ingestion ([[GraftContext.readFiles]]) → Node-seam text extraction →
+  * exact dedup → near-dup grouping (shared-shingle pairs → connected
+  * components) → keeper selection. This is the ingest-to-clean-corpus path a
+  * pretraining pipeline runs, stitched from the engine's own operators —
+  * every stage is the same code the oracle-gated queries exercise.
+  */
+class CorpusPipelineIT extends AnyFunSuite {
+
+  import SparkFixture._
+
+  test("ingest -> extract -> dedup -> group -> keep") {
+    val s = spark
+    import s.implicits._
+
+    // corpus: 3 exact copies of A; B and B' differing by one word (near-dup);
+    // C unique. Expect: exact dedup keeps one A; near-dup grouping collapses
+    // {B, B'}; survivors = A, B, C.
+    val d = Files.createTempDirectory("graft-corpus").toAbsolutePath
+    val bodyA = "alpha beta gamma delta epsilon zeta eta theta"
+    val bodyB = "one two three four five six seven eight nine ten"
+    val bodyB2 = "one two three four five six seven eight nine eleven"
+    val bodyC = "completely different text with no overlap whatsoever at all"
+    Seq("a1" -> bodyA, "a2" -> bodyA, "a3" -> bodyA,
+      "b1" -> bodyB, "b2" -> bodyB2, "c1" -> bodyC).foreach { case (n, t) =>
+      Files.writeString(d.resolve(s"$n.html"),
+        s"<html><head><title>$n</title></head><body><p>$t</p></body></html>")
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    val texts = ctx.readFiles(d.toString, glob = Some("*.html"))
+      .select { r =>
+        val doc = r.trajectory.doc.get
+        val body = doc.root.findAll("p").headOption.map(_.text).getOrElse("")
+        (r.data.split('/').last.stripSuffix(".html"), body)
+      }
+      .asDataset.toDF("name", "body")
+      .withColumn("id", xxhash64(col("name")).bitwiseAND(lit(Long.MaxValue)))
+
+    // exact dedup (q24 shape): one keeper per byte-identical body
+    val exact = texts.groupBy(col("body"))
+      .agg(min(col("id")).as("id"), expr("min_by(name, id)").as("name"),
+        count(lit(1)).as("copies"))
+    assert(exact.count() == 4) // A collapsed, B/B2/C distinct
+
+    // near-dup pairs: word-bigram shingle overlap >= 0.5 (q25/q26 shape)
+    val grams = exact.select(col("id"), col("body"))
+      .withColumn("toks", split(col("body"), " "))
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+      .select(col("id"), col("grams"))
+    val pairs = grams.as("x").join(grams.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"),
+        (size(array_intersect($"x.grams", $"y.grams")).cast("double") /
+          size(array_union($"x.grams", $"y.grams"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select("id_a", "id_b")
+
+    // pairs -> groups -> keepers (q39/q40 shape)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val kept = exact.join(comp.withColumnRenamed("id", "cid"),
+        exact("id") === col("cid"), "left_outer")
+      .filter(col("comp").isNull || col("comp") === col("id"))
+      .select("name")
+      .as[String].collect().toSet
+
+    // B and B' share 9-of-11 bigrams -> one group, keeper = min id; A and C
+    // are singletons after exact dedup
+    assert(kept.size == 3)
+    assert(kept.contains("c1"))
+    assert(kept.exists(_.startsWith("a")) && kept.exists(_.startsWith("b")))
+  }
+}

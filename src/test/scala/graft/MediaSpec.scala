@@ -87,6 +87,43 @@ class MediaSpec extends AnyFunSuite {
     assert(Probe.probe("just some text".getBytes).format == "raw")
   }
 
+  test("fuzz: probe never throws on random or bit-flipped containers (500 samples)") {
+    val rnd = new scala.util.Random(1234)
+    for (i <- 1 to 250) {
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      Probe.probe(junk) // must not throw; format is whatever it is
+    }
+    for (i <- 1 to 125) {
+      // valid container with one flipped byte: parse or degrade, never throw
+      val png = Synth.png(1 + rnd.nextInt(20), 1 + rnd.nextInt(20), i.toLong)
+      png(rnd.nextInt(png.length)) = rnd.nextInt(256).toByte
+      Probe.probe(png)
+      val wav = Synth.wav(8000 + rnd.nextInt(40000), rnd.nextInt(500), i.toLong)
+      wav(rnd.nextInt(wav.length)) = rnd.nextInt(256).toByte
+      Probe.probe(wav)
+    }
+    for (i <- 1 to 125) {
+      // truncation at every kind of boundary
+      val full = Synth.png(8, 8, i.toLong)
+      Probe.probe(full.take(rnd.nextInt(full.length)))
+    }
+  }
+
+  test("Synth/Probe round-trip holds across random dimensions (100 samples)") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 50) {
+      val (w, h) = (1 + rnd.nextInt(500), 1 + rnd.nextInt(300))
+      val m = Probe.probe(Synth.png(w, h, rnd.nextLong()))
+      assert(m.format == "png" && m.width == w && m.height == h)
+    }
+    for (_ <- 1 to 50) {
+      val (r, n) = (4000 + rnd.nextInt(92000), rnd.nextInt(2000))
+      val m = Probe.probe(Synth.wav(r, n, rnd.nextLong()))
+      assert(m.format == "wav" && m.sample_rate == r && m.n_samples == n.toLong)
+    }
+  }
+
   test("probeMeta: per-partition batch contract preserves ids and dispatches by magic") {
     val s = spark
     import s.implicits._
