@@ -112,6 +112,15 @@ object TextQ {
           .as("n_word_chars"))
       .orderBy(col("doc_id"))
 
+  /** Rabin rolling-hash fingerprint over a `norm` column (shared by q44 and
+    * the streaming ingest twin [[graft.streaming.EventStreams.cleanIngest]]).
+    */
+  private[graft] def rollingFingerprint: org.apache.spark.sql.Column = expr(
+    """aggregate(
+      |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+      |  7L,
+      |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin)
+
   /** q44 — Rabin polynomial rolling hash (base-31 mod 2^31-1) over the
     * normalized text as the document fingerprint, folded left-to-right over
     * the char stream exactly as an incremental/streaming hasher would
@@ -121,11 +130,7 @@ object TextQ {
     * md5 route) falls out of the window count.
     */
   def q44RollingHash(spark: SparkSession, dir: String): DataFrame = {
-    val rfp = expr(
-      """aggregate(
-        |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
-        |  7L,
-        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin)
+    val rfp = rollingFingerprint
     Tables.documents(spark, dir)
       .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
       .withColumn("rfp", rfp)

@@ -82,6 +82,36 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
     else docs.dropDuplicates(cols)
 
+  /** Streaming corpus-clean ingest — the streaming twin of q40's
+    * quality-filter + exact-dedup front half: q21's quality formula scores
+    * each document AS IT ARRIVES (pure column expressions work unchanged in
+    * streaming), junk is dropped before it costs state, and survivors dedup
+    * on q44's Rabin rolling-hash fingerprint within the watermark horizon.
+    * Near-dup GROUPING (q39) deliberately stays a batch compaction pass —
+    * connected components re-visits the whole edge set per round, which has
+    * no bounded-state streaming form; the standard architecture is this
+    * ingest gate + periodic batch CC over the accumulated corpus.
+    *
+    * Input: streaming or batch frame with (ts TIMESTAMP, doc_id, text).
+    * Output adds n_tokens/quality/fingerprint; one row per surviving doc.
+    */
+  def cleanIngest(docs: DataFrame, qualityCut: Double = 0.5,
+                  watermark: String = "1 hour"): DataFrame = {
+    val stopList = "'the', 'a', 'of', 'to', 'in'"
+    val scored = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio", round(
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+      .filter(col("quality") >= qualityCut)
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
+      .withColumn("fingerprint", graft.queries.TextQ.rollingFingerprint)
+      .drop("toks", "stop_ratio", "norm")
+    dedupWithinWatermark(scored, Seq("fingerprint"), watermark)
+  }
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

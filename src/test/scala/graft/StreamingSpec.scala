@@ -148,6 +148,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("fpX", "fpY"), s"re-crawl with a new ts was not dropped: $got")
   }
 
+  test("cleanIngest: quality-gates + fingerprint-dedups documents as they arrive") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    // "the of to in" stuffing => high stop_ratio => passes quality; the short
+    // no-stopword doc fails (stop_ratio 0, n_tokens 3 => quality 0.03)
+    val good = "the quick brown fox of the east runs to the river in the morning"
+    val junk = "xyzzy foo bar"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF.toDF("ts", "doc_id", "text")
+    val q = EventStreams.cleanIngest(df)
+      .writeStream.format("memory").queryName("ci").outputMode("append").start()
+    try {
+      input.addData(
+        (new Timestamp(base), 1L, good),
+        (new Timestamp(base + 1000), 2L, junk))
+      q.processAllAvailable()
+      // a re-crawl of the SAME text at a later ts, punctuation-only change
+      // (normalization makes the fingerprint identical), plus a fresh doc
+      input.addData(
+        (new Timestamp(base + 60000), 3L, good + "!"),
+        (new Timestamp(base + 61000), 4L, "the second document of the corpus going to the archive in full"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ci").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 4L),
+      s"expected quality gate to drop 2 and fingerprint dedup to drop 3, got $got")
+    // batch mode: same transform, state-free
+    val batch = EventStreams.cleanIngest(Seq(
+      (new Timestamp(base), 1L, good), (new Timestamp(base + 1), 2L, junk),
+      (new Timestamp(base + 2), 3L, good + "!")).toDF("ts", "doc_id", "text"))
+    assert(batch.count() == 1)
+    // the streamed fingerprint equals q44's batch fingerprint arithmetic
+    val fp = spark.table("ci").filter($"doc_id" === 1L).select("fingerprint").as[Long].head()
+    val expected = Seq(good).toDF("text")
+      .selectExpr("regexp_replace(lower(text), '[^a-z0-9 ]', '') AS norm")
+      .select(graft.queries.TextQ.rollingFingerprint.as("fp")).as[Long].head()
+    assert(fp == expected)
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
