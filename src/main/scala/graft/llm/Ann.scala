@@ -195,6 +195,9 @@ object Ann {
     */
   def lshTag(vectors: DataFrame, vecCol: String, sigCol: String,
              planes: Seq[Array[Float]]): DataFrame = {
+    require(planes.size <= 63,
+      s"${planes.size} planes exceed one long signature (1L << j wraps at 64); " +
+        "split into multiple signature columns for wider codes")
     val sig = planes.zipWithIndex.map { case (p, j) =>
       when(graft.functions.vec_dot(col(vecCol), typedLit(p.toSeq)) > 0d,
         lit(1L << j)).otherwise(lit(0L))

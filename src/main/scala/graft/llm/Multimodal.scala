@@ -172,27 +172,32 @@ object Multimodal {
         bpp, math.max(1, bpp / 8), -1, -1L)
     }
 
-    private def isWav(b: Array[Byte]) = b.length > 44 &&
+    private def isWav(b: Array[Byte]) = b.length >= 44 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-    /** Walk RIFF sub-chunks for fmt (PCM layout) and data (sample count). */
+    /** Walk RIFF sub-chunks for fmt (PCM layout) and data (sample count).
+      * Long cursor + monotonic-advance guard: a corrupt 32-bit chunk length
+      * (e.g. 0xFFFFFFF8, which would advance the cursor by exactly 0) must
+      * degrade to "raw" via the probe's catch, never hang the executor.
+      */
     private def wav(b: Array[Byte]): MediaMeta = {
-      var i = 12
+      var i = 12L
       var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
       var nSamples = -1L
       while (i + 8 <= b.length) {
-        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val len = u32le(b, i + 4)
+        val ii = i.toInt
+        val id = new String(b, ii, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = u32le(b, ii + 4) // 0..2^32-1, never negative as Long
         if (id == "fmt ") {
-          channels = u16le(b, i + 10)
-          rate = u32le(b, i + 12).toInt
-          blockAlign = u16le(b, i + 20)
-          bits = u16le(b, i + 22)
+          channels = u16le(b, ii + 10)
+          rate = u32le(b, ii + 12).toInt
+          blockAlign = u16le(b, ii + 20)
+          bits = u16le(b, ii + 22)
         } else if (id == "data" && blockAlign > 0) {
           nSamples = len / blockAlign
         }
-        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        i += 8L + len + (len & 1L) // word-aligned; strictly increasing
       }
       require(rate > 0, "no fmt chunk")
       MediaMeta(-1L, "wav", -1, -1, bits, channels, rate, nSamples)

@@ -175,14 +175,7 @@ object SimQ {
     * the final aggregate is a groupBy on a low-cardinality key.
     */
   def q40CorpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr(
-        s"size(filter(toks, t -> t IN (${TextQ.STOPWORDS.map(s => s"'$s'").mkString(", ")})))"))
-      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+    val docs = TextQ.withQuality(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
 
     val passIds = docs.filter(col("quality") >= QUALITY_CUT).select(col("doc_id"))

@@ -30,21 +30,13 @@ object TextQ {
       .orderBy(col("doc_id"))
 
   /** q21 — quality scoring: stopword ratio, mean token length, alpha ratio. */
-  def q21Quality(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
-      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+  def q21Quality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir))
       .withColumn("mean_tok_len",
         round((length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("stop_ratio"),
         col("mean_tok_len"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** q22 — language-ID heuristic (marker-token scoring) → confusion matrix
     * against the labeled `lang` column. Markers drawn from the corpus vocab;
@@ -114,12 +106,34 @@ object TextQ {
 
   /** Rabin rolling-hash fingerprint over a `norm` column (shared by q44 and
     * the streaming ingest twin [[graft.streaming.EventStreams.cleanIngest]]).
+    * The empty string must hash to the bare seed: Spark's `sequence(1, 0)`
+    * yields the DESCENDING [1, 0] (not []), which would fold two phantom
+    * zero-chars — guard it explicitly so the value matches the DuckDB
+    * oracle's `range(1, 1) = []` and true empty-stream Rabin semantics.
     */
-  private[graft] def rollingFingerprint: org.apache.spark.sql.Column = expr(
-    """aggregate(
-      |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
-      |  7L,
-      |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin)
+  private[graft] def rollingFingerprint: org.apache.spark.sql.Column =
+    when(length(col("norm")) === 0, lit(7L)).otherwise(expr(
+      """aggregate(
+        |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+        |  7L,
+        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin))
+
+  /** Adds the q21 quality columns (`n_tokens`, `n_stop`, `stop_ratio`,
+    * `quality`) to any frame with a `text` column — the ONE definition of
+    * the quality formula, shared by q21, q40 and the streaming
+    * [[graft.streaming.EventStreams.cleanIngest]] so the three can never
+    * silently diverge from each other or the DuckDB oracle.
+    */
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+      .drop("toks")
+  }
 
   /** q44 — Rabin polynomial rolling hash (base-31 mod 2^31-1) over the
     * normalized text as the document fingerprint, folded left-to-right over

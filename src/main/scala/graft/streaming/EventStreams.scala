@@ -97,18 +97,11 @@ object EventStreams {
     */
   def cleanIngest(docs: DataFrame, qualityCut: Double = 0.5,
                   watermark: String = "1 hour"): DataFrame = {
-    val stopList = "'the', 'a', 'of', 'to', 'in'"
-    val scored = docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio", round(
-        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("double") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(least(lit(1.0), col("stop_ratio") * 2 + col("n_tokens") / lit(100.0)), 4))
+    val scored = graft.queries.TextQ.withQuality(docs) // the ONE quality formula
       .filter(col("quality") >= qualityCut)
       .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
       .withColumn("fingerprint", graft.queries.TextQ.rollingFingerprint)
-      .drop("toks", "stop_ratio", "norm")
+      .drop("n_stop", "stop_ratio", "norm")
     dedupWithinWatermark(scored, Seq("fingerprint"), watermark)
   }
 

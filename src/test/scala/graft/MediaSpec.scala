@@ -78,6 +78,23 @@ class MediaSpec extends AnyFunSuite {
       m.bit_depth == 24 && m.n_channels == 3)
   }
 
+  test("zero-sample WAV (exactly 44 bytes) is a valid container, not raw") {
+    val bytes = Synth.wav(8000, 0, 0L)
+    assert(bytes.length == 44)
+    val m = Probe.probe(bytes)
+    assert(m.format == "wav" && m.sample_rate == 8000 && m.n_samples == 0L)
+  }
+
+  test("corrupt RIFF chunk length that would advance the cursor by zero terminates (no hang)") {
+    // len = 0xFFFFFFF8: 8 + (-8) + 0 with Int math advances 0 forever; the
+    // Long cursor must walk past the end and degrade via the probe catch
+    val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b.put("junk".getBytes).putInt(0xFFFFFFF8)
+    val m = Probe.probe(b.array()) // must return, not loop
+    assert(m.format == "raw") // no fmt chunk found -> require fails -> raw
+  }
+
   test("corrupt and truncated containers degrade to raw, never throw") {
     val truncPng = Synth.png(4, 4, 0L).take(20) // signature ok, IHDR cut off
     assert(Probe.probe(truncPng).format == "raw")

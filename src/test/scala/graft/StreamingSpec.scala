@@ -189,6 +189,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(fp == expected)
   }
 
+  test("rollingFingerprint of an empty norm is the bare seed (sequence(1,0) guard)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "!!!" normalizes to "" — Spark's sequence(1,0) = [1,0] would otherwise
+    // fold two phantom zero chars into 6727; the oracle folds nothing -> 7
+    val fps = Seq("!!!", "abc").toDF("text")
+      .selectExpr("regexp_replace(lower(text), '[^a-z0-9 ]', '') AS norm")
+      .select(graft.queries.TextQ.rollingFingerprint.as("fp")).as[Long].collect()
+    assert(fps(0) == 7L)
+    assert(fps(1) == ((7L * 31 + 'a') * 31 + 'b') * 31 + 'c')
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
