@@ -70,11 +70,16 @@ object Dedup {
 
     // canonical undirected edge list: u < v, nulls/self-loops dropped.
     // Rebound onto the loop session (one narrow pass; schema is two longs).
+    // Deliberately NOT distinct'd: duplicate input edges are harmless (the
+    // first round's own distinct collapses them; min aggregates are
+    // idempotent), and skipping it saves a full-width shuffle + job per
+    // call. Worst case, a duplicate-bearing input that is ALREADY a star
+    // forest pays one extra detection round.
     val canonCaller = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-    val canon0 = spark.createDataFrame(canonCaller.rdd, canonCaller.schema).distinct()
+    val canon0 = spark.createDataFrame(canonCaller.rdd, canonCaller.schema)
 
     // (row count, order-independent xxhash64 XOR) — the fixpoint signature,
     // and the action that materializes each round's lazy checkpoint. XOR is
