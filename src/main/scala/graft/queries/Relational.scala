@@ -32,7 +32,11 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         round(col("l_extendedprice"), 2).as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (orderkey, linenumber) is NOT unique in lineitem (the generator
+      // samples with replacement — 118k dup pairs at sf0.1); ordering by
+      // every output column makes any remaining tie an identical row, so
+      // engine-dependent sort tie-order can never flip the dump
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("price"))
 
   /** q02 — TPC-H Q1 style hash aggregate (map-side partial agg, 6 groups). */
   def q02AggSummary(spark: SparkSession, dir: String): DataFrame =
@@ -113,15 +117,26 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** q08 — window: per-supplier running quantity (explicit ROWS frame). */
+  /** q08 — window: per-supplier running quantity (explicit ROWS frame).
+    * l_quantity rides the window ORDER BY: (shipdate, orderkey, linenumber)
+    * is NOT unique (this table's keys repeat), and a ROWS-frame prefix sum
+    * over tied rows with DIFFERENT quantities is tie-order dependent —
+    * BOTH engines flipped such a pair between otherwise-identical runs.
+    * With quantity in the key, any remaining tie has an equal increment, so
+    * every prefix value is well-defined.
+    */
   def q08RunningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // running_qty tiebreak: (orderkey, linenumber) is NOT unique in this
+      // table (dup rows differing only in shipdate exist at sf0.1), so
+      // without it the two engines may emit such pairs in either order —
+      // a latent flake that bit after five green rounds
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
 
   /** q09 — global top-k with unique tiebreaks (TakeOrderedAndProject). */
@@ -194,7 +209,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 5
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, price""".stripMargin,
     "q02_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -249,10 +264,10 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q09_topk" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
         |FROM lineitem

@@ -224,6 +224,65 @@ object SimQ {
     agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** 60-bit SimHash: bits 1-32 from md5(token)'s nibble high bits, 33-60
+    * from md5('x'||token) — 60 so the weight `1L << 59` stays in signed
+    * BIGINT range on both engines (bit 64 would overflow DuckDB's cast).
+    */
+  private def simhash60(docs: DataFrame): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h1", md5(col("t")))
+      .withColumn("h2", md5(concat(lit("x"), col("t"))))
+    val bitSums =
+      (1 to 32).map(b => sum(when(substring(col("h1"), b, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"b$b")) ++
+        (1 to 28).map(b => sum(when(substring(col("h2"), b, 1).isin(hexHigh: _*), 1)
+          .otherwise(-1)).as(s"b${b + 32}"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (1 to 60).map(b => when(col(s"b$b") > 0, lit(1L << (b - 1)))
+      .otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("sim"))
+  }
+
+  /** q45 — SimHash NEAR-DUP DETECTION (Manku, Jain, Das Sarma — WWW'07,
+    * Google's web-dedup construction): hamming-distance similarity solved
+    * without an all-pairs scan. Pigeonhole: hamming(a,b) <= 3 over 60 bits
+    * forces at least one of 4 15-bit blocks equal, so candidates come from
+    * a bucket self-join on (block_id, block_value) — ids and two longs on
+    * the shuffle, never text — and only candidates pay the exact
+    * `bit_count(xor)` verify. Completes the dedup family: q24 exact, q26
+    * set-similarity (Jaccard), q36 embedding-cosine, q45 bit-signature
+    * (hamming). This word-soup corpus clusters heavily in simhash space
+    * (~20% of candidate pairs verify), so the gate ranks the closest 100
+    * on a doc subset — a fixed threshold alone would be vacuous here.
+    */
+  def q45SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val s = simhash60(Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
+      .persist() // both sides of the block self-join read it
+    val blocks = s.select(col("doc_id"), col("sim"), explode(array((0 until 4).map(i =>
+      struct(lit(i).as("block_id"),
+        shiftright(col("sim"), i * 15).bitwiseAND(lit(32767L)).as("block_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.block_id"), col("b.block_val"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        $"x.block_id" === $"y.block_id" && $"x.block_val" === $"y.block_val" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        $"x.sim".as("sim_a"), $"y.sim".as("sim_b"))
+      .distinct()
+    val out = cand
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint() // release the persist before returning
+    s.unpersist(false)
+    out
+  }
+
   /** Cosine arithmetic runs on the RAW float32 embedding via the native
     * [[graft.sql.VecDot]] expression ((double)f products, double
     * accumulation — bit-identical to casting to double[] first, as the
@@ -284,6 +343,7 @@ object SimQ {
     "q30_label_stats"   -> q30LabelStats _,
     "q39_neardup_groups" -> q39NeardupGroups _,
     "q40_corpus_clean"   -> q40CorpusClean _,
+    "q45_simhash_neardup" -> q45SimhashNearDup _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -347,7 +407,38 @@ object SimQ {
       |  len(string_split(text, ' ')), 4) * 2 +
       |  len(string_split(text, ' ')) / 100.0), 4)""".stripMargin.replace("\n", " ")
 
+  private val S45_B1 = (1 to 32).map(b =>
+    s"sum(CASE WHEN substr(h1, $b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b")
+    .mkString(",\n    ")
+  private val S45_B2 = (1 to 28).map(b =>
+    s"sum(CASE WHEN substr(h2, $b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b${b + 32}")
+    .mkString(",\n    ")
+  private val S45_VALUE = (1 to 60).map(b =>
+    s"(CASE WHEN b$b > 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q45_simhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |hashed AS (SELECT doc_id, md5(t) AS h1, md5('x' || t) AS h2 FROM tok),
+         |bits AS (SELECT doc_id,
+         |    $S45_B1,
+         |    $S45_B2
+         |  FROM hashed GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($S45_VALUE AS BIGINT) AS sim FROM bits),
+         |blocks AS (
+         |  SELECT doc_id, sim, b.block_id, (sim >> (b.block_id * 15)) & 32767 AS block_val
+         |  FROM s, (VALUES (0), (1), (2), (3)) b(block_id)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.sim AS sim_a, y.sim AS sim_b
+         |  FROM blocks x JOIN blocks y
+         |    ON x.block_id = y.block_id AND x.block_val = y.block_val
+         |   AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
