@@ -360,6 +360,7 @@ final class FetchedView[D](val dataset: Dataset[FetchedRow[D]], val ctx: GraftCo
     new DataView(dataset.map(_.data), ctx)
 
   def persist(): FetchedView[D] = { dataset.persist(); this }
+  def cache(): FetchedView[D] = persist()
   def unpersist(): FetchedView[D] = { dataset.unpersist(); this }
   def count(): Long = dataset.count()
   def collect(): Seq[FetchedRow[D]] = dataset.collect().toSeq
@@ -384,6 +385,10 @@ final class ExploredView[D](val dataset: Dataset[ExploredRow[D]], val ctx: Graft
 
   def fetched: FetchedView[D] =
     new FetchedView(dataset.map(_.row)(Encoders.kryo[FetchedRow[D]]), ctx)
+
+  def persist(): ExploredView[D] = { dataset.persist(); this }
+  def cache(): ExploredView[D] = persist()
+  def unpersist(): ExploredView[D] = { dataset.unpersist(); this }
 
   def count(): Long = dataset.count()
   def collect(): Seq[ExploredRow[D]] = dataset.collect().toSeq

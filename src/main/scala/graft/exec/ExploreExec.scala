@@ -141,13 +141,16 @@ object ExploreExec {
     val win: ((Trace, D, Int), (Trace, D, Int)) => (Trace, D, Int) =
       winnerOrdering match {
         case Some(ord) => (a, b) => if (ord.compare(a._2, b._2) <= 0) a else b
-        case None      => winner[D] _
+        case None      => new NaturalWinner[D]
       }
 
     // all fetched-row RDDs (one per level) and their keys-only projections;
     // both partitioner-aligned and block-cached, flat-unioned narrowly
     val visitedParts = scala.collection.mutable.Buffer.empty[RDD[ExploredRow[D]]]
     val visitedKeyParts = scala.collection.mutable.Buffer.empty[RDD[String]]
+    // reliable-checkpoint mode persists each epoch frontier before the
+    // checkpoint write; tracked so the blocks are released on return
+    val persistedFrontiers = scala.collection.mutable.Buffer.empty[RDD[OpenRow[D]]]
 
     /** Fetch one deduped, unvisited frontier: narrow — one row per key. */
     def fetchLevel(frontier: RDD[OpenRow[D]]): RDD[ExploredRow[D]] = {
@@ -195,6 +198,7 @@ object ExploreExec {
       if (conf.checkpointDir.isDefined &&
           epoch % math.max(1, conf.checkpointEveryEpochs) == 0) {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        persistedFrontiers += rdd
         rdd.checkpoint()
       } else rdd.localCheckpoint()
       rdd.count()
@@ -225,7 +229,16 @@ object ExploreExec {
     val all =
       if (visitedParts.isEmpty) spark.emptyDataset[ExploredRow[D]]
       else spark.createDataset(sc.union(visitedParts.toSeq))
-    all.filter(_.depth >= params.minDepth).localCheckpoint(true)
+    val out = all.filter(_.depth >= params.minDepth).localCheckpoint(true)
+    // the eager checkpoint above materialized the output into its own blocks:
+    // every per-level cache (fetched rows + keys-only projections) and any
+    // reliable-checkpoint frontier persist can be released NOW, not when the
+    // session dies — repeated explores in one session must not accumulate
+    // executor storage.
+    visitedParts.foreach(_.unpersist(blocking = false))
+    visitedKeyParts.foreach(_.unpersist(blocking = false))
+    persistedFrontiers.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Per-level frontier dedup winner (same level => equal depth), matching
@@ -235,11 +248,28 @@ object ExploreExec {
     * minimum — the analog of the reference's minBy ordinal); first-seen for
     * types with no natural order (documented in the operator scaladoc:
     * explore is keyed by trace, payloads should be derivable from it).
+    *
+    * The Comparable-vs-first-seen strategy is resolved ONCE per task from
+    * the first collision's payload classes and branched on a cached flag
+    * afterwards — no instanceof/getClass checks per collision in the
+    * combiner hot path. (Assumes one explore's payloads share a runtime
+    * class — explore's documented contract; a heterogeneous FIRST collision
+    * resolves to first-seen just as the old per-pair check did.)
     */
-  private def winner[D](a: (Trace, D, Int), b: (Trace, D, Int)): (Trace, D, Int) =
-    (a._2, b._2) match {
-      case (x: Comparable[_], y) if x.getClass == y.getClass &&
-          x.asInstanceOf[Comparable[Any]].compareTo(y) > 0 => b
-      case _ => a
+  private final class NaturalWinner[D]
+      extends (((Trace, D, Int), (Trace, D, Int)) => (Trace, D, Int))
+      with Serializable {
+    // 0 = unresolved (per task: @transient resets on deserialization),
+    // 1 = comparable-minimum, 2 = first-seen
+    @transient private var mode: Int = 0
+    def apply(a: (Trace, D, Int), b: (Trace, D, Int)): (Trace, D, Int) = {
+      if (mode == 0) mode = a._2 match {
+        case x: Comparable[_] if b._2 != null && x.getClass == b._2.getClass => 1
+        case _ => 2
+      }
+      if (mode == 1 &&
+          a._2.asInstanceOf[Comparable[Any]].compareTo(b._2) > 0) b
+      else a
     }
+  }
 }

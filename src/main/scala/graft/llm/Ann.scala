@@ -218,7 +218,13 @@ object Ann {
     */
   def lshSearch(corpus: DataFrame, queries: DataFrame,
                 nBits: Int, bandBits: Int, k: Int): DataFrame = {
-    val nBands = if (bandBits <= 0) 1 else math.max(1, nBits / bandBits)
+    // ceil so EVERY signature bit lands in a band (nBits=8, bandBits=3 →
+    // bands at bits 0-2, 3-5, 6-7): a floor here would silently drop the
+    // high bits from banding and degrade recall with no signal. The last
+    // band may be narrower; the shift+mask below handles that for free
+    // (bits past nBits are always zero).
+    val nBands = if (bandBits <= 0) 1
+    else math.max(1, math.ceil(nBits.toDouble / bandBits).toInt)
     def bands(sigc: Column): Column = array((0 until nBands).map { b =>
       val key = if (bandBits <= 0) lit(0L)
       else shiftright(sigc, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))

@@ -135,13 +135,26 @@ object Dedup {
       cur = next
       prev.unpersist(blocking = false) // checkpoint blocks ContextCleaner-freed
     }
+    // A truncated loop is NOT a labeling: the star operators only guarantee
+    // "every edge is (root, member)" at the fixpoint, so returning the
+    // maxIter-th edge set as components would be silently wrong. Convergence
+    // needs ~log2(diameter) rounds, so hitting the default 30 means the graph
+    // is pathological (or maxIter was lowered) — fail loudly, don't guess.
+    require(converged,
+      s"connectedComponents did not reach a fixpoint within $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ log2 of the largest component diameter)")
 
     // Fixpoint = disjoint stars rooted at each component's minimum: every
     // canonical edge is (root, member). Roots map to themselves. Handed back
-    // on the CALLER's session (narrow re-wrap over the materialized blocks).
+    // on the CALLER's session, MATERIALIZED OFF the loop's checkpoint blocks
+    // (eager localCheckpoint of the small (id, comp) result) so the final
+    // round's edge-set blocks can be released here instead of pinning
+    // executor storage for the application lifetime.
     val comps = cur.select(col("v").as("id"), col("u").as("comp"))
       .union(cur.select(col("u").as("id"), col("u").as("comp")).distinct())
-    (caller.createDataFrame(comps.rdd, comps.schema), rounds)
+    val out = caller.createDataFrame(comps.rdd, comps.schema).localCheckpoint(true)
+    cur.unpersist(blocking = false)
+    (out, rounds)
   }
 
   /** A session sharing this one's SparkContext/caches but with an isolated

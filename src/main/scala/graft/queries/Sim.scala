@@ -83,7 +83,39 @@ object SimQ {
     * can be salted with [[graft.scale.Skew.saltedJoin]] or size-capped like
     * [[graft.llm.Ann.capCellSizes]].
     */
-  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Session-scoped memo of [[nearDupPairs]] per sf dir: the composed
+    * pipelines (q26 ranking, q39 grouping, q40 cleaning) pay the signature
+    * pass ONCE per session instead of once per query. Values are eagerly
+    * localCheckpoint-ed (tiny — verified pairs only), so a cache hit is a
+    * narrow read of executor-held blocks; the session key is weak, so a
+    * stopped session's entries (and through the ContextCleaner their
+    * blocks) are reclaimable. [[clearNearDupPairCache]] drops entries
+    * explicitly — the bench calls it per timed pass so q26 is charged the
+    * real signature cost every pass instead of a block lookup.
+    */
+  private val pairCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
+  def clearNearDupPairCache(): Unit = pairCache.synchronized { pairCache.clear() }
+
+  /** The shared near-dup pair stage: verified MinHash-LSH pairs
+    * (id_a < id_b, exact Jaccard >= 0.8, rounded to 4) for the documents
+    * table under `dir` — memoized per (session, dir).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.synchronized {
+      val perDir = Option(pairCache.get(spark)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        pairCache.put(spark, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, computeNearDupPairs(spark, dir))
+    }
+
+  private def computeNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     // ONE native pass over the corpus computes everything per doc
@@ -129,10 +161,10 @@ object SimQ {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
       // materialize the (near-dup-pairs-only) result so the input persist
       // can be released here instead of leaking across queries; the
-      // checkpoint blocks are executor-held and ContextCleaner-freed
+      // checkpoint blocks are executor-held and ContextCleaner-freed —
+      // and they're exactly what the memo hands to q26/q39/q40
       .localCheckpoint()
     base.unpersist(false)
     out
@@ -152,7 +184,7 @@ object SimQ {
     * cluster diameter.
     */
   def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q26MinhashLsh(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
     graft.llm.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("group_id"))
       .orderBy(col("doc_id"))
@@ -179,7 +211,7 @@ object SimQ {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
 
     val passIds = docs.filter(col("quality") >= QUALITY_CUT).select(col("doc_id"))
-    val pairs = q26MinhashLsh(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = nearDupPairs(spark, dir).select(col("id_a"), col("id_b"))
       .join(passIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(passIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
     val comp = graft.llm.Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -247,37 +279,32 @@ object SimQ {
 
   /** q45 — SimHash NEAR-DUP DETECTION (Manku, Jain, Das Sarma — WWW'07,
     * Google's web-dedup construction): hamming-distance similarity solved
-    * without an all-pairs scan. Pigeonhole: hamming(a,b) <= 3 over 60 bits
-    * forces at least one of 4 15-bit blocks equal, so candidates come from
-    * a bucket self-join on (block_id, block_value) — ids and two longs on
-    * the shuffle, never text — and only candidates pay the exact
-    * `bit_count(xor)` verify. Completes the dedup family: q24 exact, q26
-    * set-similarity (Jaccard), q36 embedding-cosine, q45 bit-signature
-    * (hamming). This word-soup corpus clusters heavily in simhash space
-    * (~20% of candidate pairs verify), so the gate ranks the closest 100
-    * on a doc subset — a fixed threshold alone would be vacuous here.
+    * without an all-pairs scan, via [[graft.llm.Hamming.nearDupPairs]] —
+    * pigeonhole (hamming <= 3 over 60 bits forces one of 4 15-bit blocks
+    * equal) bucket self-join, ids and two longs on the shuffle, never text;
+    * only candidates pay the exact `bit_count(xor)` verify. The block join
+    * carries the SALTED hot-bucket guard: a mega-cluster sharing one block
+    * value spreads its pair generation over ceil(n/target) reducers instead
+    * of stalling one — result set identical (the guard redistributes work,
+    * it never drops pairs), so this gate is unchanged by construction.
+    *
+    * Pipeline order at scale: run EXACT dedup first (q24 hash-groupBy keeps
+    * one doc per byte-identical cluster) so simhash only sees cluster
+    * representatives — identical docs share ALL blocks and are pure bucket
+    * ballast; the salt guard then bounds the residual near-dup hot buckets.
+    * Completes the dedup family: q24 exact, q26 set-similarity (Jaccard),
+    * q36 embedding-cosine, q45 bit-signature (hamming). This word-soup
+    * corpus clusters heavily in simhash space (~20% of candidate pairs
+    * verify), so the gate ranks the closest 100 on a doc subset — a fixed
+    * threshold alone would be vacuous here.
     */
   def q45SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
     val s = simhash60(Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
       .persist() // both sides of the block self-join read it
-    val blocks = s.select(col("doc_id"), col("sim"), explode(array((0 until 4).map(i =>
-      struct(lit(i).as("block_id"),
-        shiftright(col("sim"), i * 15).bitwiseAND(lit(32767L)).as("block_val"))): _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.block_id"), col("b.block_val"))
-    val cand = blocks.as("x").join(blocks.as("y"),
-        $"x.block_id" === $"y.block_id" && $"x.block_val" === $"y.block_val" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        $"x.sim".as("sim_a"), $"y.sim".as("sim_b"))
-      .distinct()
-    val out = cand
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-      .filter(col("hamming") <= 3)
+    val out = graft.llm.Hamming.nearDupPairs(s, "doc_id", "sim",
+        nBits = 60, maxHamming = 3)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
       .limit(100)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .localCheckpoint() // release the persist before returning
     s.unpersist(false)
     out

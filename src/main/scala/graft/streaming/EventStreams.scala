@@ -102,7 +102,17 @@ object EventStreams {
       .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
       .withColumn("fingerprint", graft.queries.TextQ.rollingFingerprint)
       .drop("n_stop", "stop_ratio", "norm")
-    dedupWithinWatermark(scored, Seq("fingerprint"), watermark)
+    if (scored.isStreaming) dedupWithinWatermark(scored, Seq("fingerprint"), watermark)
+    else {
+      // keep-FIRST, deterministically — the same representative the streaming
+      // path keeps (first arrival = minimum event time, doc_id tiebreak). A
+      // bare dropDuplicates would keep an arbitrary row per fingerprint,
+      // so batch and streaming results could disagree on which doc survives.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint")).orderBy(col("ts"), col("doc_id"))
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the

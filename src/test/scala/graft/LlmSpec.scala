@@ -172,6 +172,69 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH ceil banding: bits past the last full band still produce candidates") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus sig 0b11000000 and query sig 0b11111111 share ONLY bits 6-7:
+    // with nBits=8, bandBits=3 a floor band count (2) never compares those
+    // bits and finds nothing; ceil (3 bands: 0-2, 3-5, 6-7) matches band 2
+    val corpus = Seq((1L, Seq(1.0f, 0.0f), 1.0, 192L))
+      .toDF("vec_id", "v", "norm", "sig")
+    val queries = Seq((99L, Seq(1.0f, 0.0f), 1.0, 255L))
+      .toDF("q_id", "qv", "qn", "qsig")
+    val out = Ann.lshSearch(corpus, queries, nBits = 8, bandBits = 3, k = 5)
+    assert(out.select("neighbor_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  // deterministic pseudo-random 60-bit signatures (no Math.random in specs)
+  private def sig60(i: Long): Long = {
+    var x = i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    x ^= x >>> 31; x *= 0x94D049BB133111EBL; x ^= x >>> 29
+    x & ((1L << 60) - 1)
+  }
+
+  test("hamming near-dup: salted pigeonhole == brute force under a planted mega-cluster") {
+    val spark0 = spark
+    import spark0.implicits._
+    val planted = (0L until 120L).map(i => (i, 0x0123456789ABCDL & ((1L << 60) - 1)))
+    val noise = (120L until 600L).map(i => (i, sig60(i)))
+    val sigs = (planted ++ noise).toDF("id", "sig")
+    // small target bucket forces the hot 120-row bucket to actually split
+    val guarded = graft.llm.Hamming
+      .nearDupPairs(sigs, "id", "sig", nBits = 60, maxHamming = 3, targetBucket = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (planted ++ noise)
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(brute.size >= 120 * 119 / 2) // the planted cluster's pairs are all there
+    assert(guarded == brute)
+  }
+
+  test("hamming salt guard: hot buckets split, uniform buckets untouched") {
+    val spark0 = spark
+    import spark0.implicits._
+    val planted = (0L until 120L).map(i => (i, 42L))
+    val noise = (120L until 200L).map(i => (i, sig60(i)))
+    val blocks = graft.llm.Hamming.saltedBlocks(
+      (planted ++ noise).toDF("id", "sig"), "id", "sig",
+      nBits = 60, maxHamming = 3, targetBucket = 16L)
+    // hot bucket (120 rows sharing every block of sig 42): n_sub = ceil(120/16) = 8
+    val hot = blocks.filter(col("sig") === 42L)
+    assert(hot.select("n_sub").distinct().collect().map(_.getLong(0)).toSeq == Seq(8L))
+    // hash-spread: no (block, salt) group more than 2x the target
+    val maxGroup = blocks.groupBy("block_id", "block_val", "salt")
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxGroup <= 32L, s"a (block, salt) group holds $maxGroup rows")
+    // buckets at or under the target never split
+    val smallSplit = blocks.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("block_id", "block_val")))
+      .filter(col("bn") <= 16 && col("n_sub") > 1)
+    assert(smallSplit.count() == 0)
+  }
+
   test("extraction functions: css/json column DSL") {
     val spark0 = spark
     import spark0.implicits._
