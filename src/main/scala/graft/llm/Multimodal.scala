@@ -214,6 +214,204 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real decode (no external libraries): JDK ImageIO covers PNG/JPEG/GIF/
+  // BMP pixels, JDK AudioSystem covers WAV samples. This closes the codec
+  // seam for the formats the JDK ships decoders for; exotic codecs still
+  // plug in behind the same [[decodeMedia]] signature.
+  // ---------------------------------------------------------------------
+
+  /** Decoded (pixel/sample-level) features; -1 marks fields the media kind
+    * lacks. Fixed-width and tiny — decode happens where the bytes live, only
+    * these features ever shuffle.
+    *
+    * The 64-bit perceptual hash travels as two non-negative longs
+    * (`phash_hi` = bits 32-63, `phash_lo` = bits 0-31) so SQL engines
+    * without unsigned 64-bit shifts can recompute it exactly;
+    * [[imageNearDupPairs]] recombines them for hamming machinery.
+    */
+  final case class DecodedMedia(
+      id: Long,
+      kind: String, // "image" | "audio" | "unknown"
+      width: Int,
+      height: Int,
+      mean_lum: Double,
+      phash_hi: Long,
+      phash_lo: Long,
+      n_samples: Long,
+      sample_rate: Int,
+      rms: Double,
+      duration_s: Double
+  )
+
+  object Decode {
+
+    private val UNKNOWN =
+      DecodedMedia(-1L, "unknown", -1, -1, -1d, -1L, -1L, -1L, -1, -1d, -1d)
+
+    /** Full decode with magic-byte dispatch (images via ImageIO, RIFF/WAVE
+      * via AudioSystem); malformed payloads degrade to "unknown" — a media
+      * crawl always contains corrupt files, and one of them must cost a row,
+      * not a stage retry.
+      */
+    def decode(media: Array[Byte]): DecodedMedia =
+      try {
+        if (media.length >= 12 &&
+          media(0) == 'R' && media(1) == 'I' && media(2) == 'F' && media(3) == 'F' &&
+          media(8) == 'W' && media(9) == 'A' && media(10) == 'V' && media(11) == 'E')
+          audio(media)
+        else image(media)
+      } catch { case _: Exception => UNKNOWN }
+
+    /** Image decode: true dimensions from pixels, mean luminance, and a
+      * 64-bit average-hash (aHash): nearest-neighbor 8x8 downsample of the
+      * luminance plane, bit k = [sample_k > mean of the 64 samples]. All
+      * integer pixel arithmetic — bit-for-bit reproducible by any engine
+      * that can read the same pixels.
+      */
+    def image(media: Array[Byte]): DecodedMedia = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) return UNKNOWN
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = luminancePlane(img)
+      var sum = 0L
+      var i = 0
+      while (i < lum.length) { sum += lum(i); i += 1 }
+      val phash = aHash64(lum, w, h)
+      DecodedMedia(-1L, "image", w, h, sum.toDouble / (w.toLong * h),
+        phash >>> 32, phash & 0xffffffffL, -1L, -1, -1d, -1d)
+    }
+
+    /** Luminance (0-255) per pixel, row-major. Single-band rasters
+      * (grayscale) read the band EXACTLY; multi-band goes through the
+      * integer ITU-R 601 weights (299r + 587g + 114b) / 1000 — deterministic
+      * integer arithmetic, no float rounding.
+      */
+    private[llm] def luminancePlane(img: java.awt.image.BufferedImage): Array[Int] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      val raster = img.getRaster
+      if (raster.getNumBands == 1) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+      }
+      out
+    }
+
+    /** 64-bit aHash over a luminance plane: sample s(j,i) =
+      * lum[(j*h)/8][(i*w)/8] (nearest-neighbor — exact integer index
+      * arithmetic, works for images smaller than 8x8 too), mean over the 64
+      * samples, bit (j*8+i) set iff its sample is STRICTLY above the mean.
+      */
+    private[llm] def aHash64(lum: Array[Int], w: Int, h: Int): Long = {
+      val s = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        val y = ((k / 8) * h) / 8
+        val x = ((k % 8) * w) / 8
+        s(k) = lum(y * w + x)
+        k += 1
+      }
+      var sum = 0L
+      k = 0
+      while (k < 64) { sum += s(k); k += 1 }
+      val mean = sum / 64.0
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (s(k) > mean) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+
+    /** Audio decode via AudioSystem: sample count, rate, RMS amplitude,
+      * duration. RMS runs over every interleaved sample (for mono — the
+      * canonical corpus shape — that IS the channel); 16-bit PCM reads the
+      * exact integer sample values, so sum-of-squares is integer-exact.
+      */
+    def audio(media: Array[Byte]): DecodedMedia = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return UNKNOWN // PCM16 only (fixture + common crawl shape)
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          val s = if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                  else (hi << 8) | lo
+          sumSq += s.toDouble * s
+          i += 1
+        }
+        val frames = n / math.max(1, fmt.getChannels)
+        val rate = math.round(fmt.getSampleRate).toInt
+        DecodedMedia(-1L, "audio", -1, -1, -1d, -1L, -1L,
+          frames.toLong, rate,
+          if (n == 0) 0d else math.sqrt(sumSq / n),
+          frames.toDouble / rate)
+      } finally in.close()
+    }
+  }
+
+  /** Batched REAL decode — same per-partition contract as
+    * [[extractFeatures]]: one decoder session per partition (ImageIO's disk
+    * cache is disabled once per partition — executor-local temp files are
+    * wasted IO for in-memory payloads), payload bytes never leave it.
+    */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    implicit val enc = Encoders.product[DecodedMedia]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => Decode.decode(r.media).copy(id = r.id))
+    }
+  }
+
+  /** DataFrame-friendly wrapper: (id: long, media: binary, mime: string). */
+  def decodeMediaDF(spark: SparkSession, df: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[MediaRow]
+    decodeMedia(df.selectExpr("id", "media", "mime").as[MediaRow]).toDF()
+  }
+
+  /** Image near-duplicate pairs over the perceptual hash — q45's hamming
+    * machinery ([[Hamming.nearDupPairs]]: pigeonhole block join + salted
+    * hot-bucket guard) reused on the decoded image corpus. Input: any frame
+    * with (id, phash_hi, phash_lo) — e.g. [[decodeMediaDF]] output filtered
+    * to kind = 'image'. Output: (id_a, id_b, hamming), exact and complete.
+    */
+  def imageNearDupPairs(decoded: DataFrame, maxHamming: Int = 5,
+                        targetBucket: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sigs = decoded.select(col("id"),
+      (shiftleft(col("phash_hi"), 32).bitwiseOR(col("phash_lo"))).as("phash"))
+    Hamming.nearDupPairs(sigs, "id", "phash",
+      nBits = 64, maxHamming = maxHamming, targetBucket = targetBucket)
+  }
+
   /** Deterministic REAL-container synthesis (for fixtures and specs): the
     * PNGs carry correct CRC32s and a zlib-deflated IDAT — any standard
     * decoder accepts them — and the WAVs are canonical PCM. Synthesis runs

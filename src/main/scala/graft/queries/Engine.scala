@@ -413,6 +413,48 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q46 — REAL media decode: pixel/sample stats through JDK ImageIO/AudioSystem
+  // -------------------------------------------------------------------------
+
+  /** The q41 fixture corpus (real PNGs and WAVs, id-derived parameters)
+    * DECODED, not just header-probed: ImageIO reads the pixels back (true
+    * dims, mean luminance, 64-bit aHash), AudioSystem reads the PCM samples
+    * (count, rate, RMS, duration). Every output field is predicted by the
+    * oracle FROM THE SYNTH FORMULAS ALONE — deterministic pixels
+    * `(id + 31y + x) mod 256` and samples `(id + 97i) mod 32768` — so the
+    * gate proves the decode is bit-exact end-to-end: synthesize → zlib/PCM
+    * containers → binaryFile ingest → JDK decode → integer feature math.
+    * The perceptual hash feeds [[graft.llm.Multimodal.imageNearDupPairs]]
+    * (q45's hamming machinery on images; spec-pinned on this same corpus).
+    */
+  def q46MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q46")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 6)
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 3)
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.png",
+            Multimodal.Synth.png((1 + id % 16).toInt, (1 + id % 9).toInt, id))
+        else
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.wav",
+            Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
+      }
+    }
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(fix)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
+        col("content").as("media"), lit("application/octet-stream").as("mime"))
+    Multimodal.decodeMediaDF(spark, files)
+      .select(col("id").as("doc_id"), col("kind"), col("width"), col("height"),
+        round(col("mean_lum"), 4).as("mean_lum"), col("phash_hi"), col("phash_lo"),
+        col("n_samples"), col("sample_rate"),
+        round(col("rms"), 4).as("rms"), round(col("duration_s"), 4).as("duration_s"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -424,6 +466,7 @@ object EngineQ {
     "q38_docx_extract" -> q38DocxExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
+    "q46_media_decode" -> q46MediaDecode _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -546,6 +589,49 @@ object EngineQ {
         |  CAST(500 + doc_id % 100 AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 6
         |ORDER BY doc_id""".stripMargin,
+    // every field re-derived from the Synth formulas: pixel(x,y) =
+    // (id + 31y + x) mod 256, sample(i) = (id + 97i) mod 32768; the aHash
+    // mirrors Decode.aHash64's integer index arithmetic exactly
+    "q46_media_decode" ->
+      """WITH png AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 9 AS h
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |pix AS (
+        |  SELECT doc_id, w, h,
+        |    flatten(list_transform(range(0, h), y ->
+        |      list_transform(range(0, w), x -> (doc_id + 31*y + x) % 256))) AS px,
+        |    list_transform(range(0, 64), k ->
+        |      (doc_id + 31*(((k // 8) * h) // 8) + (((k % 8) * w) // 8)) % 256) AS sm
+        |  FROM png),
+        |ph AS (
+        |  SELECT doc_id, w, h, sm,
+        |    list_sum(px) * 1.0 / (w * h) AS mean_lum,
+        |    list_sum(sm) / 64.0 AS m
+        |  FROM pix),
+        |img AS (
+        |  SELECT doc_id, 'image' AS kind, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    round(mean_lum, 4) AS mean_lum,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN sm[k + 1] > m THEN (1::BIGINT << (k - 32)) ELSE 0 END)) AS BIGINT) AS phash_hi,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN sm[k + 1] > m THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS phash_lo,
+        |    CAST(-1 AS BIGINT) AS n_samples, CAST(-1 AS INT) AS sample_rate,
+        |    CAST(-1 AS DOUBLE) AS rms, CAST(-1 AS DOUBLE) AS duration_s
+        |  FROM ph),
+        |wav AS (
+        |  SELECT doc_id, 8000 + 100 * (doc_id % 5) AS rate, 500 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id % 10 = 6),
+        |aud AS (
+        |  SELECT doc_id, 'audio' AS kind, CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+        |    CAST(-1 AS DOUBLE) AS mean_lum,
+        |    CAST(-1 AS BIGINT) AS phash_hi, CAST(-1 AS BIGINT) AS phash_lo,
+        |    CAST(n AS BIGINT) AS n_samples, CAST(rate AS INT) AS sample_rate,
+        |    round(sqrt(list_sum(list_transform(
+        |      list_transform(range(0, n), i -> (doc_id + 97*i) % 32768),
+        |      s -> s * s * 1.0)) / n), 4) AS rms,
+        |    round(n * 1.0 / rate, 4) AS duration_s
+        |  FROM wav)
+        |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,

@@ -152,4 +152,82 @@ class MediaSpec extends AnyFunSuite {
       .collect().map(m => m.id -> m.format).toMap
     assert(out == Map(1L -> "png", 2L -> "wav", 3L -> "raw"))
   }
+
+  // ------------------------------------------------------------------
+  // Real decode (ImageIO / AudioSystem)
+  // ------------------------------------------------------------------
+
+  /** Reference aHash over the Synth pixel formula (independent of Decode's
+    * code path): nearest-neighbor 8x8 sample, strict > mean.
+    */
+  private def formulaHash(w: Int, h: Int, seed: Long): (Long, Double) = {
+    def pixel(x: Int, y: Int): Int = ((seed + 31L * y + x) & 0xff).toInt
+    val s = (0 until 64).map(k => pixel(((k % 8) * w) / 8, ((k / 8) * h) / 8))
+    val mean = s.sum / 64.0
+    val hash = s.zipWithIndex.foldLeft(0L) { case (acc, (v, k)) =>
+      if (v > mean) acc | (1L << k) else acc
+    }
+    val lum = (for { y <- 0 until h; x <- 0 until w } yield pixel(x, y).toLong).sum
+    (hash, lum.toDouble / (w * h))
+  }
+
+  test("Decode.image round-trips Synth parameters: dims, mean luminance, aHash") {
+    for ((w, h, seed) <- Seq((16, 9, 7L), (1, 1, 0L), (5, 12, 255L), (33, 2, 1234L))) {
+      val d = Multimodal.Decode.image(Synth.png(w, h, seed))
+      val (expHash, expLum) = formulaHash(w, h, seed)
+      assert(d.kind == "image" && d.width == w && d.height == h)
+      assert(d.mean_lum == expLum, s"mean_lum for ($w,$h,$seed)")
+      assert(((d.phash_hi << 32) | d.phash_lo) == expHash, s"phash for ($w,$h,$seed)")
+      assert(d.phash_hi >= 0 && d.phash_lo >= 0) // SQL-safe halves
+      assert(d.n_samples == -1L && d.rms == -1d)
+    }
+  }
+
+  test("Decode.audio round-trips Synth parameters: samples, rate, RMS, duration") {
+    for ((rate, n, seed) <- Seq((8000, 500, 3L), (44100, 1, 9L), (8200, 599, 77L))) {
+      val d = Multimodal.Decode.audio(Synth.wav(rate, n, seed))
+      assert(d.kind == "audio" && d.sample_rate == rate && d.n_samples == n.toLong)
+      val sumSq = (0 until n).map { i =>
+        val s = ((seed + 97L * i) & 0x7fff).toDouble; s * s
+      }.sum
+      assert(d.rms == math.sqrt(sumSq / n), s"rms for ($rate,$n,$seed)")
+      assert(d.duration_s == n.toDouble / rate)
+      assert(d.width == -1 && d.phash_hi == -1L)
+    }
+  }
+
+  test("Decode dispatch: wav by RIFF magic, png by ImageIO, junk degrades to unknown") {
+    assert(Multimodal.Decode.decode(Synth.wav(8000, 10, 1L)).kind == "audio")
+    assert(Multimodal.Decode.decode(Synth.png(4, 4, 1L)).kind == "image")
+    assert(Multimodal.Decode.decode("junk bytes, not a container".getBytes).kind == "unknown")
+    assert(Multimodal.Decode.decode(Array.emptyByteArray).kind == "unknown")
+    // truncated PNG: magic intact, data missing
+    assert(Multimodal.Decode.decode(Synth.png(8, 8, 1L).take(20)).kind == "unknown")
+  }
+
+  test("imageNearDupPairs: q45's hamming machinery finds planted image duplicates") {
+    val s = spark
+    import s.implicits._
+    // corpus: 20 distinct images + 3 exact re-encodes of image 0 (same
+    // pixels => identical aHash => hamming 0) — the re-crawl/dup shape
+    val rows =
+      (0L until 20L).map(i => MediaRow(i, Synth.png(8 + (i % 5).toInt, 8, i * 13), "m")) ++
+        Seq(100L, 101L, 102L).map(i => MediaRow(i, Synth.png(8, 8, 0L), "m"))
+    val decoded = Multimodal.decodeMediaDF(s, rows.toDF("id", "media", "mime"))
+      .filter($"kind" === "image")
+    val pairs = Multimodal.imageNearDupPairs(decoded, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force expectation over the decoded hashes
+    val hashes = decoded.select("id", "phash_hi", "phash_lo").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    val brute = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (a, b, d)).toSet
+    assert(pairs == brute)
+    // the planted duplicate cluster is in there at distance 0 — note
+    // 0 vs 100/101/102: Synth.png(8,8,0) == Synth.png(8,8,0*13)
+    for (p <- Seq((0L, 100L), (0L, 101L), (100L, 101L), (100L, 102L)))
+      assert(pairs.contains((p._1, p._2, 0)), s"missing planted dup $p")
+  }
 }
