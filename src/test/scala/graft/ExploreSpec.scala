@@ -218,6 +218,22 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("explore releases its per-level caches: only the output stays persisted") {
+    val site = diamondSite("exploreHygiene")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val explored = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand)
+    assert(explored.count() == 4)
+    // everything explore persisted beyond the (checkpointed) output must be
+    // released on return: per-level fetched/keys caches would otherwise
+    // accumulate across repeated crawls in one session. The output is ONE
+    // localCheckpoint-ed RDD; allow only it (plus nothing else) to be new.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"explore leaked ${leaked.size} persisted RDDs: $leaked")
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")
