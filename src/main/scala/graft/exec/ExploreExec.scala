@@ -148,8 +148,9 @@ object ExploreExec {
     // both partitioner-aligned and block-cached, flat-unioned narrowly
     val visitedParts = scala.collection.mutable.Buffer.empty[RDD[ExploredRow[D]]]
     val visitedKeyParts = scala.collection.mutable.Buffer.empty[RDD[String]]
-    // reliable-checkpoint mode persists each epoch frontier before the
-    // checkpoint write; tracked so the blocks are released on return
+    // every epoch-cut frontier is persisted (explicitly before a reliable
+    // checkpoint, implicitly by localCheckpoint); tracked so the blocks are
+    // released on return
     val persistedFrontiers = scala.collection.mutable.Buffer.empty[RDD[OpenRow[D]]]
 
     /** Fetch one deduped, unvisited frontier: narrow — one row per key. */
@@ -198,9 +199,11 @@ object ExploreExec {
       if (conf.checkpointDir.isDefined &&
           epoch % math.max(1, conf.checkpointEveryEpochs) == 0) {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        persistedFrontiers += rdd
         rdd.checkpoint()
-      } else rdd.localCheckpoint()
+      } else rdd.localCheckpoint() // localCheckpoint PERSISTS the RDD too
+      // every epoch frontier holds executor storage (both branches) until the
+      // release block below — track them all or repeated crawls leak blocks
+      persistedFrontiers += rdd
       rdd.count()
     }
 
@@ -267,9 +270,15 @@ object ExploreExec {
         case x: Comparable[_] if b._2 != null && x.getClass == b._2.getClass => 1
         case _ => 2
       }
-      if (mode == 1 &&
-          a._2.asInstanceOf[Comparable[Any]].compareTo(b._2) > 0) b
-      else a
+      if (mode == 1) {
+        // the catch costs nothing unless a later collision breaks the
+        // homogeneous-payload contract — then degrade to first-seen for the
+        // rest of the task instead of failing the stage
+        try if (a._2.asInstanceOf[Comparable[Any]].compareTo(b._2) > 0) b else a
+        catch {
+          case _: ClassCastException | _: NullPointerException => mode = 2; a
+        }
+      } else a
     }
   }
 }
