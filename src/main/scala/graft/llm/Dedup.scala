@@ -157,6 +157,80 @@ object Dedup {
     (out, rounds)
   }
 
+  /** Incremental dedup-group maintenance: fold a batch of NEW similarity
+    * edges into an existing component assignment without re-running
+    * connected components over the full similarity graph.
+    *
+    * At 100 TB the assignment table is billions of rows while an ingest
+    * batch contributes a few thousand edges; recomputing CC per batch would
+    * re-shuffle the whole graph. Instead the classic contraction argument
+    * applies: components of (oldGraph ∪ newEdges) equal components of the
+    * graph where every old component is collapsed to its root and each new
+    * edge is mapped endpoint→current root. That contracted graph has at most
+    * 2·|newEdges| nodes, so the CC loop runs at batch scale, and the big
+    * table is touched exactly twice — once to look up the roots of batch
+    * endpoints, once to apply the root relabeling — BOTH as broadcast hash
+    * joins against batch-sized sides (the assignment table itself never
+    * shuffles).
+    *
+    * Label semantics match [[connectedComponents]] exactly: `comp` is the
+    * minimum member id. That survives contraction because each old root is
+    * already the minimum of its members, so min(merged roots ∪ new nodes) =
+    * min(all members) — DedupSpec pins incremental == full recompute on
+    * randomized edge sequences.
+    *
+    * @param assignments DataFrame("id","comp") from a previous
+    *                    [[connectedComponents]] / [[mergeComponents]] run
+    *                    (must include root self-rows, as both produce)
+    * @param newEdges    the batch's similarity pairs
+    * @return DataFrame("id","comp") covering all previously assigned ids
+    *         plus any new-edge endpoints (absence = singleton, as before)
+    */
+  def mergeComponents(assignments: DataFrame, newEdges: DataFrame,
+                      src: String = "src", dst: String = "dst",
+                      maxIter: Int = 30): DataFrame = {
+    val asg = assignments
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+    val e = newEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+
+    // roots of the batch endpoints that already have an assignment: the ONE
+    // full scan of the big table, pruned by a broadcast of the endpoint set
+    val touched = asg.join(broadcast(nodes), Seq("id")).select(col("id"), col("comp"))
+
+    // contract: endpoint -> its current root, itself when previously unseen.
+    // A new node can never collide with an existing root (roots appear in
+    // `assignments` as self-rows), so contracted self-loops mean exactly
+    // "edge inside one existing component" and drop out in CC.
+    val ru = touched.select(col("id").as("u"), col("comp").as("ru"))
+    val rv = touched.select(col("id").as("v"), col("comp").as("rv"))
+    val contracted = e
+      .join(broadcast(ru), Seq("u"), "left")
+      .join(broadcast(rv), Seq("v"), "left")
+      .select(coalesce(col("ru"), col("u")).as("cu"),
+              coalesce(col("rv"), col("v")).as("cv"))
+
+    // batch-scale CC over the contracted graph: (old roots ∪ new nodes) ->
+    // new minimum label
+    val ccOut = connectedComponents(contracted, "cu", "cv", maxIter)
+
+    // previously unseen endpoints get their first assignment (both sides of
+    // this join are batch-sized)
+    val newNodes = nodes.join(broadcast(touched.select("id")), Seq("id"), "left_anti")
+    val newAsg = ccOut.join(broadcast(newNodes), Seq("id")).select("id", "comp")
+
+    // relabel the big table: old root -> merged label, via one broadcast
+    // join on `comp` (rows of untouched components pass through unchanged;
+    // ccOut rows keyed by new-node ids can't match any existing comp value)
+    val rootRelabel = ccOut.select(col("id").as("comp"), col("comp").as("newComp"))
+    val relabeled = asg.join(broadcast(rootRelabel), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
+
+    relabeled.union(newAsg)
+  }
+
   /** A session sharing this one's SparkContext/caches but with an isolated
     * SQLConf — `SparkSession.cloneSession()` is `private[sql]` but compiles
     * to a public method, so call it reflectively (what Structured Streaming

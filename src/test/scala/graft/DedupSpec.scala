@@ -97,4 +97,57 @@ class DedupSpec extends AnyFunSuite {
     val comps = run(Seq((7L, 3L), (7L, 9L)))
     assert(comps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
   }
+
+  private def collectAsg(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("mergeComponents: incremental == full recompute on randomized edge sequences") {
+    val rnd = new Random(1234)
+    for (trial <- 1 to 6) {
+      val n = 120 + trial * 40
+      val idSpace = 60 + trial * 10
+      val all = Seq.fill(n)((rnd.nextLong(idSpace), rnd.nextLong(idSpace)))
+        .filter { case (a, b) => a != b }
+      // split so the increment both bridges existing components and
+      // introduces brand-new nodes (the id space overlaps partially)
+      val (base, inc) = all.splitAt(all.size * 2 / 3)
+      val baseAsg = Dedup.connectedComponents(edgeDf(base), "src", "dst")
+      val merged = collectAsg(Dedup.mergeComponents(baseAsg, edgeDf(inc)))
+      val full = ufComponents(all)
+      assert(merged == full, s"trial $trial: incremental != full recompute")
+    }
+  }
+
+  test("mergeComponents: repeated batches chain (output feeds the next merge)") {
+    val rnd = new Random(99)
+    val batches = Seq.fill(4)(Seq.fill(60)((rnd.nextLong(50), rnd.nextLong(50)))
+      .filter { case (a, b) => a != b })
+    var asg = Dedup.connectedComponents(edgeDf(batches.head), "src", "dst")
+    batches.tail.foreach(b => asg = Dedup.mergeComponents(asg, edgeDf(b)))
+    assert(collectAsg(asg) == ufComponents(batches.flatten))
+  }
+
+  test("mergeComponents edge cases: intra-component edges, all-new nodes, empty batch") {
+    val baseAsg = Dedup.connectedComponents(edgeDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))), "src", "dst")
+    // edges entirely inside existing components: assignments unchanged
+    assert(collectAsg(Dedup.mergeComponents(baseAsg, edgeDf(Seq((1L, 3L), (10L, 11L)))))
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a batch of only-new nodes forms its own component; a bridge with a
+    // SMALLER new id relabels the whole old component
+    assert(collectAsg(Dedup.mergeComponents(baseAsg, edgeDf(Seq((20L, 21L), (0L, 3L)))))
+      == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L,
+             20L -> 20L, 21L -> 20L))
+    // empty / self-loop-only batch: pass-through
+    assert(collectAsg(Dedup.mergeComponents(baseAsg, edgeDf(Seq((5L, 5L)))))
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("mergeComponents never shuffles the assignment table (broadcast-only plan)") {
+    val baseAsg = Dedup.connectedComponents(edgeDf(Seq((1L, 2L), (3L, 4L))), "src", "dst")
+    val merged = Dedup.mergeComponents(baseAsg, edgeDf(Seq((2L, 3L), (7L, 8L))))
+    val plan = merged.queryExecution.executedPlan.toString
+    // the relabel join against the (potentially 100 TB) assignment table
+    // must be broadcast, never sort-merge: SMJ would shuffle the big side
+    assert(!plan.contains("SortMergeJoin"), s"assignment relabel fell back to SMJ:\n$plan")
+  }
 }
