@@ -58,6 +58,13 @@ object functions {
   def shingle_signature(text: Column): Column =
     native(graft.sql.ShingleSignature(ex(text)))
 
+  /** n-bit SimHash document fingerprint in one native codegen pass (md5
+    * once per distinct whitespace token — the map-side cost of bit-signature
+    * near-dup dedup).
+    */
+  def sim_hash(text: Column, bits: Int): Column =
+    native(graft.sql.SimHash(ex(text), bits))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

@@ -240,42 +240,25 @@ object SimQ {
 
   /** q27 — SimHash document fingerprint: bit b = sign of the sum over
     * distinct tokens of +-1 by the high bit of hex digit b of md5(token).
+    * One codegen'd map pass over the scan ([[graft.functions.sim_hash]]) —
+    * the doc never explodes into (doc_id, token) rows and there is no
+    * 16-column aggregation state; SqlExprSpec pins value-equivalence to the
+    * exploded conditional-sum formulation the DuckDB oracle still runs.
     */
-  def q27Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      .withColumn("h", md5(col("token")))
-    val bitSums = (1 to SIM_BITS).map { b =>
-      sum(when(substring(col("h"), b, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (1 to SIM_BITS).map { b =>
-      when(col(s"b$b") > 0, lit(1L << (b - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
-  }
+  def q27Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.sim_hash(col("text"), SIM_BITS).as("simhash"))
+      .orderBy(col("doc_id"))
 
   /** 60-bit SimHash: bits 1-32 from md5(token)'s nibble high bits, 33-60
     * from md5('x'||token) — 60 so the weight `1L << 59` stays in signed
     * BIGINT range on both engines (bit 64 would overflow DuckDB's cast).
+    * Native one-pass expression; was 60 interpreted conditional sums over
+    * exploded tokens (the round-7 bench's dominant q45 cost).
     */
-  private def simhash60(docs: DataFrame): DataFrame = {
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h1", md5(col("t")))
-      .withColumn("h2", md5(concat(lit("x"), col("t"))))
-    val bitSums =
-      (1 to 32).map(b => sum(when(substring(col("h1"), b, 1).isin(hexHigh: _*), 1)
-        .otherwise(-1)).as(s"b$b")) ++
-        (1 to 28).map(b => sum(when(substring(col("h2"), b, 1).isin(hexHigh: _*), 1)
-          .otherwise(-1)).as(s"b${b + 32}"))
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (1 to 60).map(b => when(col(s"b$b") > 0, lit(1L << (b - 1)))
-      .otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("sim"))
-  }
+  private def simhash60(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.sim_hash(col("text"), 60).as("sim"))
 
   /** q45 — SimHash NEAR-DUP DETECTION (Manku, Jain, Das Sarma — WWW'07,
     * Google's web-dedup construction): hamming-distance similarity solved

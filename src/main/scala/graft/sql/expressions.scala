@@ -379,6 +379,100 @@ object ShingleSignature {
   }
 }
 
+/** The whole n-bit SimHash document fingerprint in ONE codegen'd pass over
+  * the text — value-identical to the composable formulation (explode distinct
+  * whitespace tokens → per-bit `sum(when(substring(md5(token), b, 1) in
+  * 8..f, 1, -1))` → recombine `1L << (b-1)` weights), pinned by an
+  * equivalence spec — but md5 runs once per distinct token instead of the
+  * aggregate evaluating n conditional sums per exploded row, and the doc
+  * never explodes at all: no shuffle of (doc_id, token) pairs, no n-column
+  * aggregation state. At corpus scale the signature pass is the map-side
+  * cost of bit-signature dedup (q27/q45), exactly like [[ShingleSignature]]
+  * is for set-similarity dedup.
+  *
+  * Bit b (1-indexed, weight `1L << (b-1)`): sign of the sum over DISTINCT
+  * tokens of ±1 by the high bit of hex digit b of md5(token) for b <= 32,
+  * and of md5('x' || token) for b in 33..64 (the second hash extends the
+  * digit supply past md5's 32 hex digits).
+  *
+  * @param bits signature width, 1..64 (60 keeps `1L << 59` in signed BIGINT
+  *             range on engines whose bit ops are signed-only, e.g. the
+  *             DuckDB oracle)
+  */
+final case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in 1..64, got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sim_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHashFunction.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.sql.SimHashFunction.simhash($t, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHashFunction {
+
+  private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry point for generated code: primitive long out, no boxing. */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    // split(text, ' ') semantics (regex limit -1: trailing empties kept;
+    // array_distinct keeps one of each, "" included — md5("") is defined)
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](bits)
+    val md = threadMd5.get()
+    val n1 = math.min(bits, 32)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        md.reset()
+        val d1 = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < n1) { counts(b) += nibbleSign(d1, b); b += 1 }
+        if (bits > 32) {
+          md.reset()
+          val d2 = md.digest(("x" + t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          b = 32
+          while (b < bits) { counts(b) += nibbleSign(d2, b - 32); b += 1 }
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) sim |= 1L << b; b += 1 }
+    sim
+  }
+
+  /** +1 when hex digit `idx` (0-based) of the digest has its high bit set
+    * (hex chars 8..f), else -1. Byte-shift form of `substring(hex, idx+1, 1)
+    * IN ('8'..'f')`.
+    */
+  @inline private def nibbleSign(digest: Array[Byte], idx: Int): Int = {
+    val nib = (digest(idx >> 1) >> (if ((idx & 1) == 0) 4 else 0)) & 0xF
+    if (nib >= 8) 1 else -1
+  }
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live
@@ -412,6 +506,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),
     ("shingle_signature",
       new ExpressionInfo(classOf[ShingleSignature].getName, "shingle_signature"),
-      (c: Seq[Expression]) => ShingleSignature(s(c(0))))
+      (c: Seq[Expression]) => ShingleSignature(s(c(0)))),
+    // bits must be a foldable int literal (it shapes the generated code)
+    ("sim_hash", new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
+      (c: Seq[Expression]) => SimHash(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()))
   )
 }

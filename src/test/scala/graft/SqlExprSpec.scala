@@ -167,6 +167,63 @@ class SqlExprSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_hash: value-equivalent to the exploded conditional-sum formulation") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "repeat repeat repeat",            // distinct collapses
+      "single",
+      "",                                // empty => one "" token
+      "a  b",                            // empty token from double space
+      "trailing space ",
+      "unicode tést 中文",  // multi-byte UTF-8 md5 input
+      null
+    ).toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    for (bits <- Seq(16, 60)) {
+      // the exact pipeline sim_hash replaces: explode distinct tokens,
+      // per-bit +-1 sums over md5 / md5('x'||t) hex digits, 1L<<(b-1) weights
+      val tok = docs
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .withColumn("h1", md5(col("t")))
+        .withColumn("h2", md5(concat(lit("x"), col("t"))))
+      val bitSums =
+        (1 to math.min(bits, 32)).map(b =>
+          sum(when(substring(col("h1"), b, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$b")) ++
+          (33 to bits).map(b =>
+            sum(when(substring(col("h2"), b - 32, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$b"))
+      val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val oracle = agg.select(col("doc_id"),
+        (1 to bits).map(b => when(col(s"b$b") > 0, lit(1L << (b - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("expect"))
+      val got = docs.select(col("doc_id"), sim_hash(col("text"), bits).as("sim"))
+        .join(oracle, Seq("doc_id"), "left").collect()
+      assert(got.length == 8)
+      got.foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(2), "null text => null simhash, absent in oracle")
+        else assert(r.getLong(1) == r.getLong(2), s"bits=$bits doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("sim_hash runs inside whole-stage codegen and from spark.sql") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    // spark.range (not a local relation): ConvertToLocalRelation would fold
+    // a literal-fed Project away before any codegen happens
+    val df = spark.range(1)
+      .select(concat(lit("a b c"), col("id").cast("string")).as("t"))
+      .select(sim_hash(col("t"), 60).as("s"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    val fromSql = spark.sql("SELECT sim_hash('a b c0', 60) AS s").collect().head.getLong(0)
+    assert(df.collect().head.getLong(0) == fromSql)
+  }
+
   test("shingle_signature callable from spark.sql") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val r = spark.sql(
