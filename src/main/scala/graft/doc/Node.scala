@@ -92,9 +92,18 @@ object Node {
     val m = mime.toLowerCase
     try {
       lazy val str = new String(content, java.nio.charset.Charset.forName(charset))
-      // "officedocument…ml" mimes contain "xml" — dispatch them before markup
-      if (m.contains("officedocument") || m.contains("application/zip"))
-        OfficeNode.parse(content)
+      // "officedocument…ml" mimes contain "xml" — dispatch them before markup;
+      // rtf before text/ (text/rtf would fall into the plain-text branch)
+      if (m.contains("epub")) EpubNode.parse(content)
+      else if (m.contains("officedocument")) OfficeNode.parse(content)
+      else if (m.contains("application/zip")) {
+        // magic-sniffed zips: OOXML entry names first, EPUB chapters second
+        val office = OfficeNode.parse(content)
+        if (office eq Unrecognisable) EpubNode.parse(content) else office
+      }
+      else if (m.contains("rtf")) RtfNode.parse(str)
+      else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
+        m.contains("vnd.ms-powerpoint")) CfbSalvage.parse(content)
       else if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
       else if (m.contains("pdf")) PdfNode.parse(content)

@@ -283,7 +283,9 @@ object Mime {
     "gif" -> "image/gif", "pdf" -> "application/pdf",
     "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
-    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
+    "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel"
   )
 
   def sniff(uri: String, content: Array[Byte]): String = {
@@ -295,6 +297,9 @@ object Mime {
       else if (head.startsWith("%PDF")) "application/pdf"
       // zip magic: could be an OOXML doc — OfficeNode decides by entry names
       else if (content.startsWith(Array[Byte]('P', 'K', 3, 4))) "application/zip"
+      else if (head.startsWith("{\\rtf")) "application/rtf" // before the JSON `{` guess
+      else if (content.startsWith(Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte)))
+        "application/msword" // CFB container (.doc/.xls — salvage path)
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"

@@ -72,7 +72,7 @@ object OfficeNode {
           blocks ++= paragraphs(xml, "a")
       }
     val bs = blocks.filter(_.nonEmpty).toVector
-    if (bs.isEmpty) Node.Unrecognisable else new OfficeRoot(bs)
+    if (bs.isEmpty) Node.Unrecognisable else new BlockRoot(bs)
   }
 
   private def isTextPart(name: String): Boolean =
@@ -160,13 +160,4 @@ object OfficeNode {
       sb.toString
     }
 
-  private final class OfficeRoot(blocks: Vector[String]) extends Node {
-    override def findAll(selector: String): Seq[Node] =
-      if (selector == "block" || selector == "*") childNodes else Seq.empty
-    override def children(selector: String): Seq[Node] = findAll(selector)
-    override def childNodes: Seq[Node] = blocks.map(PlainNode(_))
-    override def text: String = blocks.mkString("\n")
-    override def code: String = text
-    override def boilerPipe: String = text
-  }
 }
