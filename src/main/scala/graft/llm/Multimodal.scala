@@ -291,31 +291,25 @@ object Multimodal {
     private[llm] def luminancePlane(img: java.awt.image.BufferedImage): Array[Int] = {
       val w = img.getWidth
       val h = img.getHeight
-      val out = new Array[Int](w * h)
       val raster = img.getRaster
       if (raster.getNumBands == 1) {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
+        // one bulk band read — same values as per-pixel getSample
+        raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
       } else {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
-            x += 1
-          }
-          y += 1
+        // one bulk ARGB read (same ColorModel conversion as per-pixel
+        // getRGB, so hashes are unchanged), then integer luminance in place
+        val out = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < out.length) {
+          val rgb = out(i)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(i) = (299 * r + 587 * g + 114 * b) / 1000
+          i += 1
         }
+        out
       }
-      out
     }
 
     /** 64-bit aHash over a luminance plane: sample s(j,i) =
@@ -345,31 +339,52 @@ object Multimodal {
       hash
     }
 
-    /** Audio decode via AudioSystem: sample count, rate, RMS amplitude,
-      * duration. RMS runs over every interleaved sample (for mono — the
-      * canonical corpus shape — that IS the channel); 16-bit PCM reads the
-      * exact integer sample values, so sum-of-squares is integer-exact.
+    /** Audio decode via AudioSystem: frame count, rate, RMS amplitude,
+      * duration. Accepts 8/16/24-bit integer PCM (signed or unsigned — WAV's
+      * unsigned 8-bit reads with its 2^(bits-1) offset removed so silence is
+      * 0 at every depth), any channel count and endianness. Semantics,
+      * stated precisely: `n_samples` counts FRAMES (one per sample period,
+      * all channels together — what duration is made of); `rms` is the
+      * root-mean-square over ALL samples of ALL channels, in raw integer
+      * sample units of the source bit depth — for multi-channel audio this
+      * equals the standard sqrt(mean over channels of the per-channel mean
+      * square), for mono it is the per-channel RMS. Anything else (float
+      * PCM, compressed codecs, a malformed rate of 0) degrades to "unknown",
+      * never to Infinity/NaN fields.
       */
     def audio(media: Array[Byte]): DecodedMedia = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(media))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) return UNKNOWN // PCM16 only (fixture + common crawl shape)
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val rate = math.round(fmt.getSampleRate).toInt
+        if ((!unsigned && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+          (bits != 8 && bits != 16 && bits != 24) || rate <= 0) return UNKNOWN
         val bytes = in.readAllBytes()
-        val n = bytes.length / 2
+        val bytesPer = bits / 8
+        val big = fmt.isBigEndian
+        val n = bytes.length / bytesPer
         var sumSq = 0.0
         var i = 0
         while (i < n) {
-          val lo = bytes(2 * i) & 0xff
-          val hi = bytes(2 * i + 1).toInt
-          val s = if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
-                  else (hi << 8) | lo
+          val off = i * bytesPer
+          var v = 0
+          if (big) {
+            var j = 0
+            while (j < bytesPer) { v = (v << 8) | (bytes(off + j) & 0xff); j += 1 }
+          } else {
+            var j = bytesPer - 1
+            while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xff); j -= 1 }
+          }
+          val s = if (unsigned) v - (1 << (bits - 1))
+                  else (v << (32 - bits)) >> (32 - bits) // sign-extend
           sumSq += s.toDouble * s
           i += 1
         }
         val frames = n / math.max(1, fmt.getChannels)
-        val rate = math.round(fmt.getSampleRate).toInt
         DecodedMedia(-1L, "audio", -1, -1, -1d, -1L, -1L,
           frames.toLong, rate,
           if (n == 0) 0d else math.sqrt(sumSq / n),
@@ -480,6 +495,44 @@ object Multimodal {
       while (i < nSamples) {
         bb.putShort(((seed + 97L * i) & 0x7fff).toShort)
         i += 1
+      }
+      bb.array()
+    }
+
+    /** PCM WAV at any of the decoder's supported shapes — bits in {8,16,24}
+      * (8 written unsigned per the WAV spec, wider signed little-endian),
+      * any channel count; interleaved sample k (frame-major) is
+      * `(seed + 97*k) mod 2^(bits-1)` so spec oracles recompute RMS in
+      * closed form. `sampleRate = 0` deliberately produces the malformed
+      * header the decoder must degrade on.
+      */
+    def wavEx(sampleRate: Int, nFrames: Int, seed: Long,
+              bits: Int = 16, channels: Int = 1): Array[Byte] = {
+      require(bits == 8 || bits == 16 || bits == 24, s"bits=$bits")
+      val bytesPer = bits / 8
+      val block = bytesPer * channels
+      val dataLen = nFrames * block
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1) // integer PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * block)
+        .putShort(block.toShort)
+        .putShort(bits.toShort)
+      bb.put("data".getBytes).putInt(dataLen)
+      var k = 0
+      val nSamples = nFrames * channels
+      while (k < nSamples) {
+        val v = (seed + 97L * k) & ((1L << (bits - 1)) - 1)
+        bits match {
+          case 8  => bb.put((v + 128).toByte) // unsigned, re-centered
+          case 16 => bb.putShort(v.toShort)
+          case 24 => bb.put(v.toByte).put((v >> 8).toByte).put((v >> 16).toByte)
+        }
+        k += 1
       }
       bb.array()
     }

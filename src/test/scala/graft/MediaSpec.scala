@@ -196,6 +196,53 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("Decode.audio breadth: 8-bit unsigned, 24-bit, stereo — RMS/frames/duration oracles") {
+    // interleaved sample k = (seed + 97k) mod 2^(bits-1); rms is over ALL
+    // samples of ALL channels, n_samples counts frames
+    def expRms(nSamples: Int, seed: Long, bits: Int): Double = {
+      val mask = (1L << (bits - 1)) - 1
+      val sq = (0 until nSamples).map { k =>
+        val s = ((seed + 97L * k) & mask).toDouble; s * s
+      }.sum
+      math.sqrt(sq / nSamples)
+    }
+    // 8-bit unsigned mono: offset-128 removal recovers the raw value
+    val d8 = Multimodal.Decode.audio(Synth.wavEx(8000, 400, 5L, bits = 8))
+    assert(d8.kind == "audio" && d8.n_samples == 400L && d8.sample_rate == 8000)
+    assert(d8.rms == expRms(400, 5L, 8))
+    // 24-bit mono
+    val d24 = Multimodal.Decode.audio(Synth.wavEx(16000, 300, 9L, bits = 24))
+    assert(d24.kind == "audio" && d24.n_samples == 300L)
+    assert(d24.rms == expRms(300, 9L, 24))
+    // 16-bit STEREO: 250 frames = 500 interleaved samples; duration from frames
+    val ds = Multimodal.Decode.audio(Synth.wavEx(8000, 250, 3L, bits = 16, channels = 2))
+    assert(ds.kind == "audio" && ds.n_samples == 250L)
+    assert(ds.rms == expRms(500, 3L, 16))
+    assert(ds.duration_s == 250.0 / 8000)
+    // wavEx(bits=16, channels=1) must byte-match the original Synth.wav shape
+    assert(java.util.Arrays.equals(Synth.wavEx(8000, 100, 7L), Synth.wav(8000, 100, 7L)))
+  }
+
+  test("Decode.audio degrades on malformed rate and float PCM, never Infinity/NaN") {
+    // rate 0 header: duration would be Infinity without the guard
+    val d = Multimodal.Decode.decode(Synth.wavEx(0, 100, 1L))
+    assert(d.kind == "unknown" && d.duration_s == -1d)
+  }
+
+  test("bulk raster read: 10-megapixel decode stays fast and formula-exact") {
+    val (w, h) = (3650, 2740) // ~10 MP
+    val bytes = Synth.png(w, h, 42L)
+    val t0 = System.nanoTime()
+    val d = Multimodal.Decode.image(bytes)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(d.width == w && d.height == h)
+    val (expHash, expLum) = formulaHash(w, h, 42L)
+    assert(d.mean_lum == expLum && ((d.phash_hi << 32) | d.phash_lo) == expHash)
+    // generous bound: the bulk path decodes 10 MP well under a second on
+    // any modern box; the old per-pixel getRGB path took multiples of this
+    assert(sec < 5.0, f"10 MP decode took $sec%.1f s")
+  }
+
   test("Decode dispatch: wav by RIFF magic, png by ImageIO, junk degrades to unknown") {
     assert(Multimodal.Decode.decode(Synth.wav(8000, 10, 1L)).kind == "audio")
     assert(Multimodal.Decode.decode(Synth.png(4, 4, 1L)).kind == "image")
