@@ -94,6 +94,18 @@ object EventStreams {
     *
     * Input: streaming or batch frame with (ts TIMESTAMP, doc_id, text).
     * Output adds n_tokens/quality/fingerprint; one row per surviving doc.
+    *
+    * Batch/streaming parity contract, stated precisely: the batch branch
+    * dedups GLOBALLY (the `watermark` parameter does not bound it) and
+    * keeps the minimum (ts, doc_id) row per fingerprint, while the
+    * streaming branch keeps the first ARRIVAL and only suppresses
+    * duplicates landing within the watermark horizon of each other. The
+    * two agree exactly when (a) the replayed stream is in event-time order
+    * (first arrival = min event time), and (b) duplicate pairs are closer
+    * than the horizon. An out-of-order replay, or duplicates farther apart
+    * than the watermark, can legitimately survive in streaming but not in
+    * batch — that is watermark semantics, not a bug; size `watermark` to
+    * the re-crawl interval you need suppressed.
     */
   def cleanIngest(docs: DataFrame, qualityCut: Double = 0.5,
                   watermark: String = "1 hour"): DataFrame = {

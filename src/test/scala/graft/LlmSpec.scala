@@ -235,6 +235,31 @@ class LlmSpec extends AnyFunSuite {
     assert(smallSplit.count() == 0)
   }
 
+  test("nearDupPairs memo: rewritten table invalidates; repeat listing hits the memo") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = scratchDir("pairmemo")
+    def write(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    SimQ.clearNearDupPairCache()
+    // two byte-identical docs: one verified pair
+    write(Seq((1L, "alpha beta gamma delta epsilon"),
+              (2L, "alpha beta gamma delta epsilon"),
+              (3L, "zeta eta theta iota kappa")))
+    assert(SimQ.nearDupPairs(spark, dir).count() == 1)
+    // same listing => memoized: the returned plan is the SAME object
+    assert(SimQ.nearDupPairs(spark, dir) eq SimQ.nearDupPairs(spark, dir))
+    // REWRITE the table in-place within the session: no dups anymore. The
+    // memo key carries a listing fingerprint, so this must recompute, not
+    // serve the stale 1-pair result.
+    write(Seq((1L, "one two three four five"),
+              (2L, "six seven eight nine ten")))
+    assert(SimQ.nearDupPairs(spark, dir).count() == 0)
+    SimQ.clearNearDupPairCache()
+  }
+
   test("extraction functions: css/json column DSL") {
     val spark0 = spark
     import spark0.implicits._
