@@ -1,0 +1,104 @@
+package graft
+
+import graft.actions._
+import graft.api.GraftContext
+import graft.conf.GraftConf
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+
+/** The W3C wire client against a REAL browser — env-gated: set
+  * `GRAFT_WEBDRIVER_URL` to a live WebDriver remote end (e.g. start
+  * `chromedriver --port=9515` and export
+  * `GRAFT_WEBDRIVER_URL=http://127.0.0.1:9515`) and these run; unset, they
+  * cancel (reported as canceled, not passed — no green-washing).
+  *
+  * The CI sandbox has no browser binary and zero egress, so the default
+  * evidence for the wire binding is BrowserSpec's protocol matrix against
+  * the in-repo W3C stub (README "Verification limits"). This spec exists so
+  * the claim "drives a real chromedriver" is one env var away from being
+  * exercised, with the SAME engine paths (fetch dedup, trace interpreter)
+  * driving the real remote end through real page loads.
+  */
+class RealBrowserSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  private val driverUrl = sys.env.get("GRAFT_WEBDRIVER_URL")
+
+  private def gated(): Unit =
+    assume(driverUrl.isDefined,
+      "GRAFT_WEBDRIVER_URL not set; skipping real-browser matrix")
+
+  /** Serve real HTML over loopback HTTP — a real browser can't load
+    * mock:// URIs, it needs a listening socket. Pages are built AFTER the
+    * ephemeral port is known so in-page links can be absolute.
+    */
+  private def withSite[A](mk: String => Map[String, String])(f: String => A): A = {
+    @volatile var pages: Map[String, String] = Map.empty
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = pages.get(x.getRequestURI.getPath) match {
+          case Some(html) => (200, html.getBytes("UTF-8"))
+          case None       => (404, "<html><body>404</body></html>".getBytes("UTF-8"))
+        }
+        x.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        x.sendResponseHeaders(body._1, body._2.length)
+        x.getResponseBody.write(body._2)
+        x.close()
+      }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    pages = mk(base)
+    try f(base)
+    finally server.stop(0)
+  }
+
+  private def site(base: String) = Map(
+    "/home" ->
+      s"""<html><head><title>Home</title></head><body>
+         |<a id="next" href="$base/page2">next</a>
+         |<form action="$base/search" method="get">
+         |<input type="text" name="q" id="q"/><input type="submit"/></form>
+         |</body></html>""".stripMargin,
+    "/page2" -> """<html><head><title>Page2</title></head><body><p>two</p></body></html>""",
+    "/search" -> """<html><head><title>Found</title></head><body><p>found it</p></body></html>"""
+  )
+
+  test("real browser: visit, click-navigate, screenshot, session lifecycle") {
+    gated()
+    withSite(site) { base =>
+      val b = graft.agent.RemoteWebDriverFactory(driverUrl.get).create()
+      try {
+        b.visit(s"$base/home")
+        assert(b.pageSource.contains("next"))
+        b.click("#next")
+        assert(b.currentUri.endsWith("/page2"))
+        assert(b.pageSource.contains("two"))
+        val png = b.screenshot
+        // real PNG magic, not a stub string
+        assert(png.length > 8 && (png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+      } finally b.close()
+    }
+  }
+
+  test("real browser: engine trace Visit+TextInput+Submit+Snapshot, deduped") {
+    gated()
+    withSite(site) { base =>
+      val ctx = new GraftContext(spark, GraftConf())
+        .withDrivers(graft.agent.RemoteWebDriverFactory(driverUrl.get))
+      import spark.implicits._
+      val out = ctx.create(Seq(1, 2))
+        .fetchOne(_ => Trace.of(Visit(s"$base/home"),
+          TextInput("#q", "spark"), Submit("form"), Snapshot()))
+        .select(_.trajectory.texts("p").mkString)
+        .collect()
+      assert(out.toSeq == Seq("found it", "found it"))
+      assert(ctx.metrics.pagesFetched.value == 1, "identical traces must rollout once")
+    }
+  }
+}
