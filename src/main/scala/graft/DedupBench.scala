@@ -48,13 +48,20 @@ object DedupBench {
       val base = 2000000000L + cluster * STAR_SIZE
       (base, base + 1 + off)
     }
-    val rand = spark.range(nEdges - 2 * third).map { i =>
-      // xorshift-ish deterministic scatter over a 10M-node space
+    // xorshift-ish deterministic scatter over a 10M-node space
+    def randEdge(i: Long): (Long, Long) = {
       val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 41
       val b = (i * 2862933555777941757L + 3037000493L) >>> 41
       (3000000000L + (a % 10000000L), 3000000000L + (b % 10000000L))
     }
+    val rand = spark.range(nEdges - 2 * third).map(i => randEdge(i))
     val edges = chains.union(stars).union(rand).toDF("src", "dst")
+
+    // incremental-maintenance datapoint: hold out the last INC_PCT% of
+    // edges, assign the base graph, then fold the increment in with
+    // mergeComponents — the ops ratio (full CC vs batch-contracted merge)
+    // is the 100 TB argument for warm-start dedup maintenance
+    val incPct = sys.env.getOrElse("GRAFT_DEDUP_INC_PCT", "10").toInt
 
     val t0 = System.nanoTime()
     val (comps, rounds) = Dedup.connectedComponentsWithStats(edges, "src", "dst")
@@ -71,9 +78,27 @@ object DedupBench {
     val sec = (System.nanoTime() - t0) / 1e9
     require(bad == 0L, s"$bad structured nodes mislabeled")
 
+    // warm-start: base = first (100-incPct)% of the random third (chains and
+    // stars kept whole in the base so the increment both bridges existing
+    // components and adds new nodes), increment = the held-out tail
+    val randCount = nEdges - 2 * third
+    val holdout = randCount * incPct / 100
+    val baseEdges = chains.union(stars)
+      .union(spark.range(randCount - holdout).map(i => randEdge(i))).toDF("src", "dst")
+    val incEdges = spark.range(randCount - holdout, randCount).map(i => randEdge(i))
+      .toDF("src", "dst")
+    val baseAsg = Dedup.connectedComponents(baseEdges, "src", "dst")
+      .localCheckpoint() // materialize: time ONLY the merge below
+    val tInc0 = System.nanoTime()
+    val merged = Dedup.mergeComponents(baseAsg, incEdges)
+    val mergedNodes = merged.count()
+    val incSec = (System.nanoTime() - tInc0) / 1e9
+    require(mergedNodes == nNodes, s"incremental lost nodes: $mergedNodes != $nNodes")
+
     val json =
       s"""{"metric":"dedup_cc","edges":$nEdges,"nodes":$nNodes,"components":$nComps,""" +
-        s""""rounds":$rounds,"sec":${f"$sec%.2f"},"edges_per_sec":${(nEdges / sec).toLong}}"""
+        s""""rounds":$rounds,"sec":${f"$sec%.2f"},"edges_per_sec":${(nEdges / sec).toLong},""" +
+        s""""inc_pct":$incPct,"inc_edges":$holdout,"inc_merge_sec":${f"$incSec%.2f"}}"""
     spark.stop()
     println(json)
   }
