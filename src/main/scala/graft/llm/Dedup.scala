@@ -242,3 +242,36 @@ object Dedup {
       case scala.util.control.NonFatal(_) => spark.newSession()
     }
 }
+
+/** Mutable warm-start handle for streaming / batch-periodic dedup-group
+  * maintenance: the first batch of similarity edges runs full
+  * [[Dedup.connectedComponents]], every later batch folds in via
+  * [[Dedup.mergeComponents]] — the standard architecture where near-dup
+  * PAIR detection rides ingest (e.g. `cleanIngest` + a pair stage) and
+  * group compaction is a per-batch contraction instead of a full-graph CC
+  * recompute. Wire it under Structured Streaming as
+  * `edges.writeStream.foreachBatch((b, _) => handle.update(b))`.
+  *
+  * Each update eagerly localCheckpoints the (id, comp) result so
+  * micro-batch lineage never chains batch-over-batch; the previous
+  * assignment's blocks drop to the ContextCleaner when the reference is
+  * replaced. In production the assignment would round-trip a storage table
+  * (parquet/Delta) between batches instead of executor blocks — the merge
+  * plan is identical either way.
+  */
+final class IncrementalComponents {
+  @volatile private var current: Option[DataFrame] = None
+
+  /** The latest (id, comp) assignment, None before the first batch. */
+  def assignment: Option[DataFrame] = current
+
+  def update(newEdges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
+    synchronized {
+      val next = current match {
+        case None      => Dedup.connectedComponents(newEdges, src, dst) // already checkpointed
+        case Some(asg) => Dedup.mergeComponents(asg, newEdges, src, dst).localCheckpoint(true)
+      }
+      current = Some(next)
+      next
+    }
+}

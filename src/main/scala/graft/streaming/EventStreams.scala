@@ -87,10 +87,12 @@ object EventStreams {
     * each document AS IT ARRIVES (pure column expressions work unchanged in
     * streaming), junk is dropped before it costs state, and survivors dedup
     * on q44's Rabin rolling-hash fingerprint within the watermark horizon.
-    * Near-dup GROUPING (q39) deliberately stays a batch compaction pass —
+    * Near-dup GROUPING (q39) deliberately stays a per-batch compaction —
     * connected components re-visits the whole edge set per round, which has
     * no bounded-state streaming form; the standard architecture is this
-    * ingest gate + periodic batch CC over the accumulated corpus.
+    * ingest gate + [[graft.llm.IncrementalComponents]] folding each
+    * micro-batch's new similarity pairs into the running assignment by
+    * contraction (`foreachBatch`; full CC only on the first batch).
     *
     * Input: streaming or batch frame with (ts TIMESTAMP, doc_id, text).
     * Output adds n_tokens/quality/fingerprint; one row per surviving doc.

@@ -234,6 +234,24 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(leaked.size <= 1, s"explore leaked ${leaked.size} persisted RDDs: $leaked")
   }
 
+  test("repeated crawls hold executor storage steady (no cross-crawl accumulation)") {
+    val site = diamondSite("exploreRepeat")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    def crawl() = ctx.create(Seq(s"file:${site("A")}"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand).count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val counts = (1 to 3).map { i =>
+      assert(crawl() == 4, s"crawl $i")
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    }
+    // each crawl may leave its own (checkpointed) output block behind, but
+    // never the per-level caches: growth must be at most one RDD per crawl,
+    // not the ~2 frontiers + 2·levels caches a leak would add
+    assert(counts.zipWithIndex.forall { case (c, i) => c <= i + 1 },
+      s"persisted-RDD growth across crawls: $counts")
+  }
+
   test("re-explore over a warm cache fetches 0 pages (BASELINE target #4)") {
     val site = diamondSite("explore6")
     val cacheDir = scratchDir("explorecache")

@@ -127,6 +127,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 1)
   }
 
+  test("incremental group maintenance across micro-batches == full CC (foreachBatch)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val handle = new graft.llm.IncrementalComponents
+    val q = input.toDF.toDF("src", "dst").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { handle.update(b); () })
+      .start()
+    try {
+      input.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+      input.addData((2L, 3L), (10L, 11L)); q.processAllAvailable() // bridges {1,2}+{3,4}
+      input.addData((4L, 10L), (20L, 21L)); q.processAllAvailable() // merges into one + new pair
+    } finally q.stop()
+    val got = handle.assignment.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full CC over all six edges: {1,2,3,4,10,11} -> 1, {20,21} -> 20
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("dedupByFingerprint drops re-crawls with NEW event times (fingerprint-only key)") {
     val spark0 = spark
     import spark0.implicits._
