@@ -51,6 +51,15 @@ class DedupSpec extends AnyFunSuite {
     Dedup.connectedComponents(edgeDf(edges), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Force the distributed star loop (threshold 0) — spec-scale graphs
+    * would otherwise all take the small-graph union-find path.
+    */
+  private def runDistributed(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (df, rounds) = Dedup.connectedComponentsWithStats(edgeDf(edges), "src", "dst",
+      smallGraphThreshold = 0L)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
   test("random graphs match a union-find oracle (min-id component labels)") {
     val rnd = new Random(42)
     for (trial <- 1 to 5) {
@@ -62,14 +71,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed star loop == small-graph fast path == oracle (both paths pinned)") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(150 + trial * 50) {
+        (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong)
+      }.filter { case (a, b) => a != b }
+      val (dist, rounds) = runDistributed(edges)
+      assert(rounds > 0, "threshold 0 must run the star loop")
+      assert(dist == ufComponents(edges), s"trial $trial distributed")
+      assert(dist == run(edges), s"trial $trial fast-path equality")
+    }
+  }
+
   test("chain of 256 nodes collapses to one component in O(log n) rounds") {
     val chain = (0L until 255L).map(i => (i, i + 1))
-    val (df, rounds) = Dedup.connectedComponentsWithStats(edgeDf(chain), "src", "dst")
-    val comps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (comps, rounds) = runDistributed(chain)
     assert(comps.size == 256 && comps.values.forall(_ == 0L))
     // naive min-label propagation would need ~255 rounds here; the star
     // operators are logarithmic (paper bound O(log^2 n), observed ~log n)
     assert(rounds <= 12, s"took $rounds rounds")
+    assert(rounds > 0, "threshold 0 must run the star loop")
   }
 
   test("self-loops, duplicate and reversed edges canonicalize away") {
@@ -85,8 +107,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("disjoint stars are already a fixpoint (single round to detect)") {
     val stars = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (10L, 12L))
-    val (df, rounds) = Dedup.connectedComponentsWithStats(edgeDf(stars), "src", "dst")
-    val comps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (comps, rounds) = runDistributed(stars)
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
     assert(rounds == 1, s"took $rounds rounds")
