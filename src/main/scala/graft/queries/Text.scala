@@ -153,6 +153,86 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Global running aggregate WITHOUT a single-partition window — the
+    * scalable form of "cumulative sum over the whole corpus in a
+    * deterministic pseudo-random order". A global `ORDER BY` window
+    * collapses to one partition at 100 TB; instead rows hash into 256
+    * buckets by the first two hex chars of their order key (uniform by
+    * construction — the key is md5), per-(group, bucket) totals come back
+    * to the driver (bounded: |groups| x 256 tiny rows — an aggregate, not
+    * data), bucket offsets prefix-sum locally, and the within-bucket
+    * running sum is a fully partitioned window. Ordering by (bucket, hkey)
+    * equals ordering by hkey because the bucket IS the key's prefix.
+    *
+    * Input must carry: `hkey` (hex string order key), `doc_id` (tiebreak),
+    * the group column (string), and `valueCol` (numeric). Output adds
+    * `cum` = running sum of valueCol inclusive of the current row, over
+    * (hkey, doc_id) order within each group.
+    */
+  private def distributedRunningSum(df: DataFrame, groupCol: String,
+                                    valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df.withColumn("bucket", substring(col("hkey"), 1, 2))
+    val offsets = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col(valueCol)).cast("long").as("btotal"))
+      .collect()
+      .groupBy(_.getString(0)).iterator.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getString(1)).map { r =>
+          val o = (g, r.getString(1), acc)
+          acc += r.getLong(2)
+          o
+        }
+      }.toSeq.toDF(groupCol, "bucket", "offset")
+    val w = Window.partitionBy(col(groupCol), col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq(groupCol, "bucket"))
+      .withColumn("cum", (col("offset") + sum(col(valueCol)).over(w)).cast("long"))
+      .drop("bucket", "offset")
+  }
+
+  private val TOKEN_BUDGET = 15000L
+  private val PER_LANG_K = 30L
+
+  /** q48 — token-budget corpus sampling: the data-mixing primitive that cuts
+    * a corpus to a token budget deterministically. Docs order by
+    * md5(doc_id) (a fixed pseudo-random permutation both engines compute
+    * identically), and every doc whose INCLUSIVE running token count fits
+    * the budget survives. The running sum is [[distributedRunningSum]] —
+    * bucketed prefix sums, no global-order single-partition window, so the
+    * plan holds at 100 TB where the oracle's `ORDER BY` window form would
+    * not.
+    */
+  def q48TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("_").as("g"),
+        md5(col("doc_id").cast("string")).as("hkey"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    distributedRunningSum(docs, "g", "n_tokens")
+      .filter(col("cum") <= TOKEN_BUDGET)
+      .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q49 — stratified mixture sampling: k docs per language, chosen by the
+    * same deterministic md5 permutation — the per-source quota step of
+    * pretraining data mixing. The per-language rank is the SAME bucketed
+    * prefix machinery (value 1 → running count), so a dominant language
+    * (the realistic 100 TB shape — most of a web corpus is one language)
+    * never concentrates into a single window partition.
+    */
+  def q49MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hkey"), lit(1L).as("one"))
+    distributedRunningSum(docs, "lang", "one")
+      .filter(col("cum") <= PER_LANG_K)
+      .select(col("lang"), col("doc_id"), col("cum").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
@@ -161,9 +241,37 @@ object TextQ {
     "q24_exact_dedup" -> q24ExactDedup _,
     "q43_subword_tokens" -> q43SubwordTokens _,
     "q44_rolling_hash"   -> q44RollingHash _,
+    "q48_token_budget"   -> q48TokenBudget _,
+    "q49_mixture_sample" -> q49MixtureSample _,
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle uses the global-ORDER-BY window form the Spark side
+    // deliberately avoids — same values, different scalability
+    "q48_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+    "q49_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+        |  FROM t
+        |)
+        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
