@@ -233,6 +233,40 @@ object TextQ {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** q50 — benchmark DECONTAMINATION: flag training documents that share
+    * any word 5-gram with an evaluation set (here: every 50th doc plays the
+    * eval set; in production it is the benchmark suite). The standard
+    * pretraining hygiene pass — exact n-gram collision via hashes, not
+    * text: grams md5 once per doc side, the join key is the 128-bit hash,
+    * and the (tiny) eval gram set broadcasts, so the train corpus never
+    * shuffles at all — scan, hash, probe. Output: per eval doc, how many
+    * distinct train docs collide (zeros kept — absence of contamination is
+    * the result that matters).
+    */
+  def q50Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // consecutive word 5-grams; docs under 5 tokens contribute their whole
+    // text as one gram (slice truncates identically on both engines)
+    val grams = expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+        |  i -> array_join(slice(split(text, ' '), i, 5), ' '))""".stripMargin)
+    val g = docs
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val evalG = g.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("gh"))
+    val trainG = g.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), col("gh"))
+    val hits = trainG.join(broadcast(evalG), Seq("gh"))
+      .select(col("eval_id"), col("train_id")).distinct()
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).cast("long").as("n_contaminated"))
+    docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+      .join(broadcast(hits), col("doc_id") === col("eval_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
@@ -243,9 +277,27 @@ object TextQ {
     "q44_rolling_hash"   -> q44RollingHash _,
     "q48_token_budget"   -> q48TokenBudget _,
     "q49_mixture_sample" -> q49MixtureSample _,
+    "q50_decontaminate"  -> q50Decontaminate _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, md5(gram) AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 4, 1) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+        |    FROM t)
+        |), hits AS (
+        |  SELECT e.doc_id AS eval_id, count(DISTINCT tr.doc_id) AS n_contaminated
+        |  FROM g e JOIN g tr ON tr.gh = e.gh
+        |  WHERE e.doc_id % 50 = 0 AND tr.doc_id % 50 <> 0
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
+        |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+        |WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""".stripMargin,
     // the oracle uses the global-ORDER-BY window form the Spark side
     // deliberately avoids — same values, different scalability
     "q48_token_budget" ->
