@@ -402,6 +402,27 @@ object SimQ {
       .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** q51 — product-quantization ANN ([[graft.llm.Ann.pqEncode]]/pqSearch,
+    * TPAMI'11): 64-dim vectors → 8 subspace codes against an 8-centroid
+    * codebook per subspace, queries ranked by ADC lookups — the
+    * memory-bound scale path of the ANN family (brute q29 → IVF q34 → LSH
+    * q42 → PQ q51). Codebook centroids are 8 fixed corpus vectors
+    * (vec_id 20..27) so the DuckDB oracle re-derives codes and distance
+    * tables exactly; both engines fold (x-y)^2 left-to-right in double, so
+    * the argmin code assignment is engine-independent.
+    */
+  def q51PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).cast("int").as("k"), col("v"))
+    val codes = graft.llm.Ann.pqEncode(e.withColumnRenamed("vec_id", "id"), "id", cent)
+    val queries = e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    graft.llm.Ann.pqSearch(codes, queries, "q_id", cent, topK = 10)
+      .select(col("q_id"), col("vec_id"), col("rn").cast("long").as("rn"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
@@ -413,6 +434,7 @@ object SimQ {
     "q40_corpus_clean"   -> q40CorpusClean _,
     "q45_simhash_neardup" -> q45SimhashNearDup _,
     "q47_incremental_dedup" -> q47IncrementalDedup _,
+    "q51_pq_ann" -> q51PqAnn _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -486,6 +508,37 @@ object SimQ {
     s"(CASE WHEN b$b > 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // PQ: list_prepend(0)+list_reduce mirrors Spark's aggregate-with-0-init
+    // left fold bit-for-bit, so the argmin code assignment matches exactly
+    "q51_pq_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |cent AS (SELECT vec_id - 20 AS k, v FROM e WHERE vec_id >= 20 AND vec_id < 28),
+        |cent_sub AS (
+        |  SELECT c.k, ms.m, list_slice(c.v, ms.m * 8 + 1, ms.m * 8 + 8) AS csub FROM cent c, ms),
+        |corp_sub AS (
+        |  SELECT e.vec_id AS id, ms.m, list_slice(e.v, ms.m * 8 + 1, ms.m * 8 + 8) AS sub FROM e, ms),
+        |cd AS (
+        |  SELECT cs.id, cs.m, ct.k,
+        |    list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, 9),
+        |      i -> (cs.sub[i] - ct.csub[i]) * (cs.sub[i] - ct.csub[i]))), (a, b) -> a + b) AS d2
+        |  FROM corp_sub cs JOIN cent_sub ct ON ct.m = cs.m),
+        |codes0 AS (
+        |  SELECT id, m, k, row_number() OVER (PARTITION BY id, m ORDER BY d2, k) AS rnk FROM cd),
+        |codes AS (SELECT id, list(k ORDER BY m) AS codes FROM codes0 WHERE rnk = 1 GROUP BY id),
+        |qk AS (SELECT id AS q_id, m, list(d2 ORDER BY k) AS dk FROM cd WHERE id < 5 GROUP BY id, m),
+        |qarr AS (SELECT q_id, list(dk ORDER BY m) AS dists FROM qk GROUP BY q_id),
+        |adc AS (
+        |  SELECT q.q_id, c.id AS vec_id,
+        |    list_reduce(list_prepend(0::DOUBLE, list_transform(range(0, 8),
+        |      mi -> q.dists[mi + 1][c.codes[mi + 1] + 1])), (a, b) -> a + b) AS adc
+        |  FROM codes c, qarr q),
+        |r AS (
+        |  SELECT q_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+        |  FROM adc)
+        |SELECT q_id, vec_id, CAST(rn AS BIGINT) AS rn, round(adc, 4) AS adc_dist
+        |FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q45_simhash_neardup" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t

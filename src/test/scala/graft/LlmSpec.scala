@@ -235,6 +235,33 @@ class LlmSpec extends AnyFunSuite {
     assert(smallSplit.count() == 0)
   }
 
+  test("PQ: codes well-formed, centroids encode to themselves, ADC self-distance 0") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cent = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).cast("int").as("k"), col("v"))
+    val codes = Ann.pqEncode(e.withColumnRenamed("vec_id", "id"), "id", cent)
+    val collected = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every vector gets exactly 8 codes, each a valid codebook index
+    assert(collected.values.forall(c => c.length == 8 && c.forall(k => k >= 0 && k < 8)))
+    // a vector that IS centroid k has subspace distance 0 to itself, so its
+    // code in EVERY subspace is k (ties broken toward the lower index can
+    // only replace it if another centroid matches exactly — not in this data)
+    for (k <- 0 until 8)
+      assert(collected(20L + k).forall(_ == k), s"centroid $k did not encode to itself")
+    // ADC of a centroid query against its own code row is exactly 0 => rank 1
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .withColumnRenamed("vec_id", "q_id")
+    val top = Ann.pqSearch(codes, queries, "q_id", cent, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for ((qId, vecId, adc) <- top) {
+      assert(vecId == qId, s"query $qId's rank-1 should be itself (got $vecId)")
+      assert(adc == 0.0, s"self ADC distance must be exactly 0 (got $adc)")
+    }
+  }
+
   test("nearDupPairs memo: rewritten table invalidates; repeat listing hits the memo") {
     val spark0 = spark
     import spark0.implicits._
