@@ -153,45 +153,13 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
-  /** Global running aggregate WITHOUT a single-partition window — the
-    * scalable form of "cumulative sum over the whole corpus in a
-    * deterministic pseudo-random order". A global `ORDER BY` window
-    * collapses to one partition at 100 TB; instead rows hash into 256
-    * buckets by the first two hex chars of their order key (uniform by
-    * construction — the key is md5), per-(group, bucket) totals come back
-    * to the driver (bounded: |groups| x 256 tiny rows — an aggregate, not
-    * data), bucket offsets prefix-sum locally, and the within-bucket
-    * running sum is a fully partitioned window. Ordering by (bucket, hkey)
-    * equals ordering by hkey because the bucket IS the key's prefix.
-    *
-    * Input must carry: `hkey` (hex string order key), `doc_id` (tiebreak),
-    * the group column (string), and `valueCol` (numeric). Output adds
-    * `cum` = running sum of valueCol inclusive of the current row, over
-    * (hkey, doc_id) order within each group.
+  /** See [[graft.scale.PrefixSum.runningSum]] — the bucketed prefix-sum
+    * alternative to a single-partition global-ORDER-BY window; promoted to
+    * the scale package because it is a general utility, not a query detail.
     */
   private def distributedRunningSum(df: DataFrame, groupCol: String,
-                                    valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bucketed = df.withColumn("bucket", substring(col("hkey"), 1, 2))
-    val offsets = bucketed.groupBy(col(groupCol), col("bucket"))
-      .agg(sum(col(valueCol)).cast("long").as("btotal"))
-      .collect()
-      .groupBy(_.getString(0)).iterator.flatMap { case (g, rows) =>
-        var acc = 0L
-        rows.sortBy(_.getString(1)).map { r =>
-          val o = (g, r.getString(1), acc)
-          acc += r.getLong(2)
-          o
-        }
-      }.toSeq.toDF(groupCol, "bucket", "offset")
-    val w = Window.partitionBy(col(groupCol), col("bucket"))
-      .orderBy(col("hkey"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offsets), Seq(groupCol, "bucket"))
-      .withColumn("cum", (col("offset") + sum(col(valueCol)).over(w)).cast("long"))
-      .drop("bucket", "offset")
-  }
+                                    valueCol: String): DataFrame =
+    graft.scale.PrefixSum.runningSum(df, groupCol, valueCol)
 
   private val TOKEN_BUDGET = 15000L
   private val PER_LANG_K = 30L

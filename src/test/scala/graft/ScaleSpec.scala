@@ -132,6 +132,37 @@ class ScaleSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("PrefixSum.runningSum == global-window oracle; no single-partition sort in the plan") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(321)
+    val rows = (0L until 400L).map { id =>
+      (id, Seq("en", "de", "fr")(rnd.nextInt(3)), rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("doc_id", "g", "v")
+      .withColumn("hkey", md5(col("doc_id").cast("string")))
+    val got = graft.scale.PrefixSum.runningSum(df, "g", "v")
+      .select(col("doc_id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: the single-partition global-window form the helper replaces
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val oracle = df.withColumn("cum", sum(col("v")).over(w))
+      .select(col("doc_id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+    // the whole point: the helper's window partitions by (group, bucket) —
+    // with a constant group the oracle form would be ONE partition; the
+    // helper's plan must never contain a partition-less global Sort+Window
+    val one = df.withColumn("g", lit("_"))
+    val plan = graft.scale.PrefixSum.runningSum(one, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), "window must be bucket-partitioned")
+  }
+
   test("Locality.cogroupKeepLeft == cogroup; left rows stay on their original partition") {
     import graft.scale.Locality
     val sc = spark.sparkContext
