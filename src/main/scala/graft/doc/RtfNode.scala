@@ -93,26 +93,33 @@ object RtfNode {
                 catch { case _: NumberFormatException => None }
               else None
             if (k < n && content(k) == ' ') k += 1 // the word's space terminator
-            if (skipDepth == 0) word match {
-              case "par" | "sect" | "page" => endParagraph()
-              case "line" => sb.append('\n')
-              case "tab" => sb.append('\t')
-              case "emdash" => sb.append('—')
-              case "endash" => sb.append('–')
-              case "lquote" => sb.append('‘')
-              case "rquote" => sb.append('’')
-              case "ldblquote" => sb.append('“')
-              case "rdblquote" => sb.append('”')
-              case "bullet" => sb.append('•')
-              case "uc" => uc = param.getOrElse(1)
-              case "u" =>
-                val cp = param.getOrElse(0)
-                val ch = if (cp < 0) cp + 65536 else cp
-                if (ch > 0) sb.appendAll(Character.toChars(ch))
-                pendingUcSkip = uc
-              case _ => // formatting word: no text
+            if (word == "bin") {
+              // \binN: the next N BYTES are raw binary (picture data) — they
+              // may contain '{' '}' '\' that must not be interpreted; skip
+              // them wholesale regardless of group state
+              i = math.min(n.toLong, k.toLong + math.max(0, param.getOrElse(0))).toInt
+            } else {
+              if (skipDepth == 0) word match {
+                case "par" | "sect" | "page" => endParagraph()
+                case "line" => sb.append('\n')
+                case "tab" => sb.append('\t')
+                case "emdash" => sb.append('—')
+                case "endash" => sb.append('–')
+                case "lquote" => sb.append('‘')
+                case "rquote" => sb.append('’')
+                case "ldblquote" => sb.append('“')
+                case "rdblquote" => sb.append('”')
+                case "bullet" => sb.append('•')
+                case "uc" => uc = param.getOrElse(1)
+                case "u" =>
+                  val cp = param.getOrElse(0)
+                  val ch = if (cp < 0) cp + 65536 else cp
+                  if (ch > 0) sb.appendAll(Character.toChars(ch))
+                  pendingUcSkip = uc
+                case _ => // formatting word: no text
+              }
+              i = k
             }
-            i = k
           } else if (next == '\'') {
             // \'hh hex escape — ONE fallback unit for a pending \uN skip
             if (i + 3 < n) {
