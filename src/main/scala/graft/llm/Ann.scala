@@ -261,6 +261,25 @@ object Ann {
         .as("codes"))
   }
 
+  /** Per-query ADC distance tables: (qIdCol, dists array<array<double>>
+    * indexed [m][k]) — the asymmetric half of PQ search, built once per
+    * query against the broadcast codebook.
+    */
+  private def pqDistTables(queries: DataFrame, qIdCol: String, centroids: DataFrame,
+                           m: Int, subDim: Int): DataFrame = {
+    val cs = pqSubspaces(centroids, "k", m, subDim).withColumnRenamed("sub", "csub")
+    pqSubspaces(queries, qIdCol, m, subDim)
+      .join(broadcast(cs), Seq("m"))
+      .withColumn("d2", subD2)
+      .groupBy(col(qIdCol), col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(k, d2))), s -> s.d2)").as("dk"))
+      .groupBy(col(qIdCol))
+      .agg(expr("transform(array_sort(collect_list(struct(m, dk))), s -> s.dk)").as("dists"))
+  }
+
+  private def adcFold(m: Int) =
+    expr(s"aggregate(sequence(0, ${m - 1}), 0D, (a, mi) -> a + dists[mi][codes[mi]])")
+
   /** ADC top-k: every query's m x k distance table rides one broadcast;
     * corpus-side work is a fold of m array lookups per vector. Output:
     * (q_id, vec_id, rn, adc) — rn the 1-based rank by (adc, vec_id).
@@ -268,20 +287,44 @@ object Ann {
   def pqSearch(codes: DataFrame, queries: DataFrame, qIdCol: String,
                centroids: DataFrame, topK: Int,
                m: Int = 8, subDim: Int = 8): DataFrame = {
-    val cs = pqSubspaces(centroids, "k", m, subDim).withColumnRenamed("sub", "csub")
-    val qd = pqSubspaces(queries, qIdCol, m, subDim)
-      .join(broadcast(cs), Seq("m"))
-      .withColumn("d2", subD2)
-    val qarr = qd
-      .groupBy(col(qIdCol), col("m"))
-      .agg(expr("transform(array_sort(collect_list(struct(k, d2))), s -> s.d2)").as("dk"))
-      .groupBy(col(qIdCol))
-      .agg(expr("transform(array_sort(collect_list(struct(m, dk))), s -> s.dk)").as("dists"))
+    val qarr = pqDistTables(queries, qIdCol, centroids, m, subDim)
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col("vec_id"))
     codes.crossJoin(broadcast(qarr))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${m - 1}), 0D, (a, mi) -> a + dists[mi][codes[mi]])"))
+      .withColumn("adc", adcFold(m))
       .select(col(qIdCol), col("id").as("vec_id"), col("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+
+  /** IVFADC (ibid. §V): IVF cell pruning composed with PQ ADC ranking —
+    * the standard billion-scale layout. Corpus search state is inverted
+    * lists of (id, cell_id, codes): a cell tag plus m small ints per
+    * vector; the raw embeddings are needed only at index-build time. A
+    * query probes its `nProbes` nearest cells (cosine, the same
+    * [[probeCells]] as plain IVF) and ADC-ranks ONLY vectors whose cell is
+    * probed — so scan bytes shrink by the PQ compression AND scan rows by
+    * the probe fraction.
+    *
+    * @param corpus  (id, cell_id, codes) — [[pqEncode]] output joined with
+    *                its [[assignCells]] tag
+    * @param queries (qIdCol, v float/double array, qv/qn for probing built
+    *                internally)
+    */
+  def ivfAdcSearch(corpus: DataFrame, queries: DataFrame, qIdCol: String,
+                   cellCentroids: DataFrame, pqCentroids: DataFrame,
+                   nProbes: Int, topK: Int,
+                   m: Int = 8, subDim: Int = 8): DataFrame = {
+    val q2 = queries.select(col(qIdCol).as("q_id"),
+        expr("transform(v, x -> CAST(x AS DOUBLE))").as("qv"))
+      .withColumn("qn", sqrt(dot("qv", "qv")))
+    val probes = probeCells(q2, cellCentroids, nProbes) // (q_id, cell_id)
+    val qarr = pqDistTables(queries, qIdCol, pqCentroids, m, subDim)
+      .withColumnRenamed(qIdCol, "q_id")
+    val probedQ = qarr.join(probes, Seq("q_id")) // nQueries x nProbes rows
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col("vec_id"))
+    corpus.join(broadcast(probedQ), Seq("cell_id"))
+      .withColumn("adc", adcFold(m))
+      .select(col("q_id").as(qIdCol), col("id").as("vec_id"), col("adc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
   }

@@ -262,6 +262,47 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: all cells probed == plain PQ ADC ranking (pruning-only difference)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.vec_dot
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val pqCent = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).cast("int").as("k"), col("v"))
+    val codes = Ann.pqEncode(e.withColumnRenamed("vec_id", "id"), "id", pqCent)
+    val cellCent = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select((col("vec_id") - 10).as("cell_id"),
+        expr("transform(v, x -> CAST(x AS DOUBLE))").as("cv"))
+      .withColumn("cnorm", sqrt(vec_dot(col("cv"), col("cv"))))
+    val tagged = Ann.assignCells(
+      e.select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(vec_dot(col("v"), col("v")))),
+      cellCent)
+    val corpus = codes.join(tagged.select(col("vec_id").as("id"), col("cell_id")), Seq("id"))
+    val queries = e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfadc = Ann.ivfAdcSearch(corpus, queries, "q_id", cellCent, pqCent,
+      nProbes = 8, topK = 10)
+    val pq = Ann.pqSearch(codes, queries, "q_id", pqCent, topK = 10)
+    assert(rows(ivfadc) == rows(pq), "probing every cell must reduce IVFADC to PQ")
+    // pruning really prunes: with 1 probe, every result of a query lives in
+    // exactly ONE cell (the probed one)
+    val pruned = Ann.ivfAdcSearch(corpus, queries, "q_id", cellCent, pqCent,
+      nProbes = 1, topK = 10)
+    val cellOf = tagged.select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQuery = rows(pruned).groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(r => cellOf(r._2)).size >= 1 &&
+        rs.map(r => cellOf(r._2)).toSet.size == 1,
+        s"query $q's 1-probe results span multiple cells")
+    }
+  }
+
   test("nearDupPairs memo: rewritten table invalidates; repeat listing hits the memo") {
     val spark0 = spark
     import spark0.implicits._
