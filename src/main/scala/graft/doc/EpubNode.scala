@@ -39,7 +39,7 @@ object EpubNode {
             n = zin.read(chunk)
           }
           total += buf.size
-          val t = try HtmlNode.parse(new String(buf.toByteArray, StandardCharsets.UTF_8)).text.trim
+          val t = try HtmlNode.parse(decodeChapter(buf.toByteArray)).text.trim
           catch { case scala.util.control.NonFatal(_) => "" }
           if (t.nonEmpty) blocks += t
         }
@@ -51,6 +51,17 @@ object EpubNode {
     val bs = blocks.toVector
     if (bs.isEmpty) Node.Unrecognisable else new BlockRoot(bs)
   }
+
+  /** UTF-8 default with a UTF-16 BOM check — the spec permits UTF-16
+    * content documents, which a blind UTF-8 decode would turn into
+    * NUL-interleaved mojibake contributed silently as text.
+    */
+  private def decodeChapter(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, StandardCharsets.UTF_16BE)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      new String(bytes, StandardCharsets.UTF_16LE)
+    else new String(bytes, StandardCharsets.UTF_8)
 
   private def isChapter(name: String): Boolean = {
     val lower = name.toLowerCase

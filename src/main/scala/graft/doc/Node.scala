@@ -94,6 +94,12 @@ object Node {
       lazy val str = new String(content, java.nio.charset.Charset.forName(charset))
       // "officedocument…ml" mimes contain "xml" — dispatch them before markup;
       // rtf before text/ (text/rtf would fall into the plain-text branch)
+      // RTF is decoded latin-1 regardless of the declared charset: every
+      // byte maps 1:1 to a char, which keeps \binN raw-byte skips
+      // byte-exact (a lossy UTF-8 decode would collapse invalid sequences
+      // and desynchronize the skip); RTF text itself is ASCII + \'hh/\uN
+      // escapes, so latin-1 loses nothing.
+      lazy val rtfStr = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (m.contains("epub")) EpubNode.parse(content)
       else if (m.contains("officedocument")) OfficeNode.parse(content)
       else if (m.contains("application/zip")) {
@@ -101,9 +107,16 @@ object Node {
         val office = OfficeNode.parse(content)
         if (office eq Unrecognisable) EpubNode.parse(content) else office
       }
-      else if (m.contains("rtf")) RtfNode.parse(str)
+      else if (m.contains("rtf")) RtfNode.parse(rtfStr)
       else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
-        m.contains("vnd.ms-powerpoint")) CfbSalvage.parse(content)
+        m.contains("vnd.ms-powerpoint")) {
+        // "RTF saved as .doc" is a common real-world shape: the extension
+        // says msword but the bytes are RTF — fall through to the RTF
+        // interpreter when the CFB magic is absent
+        val cfb = CfbSalvage.parse(content)
+        if ((cfb eq Unrecognisable) && rtfStr.startsWith("{\\rtf")) RtfNode.parse(rtfStr)
+        else cfb
+      }
       else if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
       else if (m.contains("pdf")) PdfNode.parse(content)

@@ -283,13 +283,21 @@ object Ann {
   /** ADC top-k: every query's m x k distance table rides one broadcast;
     * corpus-side work is a fold of m array lookups per vector. Output:
     * (q_id, vec_id, rn, adc) — rn the 1-based rank by (adc, vec_id).
+    *
+    * @param excludeSelf drop rows where the ranked vector IS the query
+    *                    (matching [[search]]'s IVF behavior — relevant when
+    *                    queries are drawn from the corpus); default keeps
+    *                    them, so a corpus query's rank-1 is itself at adc 0
     */
   def pqSearch(codes: DataFrame, queries: DataFrame, qIdCol: String,
                centroids: DataFrame, topK: Int,
-               m: Int = 8, subDim: Int = 8): DataFrame = {
+               m: Int = 8, subDim: Int = 8,
+               excludeSelf: Boolean = false): DataFrame = {
     val qarr = pqDistTables(queries, qIdCol, centroids, m, subDim)
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col("vec_id"))
-    codes.crossJoin(broadcast(qarr))
+    val joined = codes.crossJoin(broadcast(qarr))
+    val kept = if (excludeSelf) joined.filter(col("id") =!= col(qIdCol)) else joined
+    kept
       .withColumn("adc", adcFold(m))
       .select(col(qIdCol), col("id").as("vec_id"), col("adc"))
       .withColumn("rn", row_number().over(w))
@@ -313,7 +321,8 @@ object Ann {
   def ivfAdcSearch(corpus: DataFrame, queries: DataFrame, qIdCol: String,
                    cellCentroids: DataFrame, pqCentroids: DataFrame,
                    nProbes: Int, topK: Int,
-                   m: Int = 8, subDim: Int = 8): DataFrame = {
+                   m: Int = 8, subDim: Int = 8,
+                   excludeSelf: Boolean = false): DataFrame = {
     val q2 = queries.select(col(qIdCol).as("q_id"),
         expr("transform(v, x -> CAST(x AS DOUBLE))").as("qv"))
       .withColumn("qn", sqrt(dot("qv", "qv")))
@@ -322,7 +331,9 @@ object Ann {
       .withColumnRenamed(qIdCol, "q_id")
     val probedQ = qarr.join(probes, Seq("q_id")) // nQueries x nProbes rows
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col("vec_id"))
-    corpus.join(broadcast(probedQ), Seq("cell_id"))
+    val joined = corpus.join(broadcast(probedQ), Seq("cell_id"))
+    val kept = if (excludeSelf) joined.filter(col("id") =!= col("q_id")) else joined
+    kept
       .withColumn("adc", adcFold(m))
       .select(col("q_id").as(qIdCol), col("id").as("vec_id"), col("adc"))
       .withColumn("rn", row_number().over(w))

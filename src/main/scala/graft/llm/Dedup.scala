@@ -222,11 +222,17 @@ object Dedup {
     val e = newEdges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+    // both batch-sized; eagerly checkpointed so the downstream consumers
+    // (contraction, CC, anti-join, relabel keys) never re-derive them — in
+    // particular the root lookup below really is the ONE pre-relabel scan
+    // of the big table, not one per consumer
+    val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().localCheckpoint()
 
-    // roots of the batch endpoints that already have an assignment: the ONE
-    // full scan of the big table, pruned by a broadcast of the endpoint set
+    // roots of the batch endpoints that already have an assignment, pruned
+    // by a broadcast of the endpoint set
     val touched = asg.join(broadcast(nodes), Seq("id")).select(col("id"), col("comp"))
+      .localCheckpoint()
 
     // contract: endpoint -> its current root, itself when previously unseen.
     // A new node can never collide with an existing root (roots appear in

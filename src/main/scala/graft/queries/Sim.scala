@@ -141,6 +141,15 @@ object SimQ {
     * (id_a < id_b, exact Jaccard >= 0.8, rounded to 4) for the documents
     * table under `dir` — memoized per (session, dir, listing snapshot).
     */
+  /** Upper bound on live memo entries: a session-churn application
+    * (newSession per job) mints a fresh token per session, and entries of
+    * DISCARDED-but-unStopped sessions are indistinguishable from live
+    * ones — so beyond the bound, entries from OTHER tokens are evicted
+    * (current session's entries always survive). Dropping the reference is
+    * the release: the ContextCleaner frees the checkpoint blocks.
+    */
+  private val MaxCachedPairEntries = 32
+
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val key = (tokenOf(spark), dir, listingFingerprint(spark, dir))
     val it = pairCache.entrySet().iterator()
@@ -149,6 +158,12 @@ object SimQ {
       val stale = e.getValue.sparkSession.sparkContext.isStopped ||
         (e.getKey._1 == key._1 && e.getKey._2 == key._2 && e.getKey._3 != key._3)
       if (stale) it.remove()
+    }
+    if (pairCache.size() > MaxCachedPairEntries) {
+      val it2 = pairCache.entrySet().iterator()
+      while (it2.hasNext && pairCache.size() > MaxCachedPairEntries) {
+        if (it2.next().getKey._1 != key._1) it2.remove()
+      }
     }
     pairCache.computeIfAbsent(key, _ => computeNearDupPairs(spark, dir))
   }
@@ -305,6 +320,10 @@ object SimQ {
     */
   def q27Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // row-set parity with the exploded formulation and the oracle's
+      // unnest: a null text contributes NO row (sim_hash alone would emit
+      // a (doc_id, null) row)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.sim_hash(col("text"), SIM_BITS).as("simhash"))
       .orderBy(col("doc_id"))
@@ -316,7 +335,8 @@ object SimQ {
     * exploded tokens (the round-7 bench's dominant q45 cost).
     */
   private def simhash60(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.functions.sim_hash(col("text"), 60).as("sim"))
+    docs.filter(col("text").isNotNull) // null text: no row, as when exploded
+      .select(col("doc_id"), graft.functions.sim_hash(col("text"), 60).as("sim"))
 
   /** q45 — SimHash NEAR-DUP DETECTION (Manku, Jain, Das Sarma — WWW'07,
     * Google's web-dedup construction): hamming-distance similarity solved

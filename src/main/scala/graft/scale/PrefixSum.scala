@@ -28,6 +28,15 @@ object PrefixSum {
   /** Adds `cum` — the running sum of `valueCol` inclusive of the current
     * row, over (hkey, doc_id) order within each value of `groupCol`.
     *
+    * Execution contract, stated plainly: this is a TWO-PASS algorithm — the
+    * bucket-offset aggregate collects at CALL time (pass 1) and the
+    * returned frame re-reads the input for the window (pass 2). Persist the
+    * input first if producing it is expensive. Because the offsets are a
+    * call-time snapshot, the returned DataFrame assumes an IMMUTABLE input:
+    * re-executing it after the source changes would combine fresh
+    * within-bucket sums with stale offsets. (Same class of contract as the
+    * near-dup pair memo's immutability assumption.)
+    *
     * @param df       input with columns: `hkey` (hex string order key),
     *                 `doc_id` (unique tiebreak), `groupCol` (string),
     *                 `valueCol` (numeric)

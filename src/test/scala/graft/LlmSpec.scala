@@ -303,6 +303,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q27/q45 signatures: null-text docs contribute NO row (oracle row-set parity)") {
+    val s = spark
+    import s.implicits._
+    val dir = scratchDir("nulltext")
+    Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, "gamma delta"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = SimQ.q27Simhash(s, dir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    // the exploded formulation (and DuckDB's unnest) drops null-text docs;
+    // the native expression must not resurrect them as (doc_id, null) rows
+    assert(ids == Seq(1L, 3L), s"got $ids")
+  }
+
+  test("pqSearch excludeSelf matches IVF search's self-filtering convention") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val pqCent = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).cast("int").as("k"), col("v"))
+    val codes = Ann.pqEncode(e.withColumnRenamed("vec_id", "id"), "id", pqCent)
+    val queries = e.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "q_id")
+    val withSelf = Ann.pqSearch(codes, queries, "q_id", pqCent, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noSelf = Ann.pqSearch(codes, queries, "q_id", pqCent, topK = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 3L).forall(q => withSelf.contains((q, q))), "default keeps self at rank 1")
+    assert(noSelf.forall { case (q, v) => q != v }, "excludeSelf must drop self-matches")
+    assert(noSelf.size == withSelf.size, "both return topK rows per query")
+  }
+
   test("nearDupPairs memo: rewritten table invalidates; repeat listing hits the memo") {
     val spark0 = spark
     import spark0.implicits._
