@@ -101,6 +101,8 @@ object Multimodal {
         else if (isGif(b)) gif(b)
         else if (isBmp(b)) bmp(b)
         else if (isWav(b)) wav(b)
+        else if (isMp4(b)) mp4(b)
+        else if (isAvi(b)) avi(b)
         else RAW
       } catch { case _: Exception => RAW }
 
@@ -202,6 +204,87 @@ object Multimodal {
       require(rate > 0, "no fmt chunk")
       MediaMeta(-1L, "wav", -1, -1, bits, channels, rate, nSamples)
     }
+
+    private def isMp4(b: Array[Byte]) = b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    /** ISO BMFF (MP4) box walk — public ISO/IEC 14496-12 layout. Reads the
+      * movie header (`moov`/`mvhd` v0: timescale + duration in timescale
+      * units) and the first track header with nonzero dimensions
+      * (`trak`/`tkhd` v0: width/height as 16.16 fixed point). Field
+      * mapping: sample_rate = timescale, n_samples = duration units —
+      * duration seconds = n_samples / sample_rate, same convention as WAV.
+      * Frame-accurate counts live in `stts` sample tables, deliberately out
+      * of scope for a header probe.
+      */
+    private def mp4(b: Array[Byte]): MediaMeta = {
+      var w = -1; var h = -1; var timescale = -1; var duration = -1L
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to && depth < 8) {
+          val ii = i.toInt
+          var size = u32be(b, ii)
+          val typ = new String(b, ii + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (size == 1L) return // 64-bit largesize: beyond a header probe
+          if (size == 0L) size = to - i // box extends to EOF
+          require(size >= 8, "bad box size")
+          typ match {
+            case "moov" | "trak" => walk(i + 8, math.min(to, i + size), depth + 1)
+            case "mvhd" if u8(b, ii + 8) == 0 => // version 0 layout
+              timescale = u32be(b, ii + 20).toInt
+              duration = u32be(b, ii + 24)
+            case "tkhd" if u8(b, ii + 8) == 0 && w <= 0 =>
+              // v0: fullbox(4) ctime(4) mtime(4) id(4) res(4) dur(4)
+              // res(8) layer(2) group(2) vol(2) res(2) matrix(36) w(4) h(4)
+              val tw = (u32be(b, ii + 84) >> 16).toInt
+              val th = (u32be(b, ii + 88) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            case _ =>
+          }
+          i += size
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      require(timescale > 0, "no mvhd")
+      MediaMeta(-1L, "mp4", w, h, -1, -1, timescale, duration)
+    }
+
+    private def isAvi(b: Array[Byte]) = b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    /** RIFF AVI main header (`avih`, OpenDML/public msdn layout): frame
+      * period, total frames, dimensions. Field mapping: n_samples = total
+      * frames, sample_rate = frames/sec rounded from dwMicroSecPerFrame.
+      * The avih chunk nests inside LIST/hdrl — the walk descends LIST
+      * chunks with the same corrupt-length guard as [[wav]].
+      */
+    private def avi(b: Array[Byte]): MediaMeta = {
+      var out: MediaMeta = null
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to && depth < 8 && out == null) {
+          val ii = i.toInt
+          val id = new String(b, ii, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val len = u32le(b, ii + 4)
+          if (id == "LIST") walk(i + 12, math.min(to, i + 8 + len), depth + 1)
+          else if (id == "avih" && len >= 40) {
+            val usPerFrame = u32le(b, ii + 8)
+            val totalFrames = u32le(b, ii + 24)
+            val w = u32le(b, ii + 40).toInt
+            val h = u32le(b, ii + 44).toInt
+            val fps = if (usPerFrame > 0) math.round(1e6 / usPerFrame).toInt else -1
+            out = MediaMeta(-1L, "avi", w, h, -1, -1, fps, totalFrames)
+          }
+          i += 8L + len + (len & 1L)
+        }
+      }
+      walk(12L, b.length.toLong, 0)
+      require(out != null, "no avih")
+      out
+    }
   }
 
   /** Batched metadata probe — same per-partition batching contract as
@@ -212,6 +295,62 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map(r => Probe.probe(r.media).copy(id = r.id))
     }
+  }
+
+  /** One sampled video frame: container id, frame index, decoded frame
+    * payload. Fixed schema regardless of codec.
+    */
+  final case class FrameRow(id: Long, frame_idx: Long, width: Int, height: Int,
+                            frame: Array[Byte])
+
+  /** Video frame sampling — every `everyNth` frame of each container,
+    * enumerated from the HEADER's frame count (AVI total frames; MP4
+    * duration x 30 fps nominal — header-level, like the probe). The Spark
+    * shape is the real one: per-partition batching, payload bytes never
+    * shuffle (frames are emitted where the container bytes live), fixed
+    * output schema, frame count bounded by `maxFrames` so one long video
+    * cannot blow up a task.
+    *
+    * THE PIXEL DECODE IS A DETERMINISTIC STUB: the JDK ships no video
+    * codec, so `frame` is a reproducible function of (id, frame_idx) —
+    * grayscale w x h bytes, value (id + 31*frame_idx + pixel) mod 256 —
+    * NOT real pixel data. A production deployment swaps [[stubFrame]] for
+    * a JNI/ffmpeg binding with the same signature; everything around it
+    * (schema, batching, bounds, downstream feature extraction) is real and
+    * tested.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyNth: Int = 30,
+                        maxFrames: Int = 64): Dataset[FrameRow] = {
+    require(everyNth > 0, "everyNth must be positive")
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val meta = Probe.probe(r.media)
+        val nFrames: Long = meta.format match {
+          case "avi" => math.max(0L, meta.n_samples)
+          case "mp4" if meta.sample_rate > 0 =>
+            // header gives duration, not frames; 30 fps nominal
+            math.max(0L, meta.n_samples * 30L / meta.sample_rate)
+          case _ => 0L
+        }
+        val w = math.max(1, meta.width)
+        val h = math.max(1, meta.height)
+        (0L until nFrames by everyNth.toLong).take(maxFrames).map { fi =>
+          FrameRow(r.id, fi, w, h, stubFrame(r.id, fi, w, h))
+        }
+      }
+    }
+  }
+
+  /** The clearly-marked decode stub (see [[sampleVideoFrames]]). */
+  private def stubFrame(id: Long, frameIdx: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var p = 0
+    while (p < out.length) {
+      out(p) = ((id + 31L * frameIdx + p) & 0xff).toByte
+      p += 1
+    }
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -534,6 +673,67 @@ object Multimodal {
         }
         k += 1
       }
+      bb.array()
+    }
+
+    /** Minimal valid ISO BMFF (MP4) header: ftyp + moov{mvhd v0 +
+      * trak{tkhd v0 with 16.16 dimensions}}. Header-only (no mdat) — what
+      * the metadata probe reads; any box walker accepts the layout.
+      */
+    def mp4(w: Int, h: Int, timescale: Int, duration: Long): Array[Byte] = {
+      def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+        bb.array()
+      }
+      val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.putInt(0)            // version 0 + flags
+        bb.putInt(0).putInt(0)  // ctime mtime
+        bb.putInt(timescale).putInt(duration.toInt)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate volume reserved
+        // reserved(8) + matrix(36) + predefined(24) + next_track_id(4) = zeros
+        bb.array()
+      }
+      val tkhd = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(0x00000007)   // version 0 + enabled flags
+        bb.putInt(0).putInt(0)  // ctime mtime
+        bb.putInt(1).putInt(0)  // track id, reserved
+        bb.putInt(duration.toInt)
+        bb.putLong(0L)          // reserved
+        bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer group volume res
+        for (m <- Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)) bb.putInt(m)
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+        bb.array()
+      }
+      val trak = box("trak", box("tkhd", tkhd))
+      val moov = box("moov", box("mvhd", mvhd) ++ trak)
+      ftyp ++ moov
+    }
+
+    /** Minimal valid RIFF AVI header: LIST/hdrl containing avih with frame
+      * period, total frames and dimensions. Header-only, like [[mp4]].
+      */
+    def avi(w: Int, h: Int, fps: Int, nFrames: Long): Array[Byte] = {
+      val avihPayload = {
+        val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(if (fps > 0) (1e6 / fps).toInt else 0) // dwMicroSecPerFrame
+        bb.putInt(0).putInt(0).putInt(0)
+        bb.putInt(nFrames.toInt)  // dwTotalFrames
+        bb.putInt(0).putInt(1).putInt(0)
+        bb.putInt(w).putInt(h)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.array()
+      }
+      val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + avihPayload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes)
+      bb.putInt(4 + 12 + 8 + avihPayload.length)
+      bb.put("AVI ".getBytes)
+      bb.put("LIST".getBytes).putInt(4 + 8 + avihPayload.length).put("hdrl".getBytes)
+      bb.put("avih".getBytes).putInt(avihPayload.length).put(avihPayload)
       bb.array()
     }
   }

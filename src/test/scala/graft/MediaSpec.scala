@@ -125,6 +125,19 @@ class MediaSpec extends AnyFunSuite {
       val full = Synth.png(8, 8, i.toLong)
       Probe.probe(full.take(rnd.nextInt(full.length)))
     }
+    for (i <- 1 to 125) {
+      // video containers: bit-flips and truncations over the box/chunk walks
+      val mp4 = Synth.mp4(1 + rnd.nextInt(4096), 1 + rnd.nextInt(2160),
+        1 + rnd.nextInt(90000), rnd.nextInt(1000000).toLong)
+      mp4(rnd.nextInt(mp4.length)) = rnd.nextInt(256).toByte
+      Probe.probe(mp4)
+      Probe.probe(mp4.take(rnd.nextInt(mp4.length)))
+      val avi = Synth.avi(1 + rnd.nextInt(4096), 1 + rnd.nextInt(2160),
+        1 + rnd.nextInt(120), rnd.nextInt(1000000).toLong)
+      avi(rnd.nextInt(avi.length)) = rnd.nextInt(256).toByte
+      Probe.probe(avi)
+      Probe.probe(avi.take(rnd.nextInt(avi.length)))
+    }
   }
 
   test("Synth/Probe round-trip holds across random dimensions (100 samples)") {
@@ -241,6 +254,37 @@ class MediaSpec extends AnyFunSuite {
     // generous bound: the bulk path decodes 10 MP well under a second on
     // any modern box; the old per-pixel getRGB path took multiples of this
     assert(sec < 5.0, f"10 MP decode took $sec%.1f s")
+  }
+
+  test("MP4/AVI container probe: Synth round-trips dims, timescale, frames") {
+    val m = Probe.probe(Synth.mp4(1920, 1080, 90000, 450000L))
+    assert(m.format == "mp4" && m.width == 1920 && m.height == 1080)
+    assert(m.sample_rate == 90000 && m.n_samples == 450000L) // 5 s in timescale units
+    val a = Probe.probe(Synth.avi(640, 480, 30, 900L))
+    assert(a.format == "avi" && a.width == 640 && a.height == 480)
+    assert(a.sample_rate == 30 && a.n_samples == 900L)
+    // truncated/corrupt video containers degrade to raw, never throw
+    assert(Probe.probe(Synth.mp4(64, 48, 1000, 10L).take(16)).format == "raw")
+    assert(Probe.probe(Synth.avi(64, 48, 25, 10L).take(14)).format == "raw")
+  }
+
+  test("sampleVideoFrames: header-driven enumeration, stubbed decode, bounded per task") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      MediaRow(1L, Synth.avi(8, 4, 30, 90L), "m"),   // 90 frames -> 3 at every 30th
+      MediaRow(2L, Synth.mp4(16, 8, 1000, 2000L), "m"), // 2 s * 30 fps = 60 -> 2
+      MediaRow(3L, Synth.png(4, 4, 1L), "m"))        // not video -> 0 frames
+    val frames = Multimodal.sampleVideoFrames(rows.toDS(), everyNth = 30).collect()
+    assert(frames.map(f => (f.id, f.frame_idx)).sorted.toSeq ==
+      Seq((1L, 0L), (1L, 30L), (1L, 60L), (2L, 0L), (2L, 30L)))
+    // frame payload is the DOCUMENTED deterministic stub with real shape
+    val f0 = frames.find(f => f.id == 1L && f.frame_idx == 30L).get
+    assert(f0.width == 8 && f0.height == 4 && f0.frame.length == 32)
+    assert((f0.frame(5) & 0xff) == ((1L + 31L * 30L + 5L) & 0xff).toInt)
+    // maxFrames bounds a pathological container
+    val long = Seq(MediaRow(9L, Synth.avi(4, 4, 30, 1000000L), "m")).toDS()
+    assert(Multimodal.sampleVideoFrames(long, everyNth = 1, maxFrames = 64).count() == 64L)
   }
 
   test("Decode dispatch: wav by RIFF magic, png by ImageIO, junk degrades to unknown") {
