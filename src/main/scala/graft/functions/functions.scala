@@ -65,6 +65,12 @@ object functions {
   def sim_hash(text: Column, bits: Int): Column =
     native(graft.sql.SimHash(ex(text), bits))
 
+  /** Rabin rolling-hash fingerprint (seed 7, base 31, mod 2^31-1) over a
+    * string column's code points — native codegen, empty string = seed.
+    */
+  def rolling_hash(text: Column): Column =
+    native(graft.sql.RollingHash(ex(text)))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

@@ -106,17 +106,14 @@ object TextQ {
 
   /** Rabin rolling-hash fingerprint over a `norm` column (shared by q44 and
     * the streaming ingest twin [[graft.streaming.EventStreams.cleanIngest]]).
-    * The empty string must hash to the bare seed: Spark's `sequence(1, 0)`
-    * yields the DESCENDING [1, 0] (not []), which would fold two phantom
-    * zero-chars — guard it explicitly so the value matches the DuckDB
-    * oracle's `range(1, 1) = []` and true empty-stream Rabin semantics.
+    * Native codegen expression ([[graft.functions.rolling_hash]]) — one
+    * pass over the code points, empty string = bare seed by construction
+    * (the old HOF formulation needed an explicit guard because Spark's
+    * `sequence(1, 0)` yields the DESCENDING [1, 0]); value-equivalence to
+    * the HOF pinned by SqlExprSpec, the DuckDB oracle unchanged.
     */
   private[graft] def rollingFingerprint: org.apache.spark.sql.Column =
-    when(length(col("norm")) === 0, lit(7L)).otherwise(expr(
-      """aggregate(
-        |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
-        |  7L,
-        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin))
+    graft.functions.rolling_hash(col("norm"))
 
   /** Adds the q21 quality columns (`n_tokens`, `n_stop`, `stop_ratio`,
     * `quality`) to any frame with a `text` column — the ONE definition of

@@ -473,6 +473,61 @@ object SimHashFunction {
   }
 }
 
+/** Rabin polynomial rolling hash `h = (h*31 + codepoint) mod (2^31-1)`,
+  * seed 7, folded left-to-right over the string's code points — the
+  * document fingerprint of q44 and the streaming `cleanIngest` path, as ONE
+  * codegen'd pass instead of the interpreted
+  * `aggregate(transform(sequence(...), i -> ascii(substr(norm, i, 1))), ...)`
+  * HOF chain (which materializes a per-row index array and a per-char
+  * single-char substring). Value-identical including the empty-string case
+  * (bare seed — the HOF needed an explicit guard because Spark's
+  * `sequence(1, 0)` is the DESCENDING [1, 0]) and code-point semantics
+  * (`ascii(substr(s, i, 1))` reads the i-th code point, not UTF-16 unit) —
+  * pinned by an equivalence spec.
+  */
+final case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHashFunction.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.sql.RollingHashFunction.hash($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHashFunction {
+
+  final val Seed = 7L
+  final val Base = 31L
+  final val Mod = 2147483647L // 2^31 - 1
+
+  /** Static entry point for generated code: primitive long out. */
+  def hash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * Base + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live
@@ -510,6 +565,8 @@ object GraftExtensions {
     // bits must be a foldable int literal (it shapes the generated code)
     ("sim_hash", new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
       (c: Seq[Expression]) => SimHash(s(c(0)),
-        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue()))
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    ("rolling_hash", new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (c: Seq[Expression]) => RollingHash(s(c(0))))
   )
 }

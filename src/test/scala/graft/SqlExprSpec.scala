@@ -208,6 +208,38 @@ class SqlExprSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_hash: value-equivalent to the guarded HOF formulation; codegen + SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val docs = Seq(
+      "the quick brown fox", "", " ", "a", "abc123 xyz",
+      "unicode tést 日本", // multi-code-point content
+      "😀 emoji",        // surrogate pair: ONE code point, two chars
+      null
+    ).toDF("norm")
+    // the exact HOF pipeline rolling_hash replaces (q44's round-6 shape)
+    val hof = when(length(col("norm")) === 0, lit(7L)).otherwise(expr(
+      """aggregate(
+        |  transform(sequence(1, length(norm)), i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+        |  7L,
+        |  (a, x) -> (a * 31 + x) % 2147483647)""".stripMargin))
+    val rows = docs.select(col("norm"), rolling_hash(col("norm")).as("n"), hof.as("h")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2))
+      else assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+    }
+    // codegen + SQL registration
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = spark.range(1)
+      .select(concat(lit("abc"), col("id").cast("string")).as("t"))
+      .select(rolling_hash(col("t")).as("rh"))
+    assert(df.queryExecution.executedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    assert(df.collect().head.getLong(0) ==
+      spark.sql("SELECT rolling_hash('abc0') AS rh").collect().head.getLong(0))
+  }
+
   test("sim_hash runs inside whole-stage codegen and from spark.sql") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val spark0 = spark
