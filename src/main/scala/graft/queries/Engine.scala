@@ -413,6 +413,43 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q52 — VIDEO container ingestion: every 10th document (offset 4)
+    * becomes a real minimal MP4 header (ISO BMFF boxes with id-derived
+    * dimensions/timescale/duration), every 10th (offset 7) a real RIFF AVI
+    * header (id-derived dims/fps/frames). Same bulk shape as q41 —
+    * binaryFile ingest, magic-byte dispatch, header parse — and the oracle
+    * predicts every field from the id formulas alone, so the box/chunk
+    * walks must round-trip the synthesized containers exactly. (Pixel
+    * decode for video stays a documented stub — the JDK has no video
+    * codec — so the GATED surface is exactly the real part: the parsers.)
+    */
+  def q52VideoIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q52")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 7)
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id % 10 == 4)
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.mp4",
+            Multimodal.Synth.mp4((320 + (id % 8) * 16).toInt, (180 + (id % 5) * 16).toInt,
+              (1000 * (1 + id % 4)).toInt, 1000 + id % 500))
+        else
+          graft.agent.DocIO.writeBytes(fix, s"media_$id.avi",
+            Multimodal.Synth.avi((320 + (id % 6) * 8).toInt, (240 + (id % 4) * 8).toInt,
+              (24 + (id % 3) * 6).toInt, 600 + id % 400))
+      }
+    }
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(fix)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
+        col("content").as("media"), lit("application/octet-stream").as("mime"))
+    Multimodal.probeMeta(files.as[Multimodal.MediaRow]).toDF()
+      .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
+        col("sample_rate"), col("n_samples"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q46 — REAL media decode: pixel/sample stats through JDK ImageIO/AudioSystem
   // -------------------------------------------------------------------------
@@ -465,6 +502,7 @@ object EngineQ {
     "q37_pdf_extract" -> q37PdfExtract _,
     "q38_docx_extract" -> q38DocxExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
+    "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
     "q46_media_decode" -> q46MediaDecode _,
   )
@@ -575,6 +613,23 @@ object EngineQ {
         |  FROM scored)
         |SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM ranked
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // fps round-trips through Synth's truncating 1e6/fps and the probe's
+    // round(1e6/usPerFrame) — exact for the 24/30/36 values used here
+    "q52_video_ingest" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(180 + (doc_id % 5) * 16 AS INT) AS height,
+        |  CAST(1000 * (1 + doc_id % 4) AS INT) AS sample_rate,
+        |  CAST(1000 + doc_id % 500 AS BIGINT) AS n_samples
+        |FROM documents WHERE doc_id % 10 = 4
+        |UNION ALL
+        |SELECT doc_id, 'avi',
+        |  CAST(320 + (doc_id % 6) * 8 AS INT),
+        |  CAST(240 + (doc_id % 4) * 8 AS INT),
+        |  CAST(24 + (doc_id % 3) * 6 AS INT),
+        |  CAST(600 + doc_id % 400 AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 7
+        |ORDER BY doc_id""".stripMargin,
     "q41_media_ingest" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 16 AS INT) AS width,
