@@ -333,9 +333,15 @@ object Multimodal {
             math.max(0L, meta.n_samples * 30L / meta.sample_rate)
           case _ => 0L
         }
-        val w = math.max(1, meta.width)
-        val h = math.max(1, meta.height)
-        (0L until nFrames by everyNth.toLong).take(maxFrames).map { fi =>
+        // headers LIE in a crawl corpus: clamp dimensions so a claimed
+        // 50000x50000 container can neither overflow w*h to a negative
+        // allocation nor demand gigabytes per frame — malformed containers
+        // degrade (here: to clamped stub frames), never throw
+        val w = math.min(4096, math.max(1, meta.width))
+        val h = math.min(4096, math.max(1, meta.height))
+        // iterator: ONE frame payload alive at a time per input row, not
+        // maxFrames of them materialized in a strict Seq
+        (0L until nFrames by everyNth.toLong).iterator.take(maxFrames).map { fi =>
           FrameRow(r.id, fi, w, h, stubFrame(r.id, fi, w, h))
         }
       }

@@ -371,6 +371,19 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** The ONE binaryFile -> MediaRow ingest stanza shared by q41/q46/q52:
+    * distributed listing of the fixture dir, id recovered from the file
+    * name, payload bytes as the opaque media column.
+    */
+  private def ingestFixtureMedia(spark: SparkSession, fix: String):
+      org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(fix)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
+        col("content").as("media"), lit("application/octet-stream").as("mime"))
+      .as[Multimodal.MediaRow]
+  }
+
   // -------------------------------------------------------------------------
   // q41 — media ingestion: real PNG/WAV files through the binaryFile source
   // -------------------------------------------------------------------------
@@ -403,11 +416,7 @@ object EngineQ {
             Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
       }
     }
-    import spark.implicits._
-    val files = spark.read.format("binaryFile").load(fix)
-      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
-        col("content").as("media"), lit("application/octet-stream").as("mime"))
-    Multimodal.probeMeta(files.as[Multimodal.MediaRow]).toDF()
+    Multimodal.probeMeta(ingestFixtureMedia(spark, fix)).toDF()
       .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
         col("bit_depth"), col("n_channels"), col("sample_rate"), col("n_samples"))
       .orderBy(col("doc_id"))
@@ -440,11 +449,7 @@ object EngineQ {
               (24 + (id % 3) * 6).toInt, 600 + id % 400))
       }
     }
-    import spark.implicits._
-    val files = spark.read.format("binaryFile").load(fix)
-      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
-        col("content").as("media"), lit("application/octet-stream").as("mime"))
-    Multimodal.probeMeta(files.as[Multimodal.MediaRow]).toDF()
+    Multimodal.probeMeta(ingestFixtureMedia(spark, fix)).toDF()
       .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
         col("sample_rate"), col("n_samples"))
       .orderBy(col("doc_id"))
@@ -480,11 +485,7 @@ object EngineQ {
             Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
       }
     }
-    import spark.implicits._
-    val files = spark.read.format("binaryFile").load(fix)
-      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1).cast("long").as("id"),
-        col("content").as("media"), lit("application/octet-stream").as("mime"))
-    Multimodal.decodeMediaDF(spark, files)
+    Multimodal.decodeMediaDF(spark, ingestFixtureMedia(spark, fix).toDF())
       .select(col("id").as("doc_id"), col("kind"), col("width"), col("height"),
         round(col("mean_lum"), 4).as("mean_lum"), col("phash_hi"), col("phash_lo"),
         col("n_samples"), col("sample_rate"),

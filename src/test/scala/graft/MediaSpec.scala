@@ -285,6 +285,11 @@ class MediaSpec extends AnyFunSuite {
     // maxFrames bounds a pathological container
     val long = Seq(MediaRow(9L, Synth.avi(4, 4, 30, 1000000L), "m")).toDS()
     assert(Multimodal.sampleVideoFrames(long, everyNth = 1, maxFrames = 64).count() == 64L)
+    // a LYING header (50000x50000 would overflow w*h to a negative array
+    // size) degrades to clamped stub frames — never a task failure
+    val liar = Seq(MediaRow(10L, Synth.avi(50000, 50000, 30, 3L), "m")).toDS()
+    val lf = Multimodal.sampleVideoFrames(liar, everyNth = 1).collect()
+    assert(lf.length == 3 && lf.forall(f => f.width == 4096 && f.height == 4096))
   }
 
   test("Decode dispatch: wav by RIFF magic, png by ImageIO, junk degrades to unknown") {
