@@ -280,6 +280,39 @@ object Ann {
   private def adcFold(m: Int) =
     expr(s"aggregate(sequence(0, ${m - 1}), 0D, (a, mi) -> a + dists[mi][codes[mi]])")
 
+  /** Train per-subspace PQ codebooks with k-means — the PRODUCTION
+    * codebook path (q51's fixed corpus-vector codebook exists so the
+    * DuckDB oracle can replicate the assignment; a trained codebook cuts
+    * quantization distortion, which is what PQ recall lives on). Each of
+    * the `m` subspaces gets its own independent k-means fit; the result is
+    * assembled as `k` FULL-width rows (subspace mi of row ki = centroid ki
+    * of codebook mi), which is exactly the shape [[pqEncode]]/[[pqSearch]]
+    * slice back apart — PQ's product structure is what makes the
+    * concatenated storage lossless.
+    *
+    * Spec contract (LlmSpec): trained codebooks achieve mean reconstruction
+    * (self-ADC) distortion <= the fixed corpus-vector codebook's on the
+    * same corpus.
+    */
+  def pqTrainCodebooks(vectors: DataFrame, k: Int = 8, m: Int = 8, subDim: Int = 8,
+                       seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val perSub: Seq[Array[Array[Double]]] = (0 until m).map { mi =>
+      val sub = vectors.select(expr(
+        s"transform(slice(v, ${mi * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))").as("arr"))
+        .select(array_to_vector(col("arr")).as("features"))
+      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(20).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }
+    val rows = (0 until k).map { ki =>
+      (ki, (0 until m).flatMap(mi => perSub(mi)(ki).toSeq))
+    }
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
   /** ADC top-k: every query's m x k distance table rides one broadcast;
     * corpus-side work is a fold of m array lookups per vector. Output:
     * (q_id, vec_id, rn, adc) — rn the 1-based rank by (adc, vec_id).

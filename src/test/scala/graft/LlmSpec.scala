@@ -316,6 +316,37 @@ class LlmSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 3L), s"got $ids")
   }
 
+  test("pqTrainCodebooks: trained codebooks beat the fixed corpus-vector codebook on distortion") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val fixed = e.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).cast("int").as("k"), col("v"))
+    val trained = Ann.pqTrainCodebooks(e)
+    assert(trained.count() == 8 &&
+      trained.select(size(col("v"))).collect().forall(_.getInt(0) == 64))
+
+    // mean reconstruction distortion = avg over (vector, subspace) of the
+    // min squared distance to any centroid of that subspace's codebook
+    def distortion(cent: org.apache.spark.sql.DataFrame): Double = {
+      val cs = Ann.pqSubspaces(cent, "k", 8, 8).withColumnRenamed("sub", "csub")
+      Ann.pqSubspaces(e.withColumnRenamed("vec_id", "id"), "id", 8, 8)
+        .join(broadcast(cs), Seq("m"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+        .groupBy(col("id"), col("m")).agg(min(col("d2")).as("best"))
+        .agg(avg(col("best"))).collect().head.getDouble(0)
+    }
+    val (dTrained, dFixed) = (distortion(trained), distortion(fixed))
+    assert(dTrained <= dFixed,
+      s"k-means codebooks must not be worse than arbitrary corpus rows: $dTrained > $dFixed")
+    // and the trained codebook drops straight into the search path
+    val codes = Ann.pqEncode(e.withColumnRenamed("vec_id", "id"), "id", trained)
+    val queries = e.filter(col("vec_id") < 2).withColumnRenamed("vec_id", "q_id")
+    assert(Ann.pqSearch(codes, queries, "q_id", trained, topK = 5).count() == 10L)
+  }
+
   test("pqSearch excludeSelf matches IVF search's self-filtering convention") {
     val s = spark
     import s.implicits._
