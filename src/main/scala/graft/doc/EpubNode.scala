@@ -81,6 +81,7 @@ object EpubNode {
 object CfbSalvage {
 
   private val MinRun = 8
+  private val TotalTextCap = 16 << 20 // runs accumulate ~file-sized on big inputs
 
   def parse(content: Array[Byte]): Node = {
     if (content.length < 8 ||
@@ -90,11 +91,12 @@ object CfbSalvage {
 
     val blocks = ArrayBuffer.empty[String]
     val sb = new StringBuilder
+    var totalText = 0L
 
     def flush(): Unit = {
-      if (sb.length >= MinRun) {
+      if (sb.length >= MinRun && totalText < TotalTextCap) {
         val t = sb.toString.trim
-        if (t.length >= MinRun) blocks += t
+        if (t.length >= MinRun) { blocks += t; totalText += t.length }
       }
       sb.clear()
     }

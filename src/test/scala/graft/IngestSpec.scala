@@ -49,6 +49,33 @@ class IngestSpec extends AnyFunSuite {
     assert(out == Map("a.html" -> "T-a", "b.json" -> "vee", "c.txt" -> "plain body c"))
   }
 
+  test("office-family formats flow through the same ingestion seam (rtf/epub/doc)") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("graft-ingest-office").toAbsolutePath
+    Files.write(d.resolve("letter.rtf"),
+      "{\\rtf1 Rtf letter body\\par}".getBytes(StandardCharsets.ISO_8859_1))
+    // minimal epub: one xhtml chapter
+    val epub = NodeSpec.rawZip(Seq(
+      "mimetype" -> "application/epub+zip",
+      "OEBPS/c1.xhtml" -> "<html><body><p>Epub chapter body</p></body></html>"))
+    Files.write(d.resolve("book.epub"), epub)
+    // CFB-magic .doc with a recoverable ASCII run
+    val doc = new java.io.ByteArrayOutputStream()
+    doc.write(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte))
+    doc.write(Array.fill(12)(0x01.toByte))
+    doc.write("Legacy doc body text".getBytes(StandardCharsets.US_ASCII))
+    doc.write(Array.fill(6)(0x02.toByte))
+    Files.write(d.resolve("old.doc"), doc.toByteArray)
+
+    val out = ctx.readFiles(d.toString)
+      .select(r => (r.data.split('/').last, r.trajectory.doc.get.root.text))
+      .asDataset.collect().toMap
+    assert(out("letter.rtf") == "Rtf letter body")
+    assert(out("book.epub").contains("Epub chapter body"))
+    assert(out("old.doc").contains("Legacy doc body text"))
+  }
+
   test("glob prunes at listing time; recursive descends") {
     val s = spark
     import s.implicits._
