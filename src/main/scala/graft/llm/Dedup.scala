@@ -340,3 +340,19 @@ final class IncrementalComponents {
       next
     }
 }
+
+object IncrementalComponents {
+
+  /** Warm-start from a persisted (id, comp) assignment — the production
+    * restart path: write `assignment` to a table between runs, `resume`
+    * it on startup, and the next batch merges instead of recomputing. The
+    * table must be a [[Dedup.connectedComponents]]/[[Dedup.mergeComponents]]
+    * result (root self-rows included — both produce them).
+    */
+  def resume(assignment: DataFrame): IncrementalComponents = {
+    val h = new IncrementalComponents
+    h.current = Some(assignment
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp")))
+    h
+  }
+}

@@ -40,8 +40,9 @@ object PrefixSum {
     * @param df       input with columns: `hkey` (hex string order key),
     *                 `doc_id` (unique tiebreak), `groupCol` (string),
     *                 `valueCol` (numeric)
-    * @param groupCol string grouping column (use a constant literal column
-    *                 for one global ordering)
+    * @param groupCol string grouping column, NON-NULL (use a constant
+    *                 literal column for one global ordering; filter or
+    *                 coalesce nulls first)
     * @param valueCol numeric column to accumulate (long-cast internally)
     */
   def runningSum(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {

@@ -163,6 +163,20 @@ class DedupSpec extends AnyFunSuite {
       == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("IncrementalComponents.resume: persisted assignment round-trips the restart path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asg").toString
+    val base = Seq((1L, 2L), (3L, 4L))
+    val inc = Seq((2L, 3L), (10L, 11L))
+    // run 1: assign, persist the table, stop
+    Dedup.connectedComponents(edgeDf(base), "src", "dst")
+      .write.mode("overwrite").parquet(s"$dir/assignment")
+    // run 2 (restart): resume from the table, merge the next batch
+    val handle = graft.llm.IncrementalComponents.resume(
+      spark.read.parquet(s"$dir/assignment"))
+    handle.update(edgeDf(inc))
+    assert(collectAsg(handle.assignment.get) == ufComponents(base ++ inc))
+  }
+
   test("mergeComponents never shuffles the assignment table (broadcast-only plan)") {
     val baseAsg = Dedup.connectedComponents(edgeDf(Seq((1L, 2L), (3L, 4L))), "src", "dst")
     val merged = Dedup.mergeComponents(baseAsg, edgeDf(Seq((2L, 3L), (7L, 8L))))
