@@ -168,6 +168,72 @@ object SimQ {
     pairCache.computeIfAbsent(key, _ => computeNearDupPairs(spark, dir))
   }
 
+  /** (doc_id, sig struct) — one [[graft.sql.ShingleSignature]] pass. */
+  private def sigOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.shingle_signature(col("text")).as("sig"))
+
+  /** LSH band rows (doc_id, band_id, band_key) from a signature frame. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      struct(lit(1).as("band_id"), concat_ws("|", col("sig.s1"), col("sig.s2")).as("band_key")),
+      struct(lit(2).as("band_id"), concat_ws("|", col("sig.s3"), col("sig.s4")).as("band_key")),
+      struct(lit(3).as("band_id"), concat_ws("|", col("sig.s5"), col("sig.s6")).as("band_key"))
+    )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+
+  /** The PERSISTABLE near-dup index of a corpus: its LSH band table — 3
+    * short hash rows per doc, no text, no shingle sets. Write it out
+    * between ingest batches and feed it to [[incrementalNearDupPairs]].
+    */
+  def bandIndex(docs: DataFrame): DataFrame = bandsOf(sigOf(docs))
+
+  /** Incremental near-dup PAIR detection — the arrival-time half of dedup
+    * maintenance that [[graft.llm.Dedup.mergeComponents]] is the
+    * compaction half of. Only the NEW batch pays the signature pass; its
+    * bands join against (persisted ∪ new) bands, so every candidate pair
+    * touches at least one arrival and the pre-existing corpus is never
+    * re-signatured (at 100 TB that is the whole point: per-batch work
+    * tracks the batch). The exact-Jaccard verify re-derives signatures
+    * ONLY for candidate docs, semi-joined out of the full corpus — same
+    * strategy as the batch pair stage.
+    *
+    * @param allDocs corpus INCLUDING the arrivals (doc_id, text) — the
+    *                verify side reads candidate docs from here
+    * @param oldBands persisted [[bandIndex]] of the pre-existing corpus
+    * @param newDocs the arrival batch (doc_ids disjoint from oldBands)
+    * @return (bands of the new batch — append them to the persisted
+    *         index; verified pairs (id_a, id_b, jaccard) touching >= 1
+    *         arrival). `union` with previously-known pairs, or feed the
+    *         pairs straight to an [[graft.llm.IncrementalComponents]].
+    */
+  def incrementalNearDupPairs(allDocs: DataFrame, oldBands: DataFrame,
+                              newDocs: DataFrame): (DataFrame, DataFrame) = {
+    val spark0 = newDocs.sparkSession
+    import spark0.implicits._
+    val newBands = bandsOf(sigOf(newDocs)).localCheckpoint() // batch-sized; reused 3x
+    val unionBands = oldBands.select("doc_id", "band_id", "band_key").union(newBands)
+    val cand = newBands.as("x").join(unionBands.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("id_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("id_b"))
+      .distinct()
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val vSigs = sigOf(allDocs.join(broadcast(candIds), Seq("doc_id"))).persist()
+    val pairs = cand
+      .join(vSigs.select(col("doc_id").as("id_a"), col("sig.hset").as("hs_a"),
+        col("sig.n_grams").cast("double").as("n_a")), "id_a")
+      .join(vSigs.select(col("doc_id").as("id_b"), col("sig.hset").as("hs_b"),
+        col("sig.n_grams").cast("double").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint()
+    vSigs.unpersist(false)
+    (newBands, pairs)
+  }
+
   private def computeNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
@@ -192,11 +258,7 @@ object SimQ {
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the
     // shuffle; both self-join sides re-derive them from the cached base
-    val bands = base.select(col("doc_id"), explode(array(
-      struct(lit(1).as("band_id"), concat_ws("|", col("sig.s1"), col("sig.s2")).as("band_key")),
-      struct(lit(2).as("band_id"), concat_ws("|", col("sig.s3"), col("sig.s4")).as("band_key")),
-      struct(lit(3).as("band_id"), concat_ws("|", col("sig.s5"), col("sig.s6")).as("band_key"))
-    )).as("b")).select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val bands = bandsOf(base)
 
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&

@@ -89,10 +89,14 @@ object EventStreams {
     * on q44's Rabin rolling-hash fingerprint within the watermark horizon.
     * Near-dup GROUPING (q39) deliberately stays a per-batch compaction —
     * connected components re-visits the whole edge set per round, which has
-    * no bounded-state streaming form; the standard architecture is this
-    * ingest gate + [[graft.llm.IncrementalComponents]] folding each
-    * micro-batch's new similarity pairs into the running assignment by
-    * contraction (`foreachBatch`; full CC only on the first batch).
+    * no bounded-state streaming form. The full incremental architecture is
+    * this ingest gate plus, per micro-batch (`foreachBatch`):
+    * [[graft.queries.SimQ.incrementalNearDupPairs]] (only arrivals pay the
+    * signature pass; candidates come from the persisted
+    * [[graft.queries.SimQ.bandIndex]]) feeding
+    * [[graft.llm.IncrementalComponents]] (contraction merge into the
+    * running assignment; full CC only on the first batch) — both halves
+    * restartable from persisted tables.
     *
     * Input: streaming or batch frame with (ts TIMESTAMP, doc_id, text).
     * Output adds n_tokens/quality/fingerprint; one row per surviving doc.

@@ -365,6 +365,33 @@ class LlmSpec extends AnyFunSuite {
     assert(noSelf.size == withSelf.size, "both return topK rows per query")
   }
 
+  test("incrementalNearDupPairs: batch pairs ∪ old pairs == full recompute; old docs never re-signatured") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val oldDocs = all.filter(col("doc_id") % 4 =!= 0)
+    val newDocs = all.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // "full recompute" oracle: run the incremental path with everything new
+    val (_, fullPairs) = SimQ.incrementalNearDupPairs(all, SimQ.bandIndex(all.limit(0)), all)
+    // old corpus assigned first, then the arrival batch folds in
+    val oldBands = SimQ.bandIndex(oldDocs).localCheckpoint()
+    val (_, oldPairs) =
+      SimQ.incrementalNearDupPairs(oldDocs, SimQ.bandIndex(oldDocs.limit(0)), oldDocs)
+    val (newBands, incPairs) = SimQ.incrementalNearDupPairs(all, oldBands, newDocs)
+    assert(pairSet(oldPairs) ++ pairSet(incPairs) == pairSet(fullPairs),
+      "incremental + old-only pairs must reconstruct the full pair set")
+    // every incremental pair touches an arrival; the appended band rows are
+    // exactly the arrivals' (3 per doc)
+    assert(pairSet(incPairs).forall(p => p._1 % 4 == 0 || p._2 % 4 == 0))
+    assert(newBands.count() == newDocs.count() * 3)
+    // and the full-corpus memoized stage agrees with the all-new formulation
+    assert(pairSet(fullPairs) == pairSet(SimQ.nearDupPairs(s, dir)
+      .select("id_a", "id_b", "jaccard")))
+  }
+
   test("nearDupPairs memo: rewritten table invalidates; repeat listing hits the memo") {
     val spark0 = spark
     import spark0.implicits._
