@@ -3,6 +3,7 @@ package graft
 import graft.api.GraftContext
 import graft.conf.GraftConf
 import graft.llm.Dedup
+import graft.queries.SimQ
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -19,6 +20,36 @@ import java.nio.file.Files
 class CorpusPipelineIT extends AnyFunSuite {
 
   import SparkFixture._
+
+  test("incremental loop: per-batch band index + pairs + contraction merge == full recompute") {
+    val s = spark
+    import s.implicits._
+    val all = graft.Tables.documents(s, "/root/testdata/sf0.001").select("doc_id", "text")
+    // three ingest batches by doc_id residue; the loop state between
+    // batches is exactly what production persists: the band index and the
+    // component assignment
+    val batches = (0 until 3).map(b => all.filter(col("doc_id") % 3 === b))
+    var bandIdx = SimQ.bandIndex(all.limit(0)).localCheckpoint()
+    var ingested = all.limit(0)
+    val groups = new graft.llm.IncrementalComponents
+    for (batch <- batches) {
+      ingested = ingested.union(batch).localCheckpoint()
+      val (newBands, pairs) = SimQ.incrementalNearDupPairs(ingested, bandIdx, batch)
+      bandIdx = bandIdx.union(newBands).localCheckpoint()
+      if (pairs.head(1).nonEmpty) groups.update(pairs, "id_a", "id_b")
+    }
+    // the loop's final assignment must equal full CC over the full-corpus
+    // pair stage (both label groups by minimum doc_id)
+    val fullPairs = SimQ.nearDupPairs(s, "/root/testdata/sf0.001")
+    val full = Dedup.connectedComponents(fullPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incremental = groups.assignment
+      .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+    assert(incremental == full,
+      s"incremental loop diverged: ${incremental.size} vs ${full.size} assignments")
+    assert(full.nonEmpty, "vacuous test: the corpus must contain near-dup pairs")
+  }
 
   test("ingest -> extract -> dedup -> group -> keep") {
     val s = spark
