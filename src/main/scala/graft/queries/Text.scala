@@ -198,6 +198,69 @@ object TextQ {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** TRAINED language identification — the production companion to q22's
+    * fixed marker heuristic: character-trigram profiles learned from a
+    * labeled corpus (the standard n-gram LID construction, e.g. textcat /
+    * fastText's char-ngram features). `train` counts trigrams per
+    * language, keeps each language's `profileSize` most frequent with
+    * count-proportional weights (a tiny broadcastable table: langs x
+    * profileSize rows); `predict` explodes each doc's distinct trigrams,
+    * joins the broadcast profile, and takes the argmax weight sum —
+    * map-side except one aggregate per doc, linear at any corpus size.
+    */
+  object LangId {
+
+    private def trigrams(textCol: String) = expr(
+      s"""transform(sequence(1, greatest(length($textCol) - 2, 1)),
+         |  i -> substring($textCol, i, 3))""".stripMargin)
+
+    /** (p_lang, tri, weight) — weight is the trigram's LIFT for the
+      * language: P(lang | tri) − P(lang), so a trigram that is merely
+      * common contributes ~0 everywhere and only lang-DISCRIMINATIVE
+      * trigrams carry signal (plain frequency profiles fail exactly when
+      * languages share a vocabulary pool — each language's top trigrams
+      * are then the corpus's top trigrams). Each language keeps its
+      * `profileSize` highest-lift trigrams among those seen >= 3 times.
+      * Input needs (lang, text).
+      */
+    def train(docs: DataFrame, profileSize: Int = 64): DataFrame = {
+      val counts = docs
+        .select(col("lang"), explode(trigrams("text")).as("tri"))
+        .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+      val byTri = Window.partitionBy(col("tri"))
+      val langTotals = Window.partitionBy(col("lang"))
+      val withLift = counts
+        .withColumn("n_tri", sum(col("n")).over(byTri))
+        .withColumn("n_lang", sum(col("n")).over(langTotals))
+        .withColumn("n_all", sum(col("n")).over())
+        .withColumn("weight",
+          col("n").cast("double") / col("n_tri") -
+            col("n_lang").cast("double") / col("n_all"))
+        .filter(col("n") >= 3)
+      val w = Window.partitionBy(col("lang")).orderBy(col("weight").desc, col("tri"))
+      withLift.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= profileSize && col("weight") > 0)
+        .select(col("lang").as("p_lang"), col("tri"), col("weight"))
+    }
+
+    /** Adds `pred_lang` to (doc_id, text) rows: argmax over languages of
+      * the summed profile weight of the doc's DISTINCT trigrams (ties to
+      * the lexicographically first language — deterministic).
+      */
+    def predict(docs: DataFrame, profiles: DataFrame): DataFrame = {
+      val scored = docs
+        .select(col("doc_id"), explode(array_distinct(trigrams("text"))).as("tri"))
+        .join(broadcast(profiles), Seq("tri"))
+        .groupBy(col("doc_id"), col("p_lang"))
+        .agg(sum(col("weight")).as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+      val best = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("p_lang").as("pred_lang"))
+      docs.join(best, Seq("doc_id"), "left_outer")
+    }
+  }
+
   /** q50 — benchmark DECONTAMINATION: flag training documents that share
     * any word 5-gram with an evaluation set (here: every 50th doc plays the
     * eval set; in production it is the benchmark suite). The standard
