@@ -227,20 +227,32 @@ object TextQ {
       val counts = docs
         .select(col("lang"), explode(trigrams("text")).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
-      val byTri = Window.partitionBy(col("tri"))
-      val langTotals = Window.partitionBy(col("lang"))
+        .persist() // read by three aggregates below
+      // totals as AGGREGATE JOINS, not windows: sum().over() with no
+      // partition key is a single-partition shuffle of the whole trigram
+      // table, and partitionBy(lang) would funnel each language's full
+      // vocabulary into one task; per-tri totals hash-join at full
+      // parallelism and the per-lang/global totals are tiny broadcasts
+      val triTotals = counts.groupBy(col("tri")).agg(sum(col("n")).as("n_tri"))
+      val langTotals = counts.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      val nAll = langTotals.agg(sum(col("n_lang"))).head().getLong(0).toDouble
       val withLift = counts
-        .withColumn("n_tri", sum(col("n")).over(byTri))
-        .withColumn("n_lang", sum(col("n")).over(langTotals))
-        .withColumn("n_all", sum(col("n")).over())
+        .join(triTotals, Seq("tri"))
+        .join(broadcast(langTotals), Seq("lang"))
         .withColumn("weight",
           col("n").cast("double") / col("n_tri") -
-            col("n_lang").cast("double") / col("n_all"))
+            col("n_lang").cast("double") / lit(nAll))
         .filter(col("n") >= 3)
+      // per-lang top-K ranking: lang cardinality is dimension-like, and the
+      // ranked input is the already-aggregated (lang, tri) table — the
+      // standard window-topN shape, not a corpus-sized sort
       val w = Window.partitionBy(col("lang")).orderBy(col("weight").desc, col("tri"))
-      withLift.withColumn("rk", row_number().over(w))
+      val out = withLift.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= profileSize && col("weight") > 0)
         .select(col("lang").as("p_lang"), col("tri"), col("weight"))
+        .localCheckpoint() // profiles are tiny; release the counts persist
+      counts.unpersist(false)
+      out
     }
 
     /** Adds `pred_lang` to (doc_id, text) rows: argmax over languages of
