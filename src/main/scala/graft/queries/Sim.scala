@@ -172,6 +172,24 @@ object SimQ {
   private def sigOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.shingle_signature(col("text")).as("sig"))
 
+  /** The ONE exact-Jaccard verify stage: candidate (id_a, id_b) pairs
+    * joined to per-doc signatures, |A∩B| via the sorted-hash merge,
+    * |A∪B| = n_a + n_b − |A∩B|, threshold 0.8, rounded to 4 — these are
+    * the oracle-pinned pair semantics, shared by the batch stage and the
+    * incremental stage so they can never silently diverge.
+    */
+  private def verifiedPairs(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig.hset").as("hs_a"),
+        col("sig.n_grams").cast("double").as("n_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig.hset").as("hs_b"),
+        col("sig.n_grams").cast("double").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   /** LSH band rows (doc_id, band_id, band_key) from a signature frame. */
   private def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
@@ -211,25 +229,19 @@ object SimQ {
     import spark0.implicits._
     val newBands = bandsOf(sigOf(newDocs)).localCheckpoint() // batch-sized; reused 3x
     val unionBands = oldBands.select("doc_id", "band_id", "band_key").union(newBands)
+    // checkpoint: the candidate join scans the corpus-sized band index —
+    // both downstream consumers (the candIds broadcast AND the verify
+    // join) must read the materialized (tiny) pair list, not re-run it
     val cand = newBands.as("x").join(unionBands.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
           $"x.doc_id" =!= $"y.doc_id")
       .select(least($"x.doc_id", $"y.doc_id").as("id_a"),
         greatest($"x.doc_id", $"y.doc_id").as("id_b"))
       .distinct()
+      .localCheckpoint()
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val vSigs = sigOf(allDocs.join(broadcast(candIds), Seq("doc_id"))).persist()
-    val pairs = cand
-      .join(vSigs.select(col("doc_id").as("id_a"), col("sig.hset").as("hs_a"),
-        col("sig.n_grams").cast("double").as("n_a")), "id_a")
-      .join(vSigs.select(col("doc_id").as("id_b"), col("sig.hset").as("hs_b"),
-        col("sig.n_grams").cast("double").as("n_b")), "id_b")
-      .withColumn("inter",
-        graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
-      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .localCheckpoint()
+    val pairs = verifiedPairs(cand, vSigs).localCheckpoint()
     vSigs.unpersist(false)
     (newBands, pairs)
   }
@@ -266,21 +278,11 @@ object SimQ {
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
 
-    val out = cand
-      .join(base.select(col("doc_id").as("id_a"), col("sig.hset").as("hs_a"),
-        col("sig.n_grams").cast("double").as("n_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("sig.hset").as("hs_b"),
-        col("sig.n_grams").cast("double").as("n_b")), "id_b")
-      .withColumn("inter",
-        graft.functions.sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double"))
-      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      // materialize the (near-dup-pairs-only) result so the input persist
-      // can be released here instead of leaking across queries; the
-      // checkpoint blocks are executor-held and ContextCleaner-freed —
-      // and they're exactly what the memo hands to q26/q39/q40
-      .localCheckpoint()
+    // materialize the (near-dup-pairs-only) result so the input persist
+    // can be released here instead of leaking across queries; the
+    // checkpoint blocks are executor-held and ContextCleaner-freed —
+    // and they're exactly what the memo hands to q26/q39/q40
+    val out = verifiedPairs(cand, base).localCheckpoint()
     base.unpersist(false)
     out
   }

@@ -210,9 +210,13 @@ object TextQ {
     */
   object LangId {
 
+    // texts under 3 chars emit NO trigrams (a degenerate whole-text "gram"
+    // could learn the empty string into a profile and then confidently
+    // classify signal-free docs, breaking the null-prediction contract)
     private def trigrams(textCol: String) = expr(
-      s"""transform(sequence(1, greatest(length($textCol) - 2, 1)),
-         |  i -> substring($textCol, i, 3))""".stripMargin)
+      s"""CASE WHEN length($textCol) >= 3 THEN
+         |  transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin)
 
     /** (p_lang, tri, weight) — weight is the trigram's LIFT for the
       * language: P(lang | tri) − P(lang), so a trigram that is merely
@@ -235,7 +239,15 @@ object TextQ {
       // parallelism and the per-lang/global totals are tiny broadcasts
       val triTotals = counts.groupBy(col("tri")).agg(sum(col("n")).as("n_tri"))
       val langTotals = counts.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
-      val nAll = langTotals.agg(sum(col("n_lang"))).head().getLong(0).toDouble
+      // sum over zero rows is null — an empty (or all-short-text) training
+      // frame returns an empty profile, not an NPE deep in Row accessors
+      val nAllRow = langTotals.agg(sum(col("n_lang"))).head()
+      if (nAllRow.isNullAt(0)) {
+        counts.unpersist(false)
+        return counts.select(col("lang").as("p_lang"), col("tri"),
+          lit(0.0d).as("weight")).limit(0)
+      }
+      val nAll = nAllRow.getLong(0).toDouble
       val withLift = counts
         .join(triTotals, Seq("tri"))
         .join(broadcast(langTotals), Seq("lang"))

@@ -62,4 +62,21 @@ class TextOpsSpec extends AnyFunSuite {
     val pred = TextQ.LangId.predict(alien, profiles).collect().head
     assert(pred.isNullAt(pred.fieldIndex("pred_lang")))
   }
+
+  test("LangId edge cases: empty training corpus, short/empty texts") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus()
+    // empty training slice: an empty profile frame, not an NPE
+    assert(TextQ.LangId.train(docs.filter(col("doc_id") < 0)).count() == 0)
+    // texts under 3 chars emit no trigrams: they can't poison a profile...
+    val withShorts = docs.union(
+      Seq((9001L, "aa", ""), (9002L, "aa", "ab")).toDF("doc_id", "lang", "text"))
+    val profiles = TextQ.LangId.train(withShorts)
+    assert(profiles.filter(col("tri") === "" || length(col("tri")) < 3).count() == 0)
+    // ...and they predict null instead of inheriting someone's empty-gram
+    val shortPred = TextQ.LangId.predict(
+      Seq((1L, "aa", "xy")).toDF("doc_id", "lang", "text"), profiles).collect().head
+    assert(shortPred.isNullAt(shortPred.fieldIndex("pred_lang")))
+  }
 }
