@@ -75,13 +75,14 @@ object SimQ {
     * any useful threshold, so the verify-side gram work is near-zero while
     * the doc scan itself stays a cheap columnar read).
     *
-    * Known LSH skew caveat, and the standard pipeline order that defuses it:
-    * a mega-cluster of exact duplicates puts its whole cluster in one band
-    * bucket, making the self-join quadratic in the cluster size. Run EXACT
-    * dedup first (q24 hash-groupBy keeps one doc per byte-identical cluster)
-    * so LSH only sees cluster representatives; residual near-dup hot buckets
-    * can be salted with [[graft.scale.Skew.saltedJoin]] or size-capped like
-    * [[graft.llm.Ann.capCellSizes]].
+    * LSH skew: a mega-cluster sharing one band key would make the self-join
+    * quadratic in the cluster size ON ONE REDUCER. The candidate join is
+    * salt-guarded ([[saltedBandCandidates]] — result-set identical,
+    * spec-pinned against the unguarded join under a planted mega-band), so
+    * a hot band's pair generation spreads over ceil(n/target) reducers.
+    * The standard pipeline order still applies: run EXACT dedup first (q24
+    * hash-groupBy keeps one doc per byte-identical cluster) so LSH only
+    * sees cluster representatives and the pair OUTPUT itself stays small.
     */
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
@@ -204,6 +205,62 @@ object SimQ {
     */
   def bandIndex(docs: DataFrame): DataFrame = bandsOf(sigOf(docs))
 
+  /** No (band, salt) join group exceeds ~this many rows — the same bound
+    * class [[graft.llm.Hamming]] uses for its pigeonhole blocks.
+    */
+  private val BandTargetBucket = 4096L
+
+  /** Band rows + hot-band salt: `n_sub = ceil(bucket/target)` deterministic
+    * sub-buckets per (band_id, band_key), `salt = hash(doc_id) mod n_sub`.
+    * The bucket count rides a window over the band key — one narrow-row
+    * shuffle, the same shuffle class the candidate join pays anyway; no
+    * driver collect, no broadcast of an unbounded bucket-size table.
+    */
+  private[graft] def saltedBands(bands: DataFrame, targetBucket: Long): DataFrame = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    val byBucket = Window.partitionBy(col("band_id"), col("band_key"))
+    bands.withColumn("n_sub",
+        greatest(lit(1L),
+          ceil(count(lit(1)).over(byBucket) / lit(targetBucket.toDouble)).cast("long")))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("n_sub")))
+  }
+
+  /** Candidate (id_a < id_b) pairs from a band table, with the hot-band
+    * SALT guard (semantics-preserving — the result set is exactly the
+    * unguarded join's, spec-pinned): a mega-band of m rows (mass-produced
+    * boilerplate, near-empty texts sharing signatures) would otherwise emit
+    * its m²/2 candidates from a single reducer — the classic LSH mega-bucket
+    * blowup at crawl scale. Rows in a bucket larger than `targetBucket` get
+    * `n_sub` deterministic salts; the LEFT side keys on its own salt, the
+    * right side replicates each row to every salt of its bucket, so each
+    * pair meets on exactly one reducer and a hot band's pair generation
+    * spreads over n_sub reducers. Replication is n·n_sub narrow rows per hot
+    * band — negligible next to the n²/2 output it spreads. Same construction
+    * as [[graft.llm.Hamming.nearDupPairs]] and `Ann.nearDupPairsBySkew`.
+    *
+    * @param bands  full band table ((doc_id, band_id, band_key); salted here)
+    * @param isLeft which rows DRIVE the join (`lit(true)` for the batch
+    *               self-join; the arrivals flag for the incremental join —
+    *               every candidate touches >= 1 left row)
+    */
+  private[graft] def saltedBandCandidates(bands: DataFrame, isLeft: Column,
+                                          targetBucket: Long = BandTargetBucket): DataFrame = {
+    val b = saltedBands(bands.withColumn("is_left", isLeft), targetBucket)
+    val x = b.filter(col("is_left"))
+      .select(col("band_id"), col("band_key"), col("salt"), col("doc_id").as("ida"))
+    // right side: replicate to every salt of its bucket so a pair meets at
+    // the LEFT row's salt; when BOTH rows are left, keep only the meeting
+    // driven by the smaller id — exactly one surviving row per (pair, band)
+    val y = b.select(col("band_id"), col("band_key"),
+      explode(sequence(lit(0L), col("n_sub") - 1)).as("salt"),
+      col("doc_id").as("idb"), col("is_left").as("left_b"))
+    x.join(y, Seq("band_id", "band_key", "salt"))
+      .filter(col("ida") =!= col("idb") && (col("ida") < col("idb") || !col("left_b")))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct() // a close pair shares several bands; count it once
+  }
+
   /** Incremental near-dup PAIR detection — the arrival-time half of dedup
     * maintenance that [[graft.llm.Dedup.mergeComponents]] is the
     * compaction half of. Only the NEW batch pays the signature pass; its
@@ -225,19 +282,19 @@ object SimQ {
     */
   def incrementalNearDupPairs(allDocs: DataFrame, oldBands: DataFrame,
                               newDocs: DataFrame): (DataFrame, DataFrame) = {
-    val spark0 = newDocs.sparkSession
-    import spark0.implicits._
     val newBands = bandsOf(sigOf(newDocs)).localCheckpoint() // batch-sized; reused 3x
-    val unionBands = oldBands.select("doc_id", "band_id", "band_key").union(newBands)
+    // arrivals drive the salted candidate join against (persisted ∪ new)
+    // bands, so every pair touches >= 1 arrival and a hot band (boilerplate
+    // flood in the corpus OR the batch) can't pin one reducer — without the
+    // guard a collision flood through a mega-band would also inflate the
+    // candIds broadcast below beyond its batch-proportional design size.
     // checkpoint: the candidate join scans the corpus-sized band index —
     // both downstream consumers (the candIds broadcast AND the verify
     // join) must read the materialized (tiny) pair list, not re-run it
-    val cand = newBands.as("x").join(unionBands.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" =!= $"y.doc_id")
-      .select(least($"x.doc_id", $"y.doc_id").as("id_a"),
-        greatest($"x.doc_id", $"y.doc_id").as("id_b"))
-      .distinct()
+    val tagged = oldBands.select(col("doc_id"), col("band_id"), col("band_key"))
+      .withColumn("is_new", lit(false))
+      .union(newBands.withColumn("is_new", lit(true)))
+    val cand = saltedBandCandidates(tagged, col("is_new"))
       .localCheckpoint()
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val vSigs = sigOf(allDocs.join(broadcast(candIds), Seq("doc_id"))).persist()
@@ -247,8 +304,6 @@ object SimQ {
   }
 
   private def computeNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
     // ONE native pass over the corpus computes everything per doc
     // ([[graft.sql.ShingleSignature]]): the 6 minhash slices (one-permutation
     // style — md5 runs ONCE per shingle, the "permutations" are disjoint
@@ -269,14 +324,9 @@ object SimQ {
       .persist()
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the
-    // shuffle; both self-join sides re-derive them from the cached base
-    val bands = bandsOf(base)
-
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-      .distinct()
+    // shuffle; both self-join sides re-derive them from the cached base,
+    // and the hot-band salt guard bounds each reducer's pair fan-out
+    val cand = saltedBandCandidates(bandsOf(base), lit(true))
 
     // materialize the (near-dup-pairs-only) result so the input persist
     // can be released here instead of leaking across queries; the
