@@ -75,10 +75,25 @@ object FetchExec {
 
       case Locality.Narrow =>
         keyed.mapPartitions { it =>
-          val local = scala.collection.mutable.Map.empty[String, Trajectory]
+          // Bounded access-order LRU: Narrow is best-effort per-partition
+          // dedup, and trajectories hold fetched content — a partition
+          // streaming millions of DISTINCT traces must not accumulate them
+          // all on the heap. Eviction never changes results; it only costs
+          // a re-execution if an evicted key recurs after `cap` distinct
+          // others (sorted/clustered inputs — the Narrow use case — never
+          // hit that).
+          val cap = 4096
+          val local = new java.util.LinkedHashMap[String, Trajectory](64, 0.75f, true) {
+            override def removeEldestEntry(e: java.util.Map.Entry[String, Trajectory]): Boolean =
+              size() > cap
+          }
           it.map { case (t, d) =>
             val k = keyBy(t)
-            val traj = local.getOrElseUpdate(k, Trajectory(Agent.execute(t, env)))
+            var traj = local.get(k)
+            if (traj == null) {
+              traj = Trajectory(Agent.execute(t, env))
+              local.put(k, traj)
+            }
             FetchedRow(d, k, t, traj)
           }
         }

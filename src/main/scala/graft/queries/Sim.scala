@@ -78,7 +78,8 @@ object SimQ {
     * LSH skew: a mega-cluster sharing one band key would make the self-join
     * quadratic in the cluster size ON ONE REDUCER. The candidate join is
     * salt-guarded ([[saltedBandCandidates]] — result-set identical,
-    * spec-pinned against the unguarded join under a planted mega-band), so
+    * spec-pinned against the unguarded join under a planted mega-band by
+    * LlmSpec's "minhash salt guard" properties), so
     * a hot band's pair generation spreads over ceil(n/target) reducers.
     * The standard pipeline order still applies: run EXACT dedup first (q24
     * hash-groupBy keeps one doc per byte-identical cluster) so LSH only
@@ -212,22 +213,40 @@ object SimQ {
 
   /** Band rows + hot-band salt: `n_sub = ceil(bucket/target)` deterministic
     * sub-buckets per (band_id, band_key), `salt = hash(doc_id) mod n_sub`.
-    * The bucket count rides a window over the band key — one narrow-row
-    * shuffle, the same shuffle class the candidate join pays anyway; no
-    * driver collect, no broadcast of an unbounded bucket-size table.
+    *
+    * The bucket counts come from a groupBy of ONLY the over-target buckets,
+    * not a window over the full band table: groupBy's map-side partial
+    * aggregation means its shuffle carries per-partition (band, count)
+    * partials — a vanishing fraction of the band rows — where the window
+    * formulation this replaces re-shuffled EVERY band row a second time
+    * just to count it. The filtered hot-bucket table is bounded at
+    * total_rows/targetBucket entries and is empty or near-empty in the
+    * designed pipeline (exact dedup first ⇒ hot buckets are the rare
+    * pathological keys), so AQE converts the left join below to a runtime
+    * broadcast and the band table flows straight into the candidate join's
+    * own shuffle; in the adversarial worst case (every bucket hot) the join
+    * degrades to the same shuffle class the candidate join pays anyway.
+    * No driver collect either way.
     */
   private[graft] def saltedBands(bands: DataFrame, targetBucket: Long): DataFrame = {
     require(targetBucket > 0, "targetBucket must be positive")
-    val byBucket = Window.partitionBy(col("band_id"), col("band_key"))
-    bands.withColumn("n_sub",
-        greatest(lit(1L),
-          ceil(count(lit(1)).over(byBucket) / lit(targetBucket.toDouble)).cast("long")))
+    val hot = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > targetBucket)
+      .select(col("band_id"), col("band_key"),
+        ceil(col("bn") / lit(targetBucket.toDouble)).cast("long").as("hot_n_sub"))
+    bands.join(hot, Seq("band_id", "band_key"), "left")
+      .withColumn("n_sub", coalesce(col("hot_n_sub"), lit(1L)))
+      .drop("hot_n_sub")
       .withColumn("salt", pmod(xxhash64(col("doc_id")), col("n_sub")))
   }
 
   /** Candidate (id_a < id_b) pairs from a band table, with the hot-band
     * SALT guard (semantics-preserving — the result set is exactly the
-    * unguarded join's, spec-pinned): a mega-band of m rows (mass-produced
+    * unguarded join's; LlmSpec's "minhash salt guard" properties pin that
+    * identity under a planted mega-band, batch AND incremental flags, with
+    * a targetBucket small enough that the split path actually engages): a
+    * mega-band of m rows (mass-produced
     * boilerplate, near-empty texts sharing signatures) would otherwise emit
     * its m²/2 candidates from a single reducer — the classic LSH mega-bucket
     * blowup at crawl scale. Rows in a bucket larger than `targetBucket` get

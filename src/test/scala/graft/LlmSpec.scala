@@ -235,6 +235,72 @@ class LlmSpec extends AnyFunSuite {
     assert(smallSplit.count() == 0)
   }
 
+  // ---- MinHash LSH band-join salt guard (queries/Sim.scala) ----------------
+  // A band table with a planted mega-band (120 docs sharing one band key —
+  // far over the test targetBucket of 16, so the split path actually
+  // engages), a cross-band duplicate pair (pins the per-pair distinct), a
+  // small shared band, and unique-key noise.
+  private def plantedBands(spark0: org.apache.spark.sql.SparkSession) = {
+    import spark0.implicits._
+    val hot = (0L until 120L).map(i => (i, 1, "HOT"))
+    val crossBand = Seq((0L, 2, "X"), (1L, 2, "X")) // 0-1 also meet in band 2
+    val small = Seq((300L, 3, "S"), (301L, 3, "S"))
+    val noise = (200L until 260L).map(i => (i, 1, s"n$i"))
+    (hot ++ crossBand ++ small ++ noise).toDF("doc_id", "band_id", "band_key")
+  }
+
+  // unguarded reference semantics, computed row-at-a-time on the driver
+  private def brutePairs(rows: Seq[(Long, Int, String)],
+                         isNew: Long => Boolean): Set[(Long, Long)] = {
+    val byBand = rows.groupBy(r => (r._2, r._3)).values
+    byBand.flatMap { b =>
+      for {
+        a <- b; c <- b
+        if a._1 < c._1 && (isNew(a._1) || isNew(c._1))
+      } yield (a._1, c._1)
+    }.toSet
+  }
+
+  test("minhash salt guard: batch candidates == unguarded join under a planted mega-band") {
+    val spark0 = spark
+    val bands = plantedBands(spark0)
+    val rows = bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val expected = brutePairs(rows, _ => true)
+    assert(expected.size >= 120 * 119 / 2) // the mega-band's pairs are all there
+    val got = SimQ.saltedBandCandidates(bands, lit(true), targetBucket = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("minhash salt guard: incremental flag == new x (old ∪ new), hot band split across old/new") {
+    val spark0 = spark
+    // arrivals are doc_id >= 60: the mega-band holds BOTH old and new rows,
+    // so new-new meetings exercise the ida < idb dedup and new-old meetings
+    // exercise the !left_b branch of the meeting filter
+    val tagged = plantedBands(spark0).withColumn("is_new", col("doc_id") >= 60L)
+    val rows = tagged.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val expected = brutePairs(rows, _ >= 60L)
+    val onlyOld = brutePairs(rows, _ => true) -- expected
+    assert(onlyOld.nonEmpty) // old-old pairs exist and must be excluded
+    val got = SimQ.saltedBandCandidates(tagged, col("is_new"), targetBucket = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("minhash salt guard: hot buckets split with bounded fan-out, small buckets untouched") {
+    val spark0 = spark
+    val salted = SimQ.saltedBands(plantedBands(spark0), targetBucket = 16L)
+    // hot bucket: 120 rows / 16 target => n_sub = 8 on every row of the band
+    val hot = salted.filter(col("band_key") === "HOT")
+    assert(hot.select("n_sub").distinct().collect().map(_.getLong(0)).toSeq == Seq(8L))
+    // hash-spread: no (band, salt) group more than 2x the target
+    val maxGroup = salted.groupBy("band_id", "band_key", "salt")
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxGroup <= 32L, s"a (band, salt) group holds $maxGroup rows")
+    // buckets at or under the target never split
+    assert(salted.filter(col("band_key") =!= "HOT" && col("n_sub") > 1L).count() == 0)
+  }
+
   test("PQ: codes well-formed, centroids encode to themselves, ADC self-distance 0") {
     val s = spark
     import s.implicits._
