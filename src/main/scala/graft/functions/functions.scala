@@ -71,6 +71,13 @@ object functions {
   def rolling_hash(text: Column): Column =
     native(graft.sql.RollingHash(ex(text)))
 
+  /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
+    * content-defined anchor sample driving exact-substring dedup (q53).
+    * p=1 keeps every gram (exhaustive span detection ≥ k tokens).
+    */
+  def anchor_grams(text: Column, k: Int, p: Int): Column =
+    native(graft.sql.AnchorGrams(ex(text), k, p))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

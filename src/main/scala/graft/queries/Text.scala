@@ -319,6 +319,64 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q53 — exact-substring dedup (the missing dedup family member next to
+    * exact-hash q24 / Jaccard q26 / cosine q36 / hamming q45): document
+    * pairs sharing an exact run of ≥ k=12 whitespace tokens, detected
+    * through content-defined anchor fingerprints
+    * ([[graft.sql.AnchorGrams]], p=4 → a deterministic 1/4 gram sample
+    * that two copies of a span always select identically).
+    *
+    * Scale shape: the corpus-wide stage shuffles ONLY (doc_id, gram-hash)
+    * anchor rows — 16 narrow bytes per anchor, gram STRINGS never shuffle —
+    * through the same hot-key salt guard as the LSH band join
+    * ([[SimQ.saltedBandCandidates]]: a boilerplate sentence shared by m
+    * docs would otherwise pin one reducer with m²/2 pair emissions). The
+    * positional verify then recomputes anchor sets for CANDIDATE docs only
+    * (broadcast semi-join of candidate ids against the scan) and counts
+    * distinct shared gram strings — 64-bit join-key collisions die here,
+    * with their pairs (an inner join drops 0-overlap pairs). Output:
+    * (id_a, id_b, n_shared) — n_shared = distinct shared anchor grams.
+    */
+  def q53SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupPairs(Tables.documents(spark, dir), k = 12, p = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The operator behind q53, on any (doc_id, text) frame. `p = 1` keeps
+    * every gram: detection of any shared span ≥ k tokens is exhaustive
+    * (the TextOpsSpec planted property pins that against a brute positional
+    * scan; p > 1 is pinned against brute-force ANCHOR semantics, which are
+    * deterministic for fixed content).
+    */
+  def substringDedupPairs(docs: DataFrame, k: Int, p: Int): DataFrame = {
+    val anchors = docs.select(col("doc_id"),
+      explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+    // candidates ride the 8-byte xxhash64 of the gram; band_id is constant
+    // (one "band" — the anchor table IS the index)
+    // checkpoint: the corpus-scale salted join runs ONCE; both consumers
+    // (the candIds broadcast and the verify join) read the materialized
+    // (candidate-scale) pair list — the q47 discipline
+    val cand = SimQ.saltedBandCandidates(
+      anchors.select(col("doc_id"), lit(1).as("band_id"),
+        xxhash64(col("gram")).as("band_key")),
+      lit(true)).localCheckpoint()
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candAnchors = docs.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+      .localCheckpoint() // read twice below; candidate-sized, not corpus-sized
+    // the pair list broadcasts by the same candidate-scale premise as the
+    // candIds broadcast above; the right anchor side hash-joins without a
+    // sort (hint pins it — checkpointed inputs carry no stats, so the
+    // static planner would otherwise fall back to sort-merge)
+    candAnchors.select(col("doc_id").as("id_a"), col("gram"))
+      .join(broadcast(cand), Seq("id_a"))
+      .join(candAnchors.select(col("doc_id").as("id_b"), col("gram"))
+        .hint("shuffle_hash"), Seq("id_b", "gram"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
@@ -330,9 +388,28 @@ object TextQ {
     "q48_token_budget"   -> q48TokenBudget _,
     "q49_mixture_sample" -> q49MixtureSample _,
     "q50_decontaminate"  -> q50Decontaminate _,
+    "q53_substring_dedup" -> q53SubstringDedup _,
   )
 
   val oracles: Map[String, String] = Map(
+    // positional recompute: every k=12 gram per doc, the md5-low-nibble
+    // anchor sample, then pairwise distinct shared anchors
+    "q53_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 11, 1) + 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 11), ' ')))) AS gram
+        |  FROM t
+        |), a AS (
+        |  SELECT doc_id, gram FROM g
+        |  WHERE substr(md5(gram), 32, 1) IN ('0', '4', '8', 'c')
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(count(DISTINCT x.gram) AS BIGINT) AS n_shared
+        |FROM a x JOIN a y ON y.gram = x.gram AND y.doc_id > x.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q50_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -528,6 +528,84 @@ object RollingHashFunction {
   }
 }
 
+/** Anchor-sampled exact-substring fingerprints (q53, exact-substring dedup
+  * à la the suffix-array dedup of Lee et al. ACL'22, re-expressed as a
+  * distributed fingerprint join): the DISTINCT k-token grams of `text`
+  * whose md5 low nibble ≡ 0 (mod p) — a content-defined 1/p sample, so two
+  * documents sharing an exact token span select the SAME anchors inside it
+  * regardless of surrounding offsets (the sample rides the content, never
+  * the position). `p` ∈ {1,2,4,8,16}: p=1 keeps every gram (exhaustive —
+  * detection of any shared span ≥ k tokens is GUARANTEED); p>1 trades a
+  * bounded miss chance on short spans for a p× smaller shuffle (a shared
+  * span of L tokens carries L−k+1 grams and is missed only when none is an
+  * anchor: (1−1/p)^(L−k+1) — ~2% at p=4 for L=2k, vanishing for long
+  * spans; winnowing would make the guarantee absolute at the price of an
+  * oracle-inexpressible selection rule, documented trade).
+  *
+  * One JVM pass: tokenize once, build each window once, md5 once per
+  * DISTINCT window; only selected grams materialize in the output, where
+  * the HOF formulation pinned by SqlExprSpec materializes every window
+  * first. split(text,' ') semantics (limit −1, trailing empties kept);
+  * docs under k tokens contribute their whole text as one gram (slice
+  * truncates) — the q50 gram convention. Output order = first occurrence
+  * (matches filter∘array_distinct∘transform).
+  */
+final case class AnchorGrams(child: Expression, k: Int, p: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(p >= 1 && 16 % p == 0, s"p must divide 16, got $p")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "anchor_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val nGrams = math.max(toks.length - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < nGrams) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val md = AnchorGrams.threadMd5.get()
+    val out = new java.util.ArrayList[AnyRef](seen.size() / p + 1)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val gram = it.next()
+      md.reset()
+      val digest = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((digest(15) & 0x0F) % p) == 0) out.add(UTF8String.fromString(gram))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorGrams =
+    copy(child = newChild)
+}
+
+object AnchorGrams {
+  private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live
@@ -567,6 +645,11 @@ object GraftExtensions {
       (c: Seq[Expression]) => SimHash(s(c(0)),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("rolling_hash", new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (c: Seq[Expression]) => RollingHash(s(c(0))))
+      (c: Seq[Expression]) => RollingHash(s(c(0)))),
+    // k and p must be foldable int literals (they shape the per-row loop)
+    ("anchor_grams", new ExpressionInfo(classOf[AnchorGrams].getName, "anchor_grams"),
+      (c: Seq[Expression]) => AnchorGrams(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()))
   )
 }

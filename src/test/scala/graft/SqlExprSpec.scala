@@ -167,6 +167,50 @@ class SqlExprSpec extends AnyFunSuite {
     }
   }
 
+  test("anchor_grams: value-equivalent to the HOF formulation; p=1 keeps every gram") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val docs = Seq(
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14",
+      "short doc",                        // < k tokens => whole text, one gram
+      "a a a a a a a a a a a a a a a a",  // duplicate grams collapse
+      "",                                 // empty => [""]
+      "a  b c ",                          // empty tokens kept (split -1)
+      null
+    ).toDF("text")
+    val k = 4
+    val hofAll = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)),
+         |  i -> array_join(slice(split(text, ' '), i, $k), ' ')))""".stripMargin)
+    val hofMod4 = expr(
+      s"""filter(array_distinct(transform(
+         |  sequence(1, greatest(size(split(text, ' ')) - ${k - 1}, 1)),
+         |  i -> array_join(slice(split(text, ' '), i, $k), ' '))),
+         |  g -> substring(md5(g), 32, 1) IN ('0', '4', '8', 'c'))""".stripMargin)
+    val rows = docs
+      .select(col("text"),
+        anchor_grams(col("text"), k, 1).as("n1"), hofAll.as("e1"),
+        anchor_grams(col("text"), k, 4).as("n4"), hofMod4.as("e4"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) { assert(r.isNullAt(1) && r.isNullAt(3)) }
+      else {
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"p=1 mismatch for '${r.getString(0)}'")
+        assert(r.getSeq[String](3) == r.getSeq[String](4),
+          s"p=4 mismatch for '${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("anchor_grams callable from spark.sql") {
+    val got = spark.sql(
+      "SELECT anchor_grams('a b c d e', 2, 1) AS g").collect().head.getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d", "d e"))
+  }
+
   test("sim_hash: value-equivalent to the exploded conditional-sum formulation") {
     val spark0 = spark
     import spark0.implicits._

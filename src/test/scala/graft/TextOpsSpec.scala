@@ -79,4 +79,86 @@ class TextOpsSpec extends AnyFunSuite {
       Seq((1L, "aa", "xy")).toDF("doc_id", "lang", "text"), profiles).collect().head
     assert(shortPred.isNullAt(shortPred.fieldIndex("pred_lang")))
   }
+
+  // ---- exact-substring dedup (q53 operator) --------------------------------
+
+  /** 60 word-soup docs (seeded RNG — with a 200-word vocabulary an
+    * accidental exact 12-gram collision is essentially impossible), with
+    * planted exact spans: a 40-token span in docs 1/2/3 at different
+    * offsets, a 20-token span in docs 10/11, and an 11-token span (one
+    * BELOW k=12) in docs 20/21 that must never be reported.
+    */
+  private def plantedSpanDocs() = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val span40 = (0 until 40).map(i => s"dup$i")
+    val span20 = (0 until 20).map(i => s"copy$i")
+    val span11 = (0 until 11).map(i => s"sub$i")
+    def doc(id: Long, parts: Seq[String]*) = (id, parts.flatten.mkString(" "))
+    val docs = Seq(
+      doc(1L, soup(20), span40, soup(20)),
+      doc(2L, span40, soup(50)),
+      doc(3L, soup(45), span40),
+      doc(10L, soup(30), span20, soup(10)),
+      doc(11L, soup(5), span20, soup(40)),
+      doc(20L, soup(25), span11, soup(25)),
+      doc(21L, span11, soup(60))
+    ) ++ (30L until 83L).map(i => doc(i, soup(80)))
+    docs.toDF("doc_id", "text")
+  }
+
+  /** Brute positional reference: all k-grams per doc (q50 slice-truncation
+    * convention), pairs sharing >= 1 gram passing `keep`, with distinct
+    * shared-gram counts.
+    */
+  private def bruteSpanPairs(rows: Seq[(Long, String)], k: Int,
+                             keep: String => Boolean): Map[(Long, Long), Long] = {
+    val gramsOf = rows.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = math.max(toks.length - k + 1, 1)
+      id -> (0 until n).map(i => toks.slice(i, i + k).mkString(" ")).toSet.filter(keep)
+    }.toMap
+    (for {
+      (a, ga) <- gramsOf.toSeq; (b, gb) <- gramsOf.toSeq if a < b
+      shared = (ga intersect gb).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+  }
+
+  private def md5LastHex(s: String): Char = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "0123456789abcdef".charAt(d(15) & 0x0F)
+  }
+
+  test("substring dedup, p=1: exactly the planted >= k-token span pairs, counts match brute scan") {
+    val docs = plantedSpanDocs()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = bruteSpanPairs(rows, k = 12, _ => true)
+    // the planted structure and nothing else: sub-threshold span invisible
+    assert(expected.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    // a 40-token span carries 40-12+1 = 29 shared grams
+    assert(expected((1L, 2L)) == 29L && expected((10L, 11L)) == 9L)
+    val got = TextQ.substringDedupPairs(docs, k = 12, p = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("substring dedup, p=4: brute-force anchor semantics; long planted spans still found") {
+    val docs = plantedSpanDocs()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = bruteSpanPairs(rows, k = 12,
+      g => "048c".contains(md5LastHex(g)))
+    val got = TextQ.substringDedupPairs(docs, k = 12, p = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // sampling only thins counts, never invents pairs
+    val full = bruteSpanPairs(rows, k = 12, _ => true)
+    assert(got.keySet.subsetOf(full.keySet))
+    // the 29- and 9-gram planted spans survive 1/4 sampling (deterministic
+    // for this fixed content — the anchors ride the span's own tokens)
+    assert(got.contains((1L, 2L)) && got.contains((10L, 11L)))
+  }
 }
