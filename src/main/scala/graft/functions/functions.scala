@@ -78,6 +78,13 @@ object functions {
   def anchor_grams(text: Column, k: Int, p: Int): Column =
     native(graft.sql.AnchorGrams(ex(text), k, p))
 
+  /** BPE token sequence of a text column under a fixed merge table
+    * (rank-ordered single left-to-right passes per word; `</w>` word
+    * marker) — the apply stage of [[graft.llm.Bpe]].
+    */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    native(graft.sql.BpeEncode(ex(text), merges))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. ACL'16),
+  * trained and applied Spark-first:
+  *
+  * **Training** scans the corpus ONCE — a map-side-combined word-count
+  * aggregate — and then iterates on the (bounded, vocabulary-sized)
+  * word-frequency table: each merge round explodes adjacent symbol pairs,
+  * sums frequencies, and takes the argmax with a fully deterministic
+  * tie-break (max count, then lexicographically smallest pair), so the
+  * merge table is a pure function of the corpus' word multiset —
+  * independent of partitioning, task order, or parallelism (spec-pinned by
+  * training the same docs under different repartitionings). Only the
+  * single winning pair is ever collected per round; the symbol table stays
+  * distributed and is re-checkpointed every few rounds to keep lineage
+  * flat. At 100 TB the corpus pass is the only corpus-scale work; rounds
+  * cost vocabulary-sized shuffles.
+  *
+  * **Apply** ([[BpeEncode]] via `graft.functions.bpe_encode`) broadcasts
+  * the merge list inside the expression and tokenizes each doc in one JVM
+  * pass: per word, each merge (in rank order) makes a single
+  * left-to-right non-overlapping pass — exactly the semantics a chain of
+  * literal `replace()` calls has, which is what lets the DuckDB oracle
+  * replay the merge table as nested replaces over a symbol-guarded string
+  * (q55). Token ids are a dictionary join away (tokens are strings; the
+  * vocabulary is `chars ∪ merged symbols`) — counts and token strings are
+  * what the pipeline operators consume.
+  *
+  * Every word carries a terminal `</w>` symbol (the classic end-of-word
+  * marker), so merges can learn suffixes without crossing word borders.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Symbols of one word: its characters (code points) + the terminal
+    * marker. The empty word (split artifacts) is just the marker.
+    */
+  private[graft] def symbolsOf(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
+  /** One left-to-right non-overlapping merge pass on a symbol-array column
+    * (the training-side twin of [[BpeEncode]]'s per-merge pass): fold the
+    * array, merging `last == l && next == r` into `l+r`, never re-matching
+    * the freshly merged symbol on the same pass.
+    */
+  private def mergeStep(syms: Column, l: String, r: String): Column = {
+    val merged = lit(l + r)
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r) &&
+          // non-overlap: if acc's last element was itself produced by this
+          // pass it is `l+r`, not `l` — the equality test handles that
+          // naturally; this comment pins the intent
+          lit(true),
+        concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))), array(merged)))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Train `nMerges` BPE merges on (doc_id, text) docs. Returns the merge
+    * table in rank order — bounded at nMerges rows by construction, so a
+    * driver-side Seq is the honest representation (the PQ-codebook
+    * precedent). Stops early if no adjacent pair remains.
+    */
+  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val symsOf = udf((w: String) => symbolsOf(w))
+    var seqs = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(symsOf(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val best = seqs.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        seqs = seqs.withColumn("syms", mergeStep(col("syms"), l, r))
+        round += 1
+        // flat lineage: 8 aggregate-HOF rewrites per checkpoint segment
+        if (round % 8 == 0) {
+          val next = seqs.localCheckpoint()
+          seqs = next
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The frozen merge table the q55 oracle replays — trained ONCE by
+    * [[train]] on the sf0.001 corpus (nMerges=16, via `runMain
+    * graft.BpeTrain /root/testdata/sf0.001 16`) and pinned here so the
+    * DuckDB side can replay the identical table as a static replace chain
+    * (the same trained-once-frozen-for-the-oracle pattern as the q51 PQ
+    * codebook; [[train]] remains the production path). The determinism
+    * spec re-derives merges from fixtures; q55 hash-gates the apply stage
+    * at sf0.01 AND sf0.1 against the oracle's replay of this exact table.
+    */
+  val CanonicalMerges: Seq[(String, String)] = Seq(
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("o", "r"),
+    ("t", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("l", "u"),
+    ("i", "n"),
+    ("y", "</w>"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("g", "</w>"),
+    ("a", "s"),
+    ("h", "</w>")
+  )
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -377,6 +377,57 @@ object TextQ {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** q54 — PII detection + redaction parity gate ([[graft.llm.Pii]]).
+    *
+    * The synthetic corpus carries no PII at all (verified: zero '@', zero
+    * dashed-digit, zero dotted-quad hits), so the gate PLANTS its own,
+    * deterministically from doc_id, identically on both engines — emails
+    * (two per planted doc), 3-3-4 phones, dotted-quad IPs, 3-2-4 ids —
+    * then scrubs. What the oracle then certifies is the interesting part:
+    * java.util.regex (Spark executors) and RE2 (DuckDB) agree on every
+    * match count AND every redacted byte, which only holds because the
+    * patterns stay inside the common regex subset (no lookaround/backrefs
+    * — the [[graft.llm.Pii]] contract).
+    */
+  def q54PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val d = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val planted = concat(col("text"),
+      when(d % 7 === 0, concat(lit(" contact user"), s(d),
+        lit("@mail.example.com or u"), s(d), lit("@ex.org now"))).otherwise(""),
+      when(d % 11 === 0, concat(lit(" call 555-"), s(d % 900 + 100),
+        lit("-"), s(d % 9000 + 1000))).otherwise(""),
+      when(d % 13 === 0, concat(lit(" host 10."), s(d % 256), lit("."),
+        s(d % 199), lit("."), s(d % 100), lit(" up"))).otherwise(""),
+      when(d % 17 === 0, concat(lit(" ref 123-45-"), s(d % 9000 + 1000),
+        lit(" ok"))).otherwise(""))
+    val counts = Seq("n_email", "n_ssn", "n_phone", "n_ip")
+    graft.llm.Pii.withPiiColumns(
+        docs.select(col("doc_id"), planted.as("text")))
+      .filter(counts.map(col).reduce(_ + _) > 0)
+      .select(col("doc_id") +: counts.map(n => col(n).cast("long").as(n)) :+
+        col("clean_text"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q55 — trained-BPE apply stage ([[graft.llm.Bpe]]): the full BPE token
+    * sequence and token count per doc under the frozen
+    * [[graft.llm.Bpe.CanonicalMerges]] table (trained once on the corpus,
+    * pinned so the DuckDB oracle can REPLAY the identical table as a
+    * rank-ordered chain of literal replaces over a symbol-guarded string —
+    * single left-to-right pass per merge on both engines). One codegen'd
+    * map pass, no shuffle but the output sort.
+    */
+  def q55BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.bpe_encode(col("text"), graft.llm.Bpe.CanonicalMerges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"),
+        array_join(col("toks"), " ").as("bpe_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
@@ -389,9 +440,61 @@ object TextQ {
     "q49_mixture_sample" -> q49MixtureSample _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
+    "q54_pii_scrub" -> q54PiiScrub _,
+    "q55_bpe_apply" -> q55BpeApply _,
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the frozen merge table as a rank-ordered literal-replace
+    // chain over a symbol-guarded string: replace() makes exactly one
+    // left-to-right non-overlapping pass — the BpeEncode per-merge
+    // semantics. The chain is GENERATED from Bpe.CanonicalMerges, so the
+    // two engines can never disagree about which table they run.
+    "q55_bpe_apply" -> {
+      val guarded = "regexp_replace(w, '(.)', '⟨\\1⟩', 'g') || '⟨</w>⟩'"
+      val chain = graft.llm.Bpe.CanonicalMerges.foldLeft(guarded) {
+        case (acc, (l, r)) => s"replace($acc, '⟨$l⟩⟨$r⟩', '⟨$l$r⟩')"
+      }
+      s"""WITH enc AS (
+         |  SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+         |    w -> trim(replace($chain, '⟩⟨', ' '), '⟨⟩')), ' ') AS bpe_text
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(len(string_split(bpe_text, ' ')) AS BIGINT) AS n_bpe,
+         |  bpe_text
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
+    // same planted augmentation, RE2 regexes, global-flag replaces; counts
+    // on the pre-redaction text like the Spark side
+    "q54_pii_scrub" -> {
+      import graft.llm.Pii.{EmailRe, SsnRe, PhoneRe, Ipv4Re}
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@mail.example.com or u' || CAST(doc_id AS VARCHAR) || '@ex.org now' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+         |         || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |         || '.' || CAST(doc_id % 199 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0 THEN ' ref 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' ok' ELSE '' END
+         |    AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$SsnRe')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$SsnRe', '<ID>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS clean_text
+         |FROM aug
+         |WHERE len(regexp_extract_all(t, '$EmailRe')) + len(regexp_extract_all(t, '$SsnRe'))
+         |    + len(regexp_extract_all(t, '$PhoneRe')) + len(regexp_extract_all(t, '$Ipv4Re')) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
     // positional recompute: every k=12 gram per doc, the md5-low-nibble
     // anchor sample, then pairwise distinct shared anchors
     "q53_substring_dedup" ->

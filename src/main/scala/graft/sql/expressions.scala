@@ -606,6 +606,60 @@ object AnchorGrams {
   }
 }
 
+/** BPE apply stage ([[graft.llm.Bpe]]): tokenize `text` with a fixed
+  * merge table, one JVM pass per row. Per whitespace word: symbols =
+  * code points + `</w>`; each merge, in rank order, makes a single
+  * left-to-right non-overlapping pass — the exact semantics of a literal
+  * `replace()` chain over a symbol-guarded string, which is how the q55
+  * DuckDB oracle replays the same table. Output: the doc's full BPE token
+  * sequence (words' tokens concatenated in order).
+  *
+  * The merge table is a constructor parameter (driver-side, bounded at
+  * nMerges entries, serialized with the expression — effectively broadcast
+  * with the plan), not a child: it shapes the computation, not the data.
+  */
+final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[AnyRef]()
+    text.split(" ", -1).foreach { word =>
+      var syms: Array[String] = graft.llm.Bpe.symbolsOf(word)
+      merges.foreach { case (l, r) =>
+        if (syms.length >= 2) {
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              next += l + r // consume both; freshly merged symbol never re-matches this pass
+              i += 2
+            } else {
+              next += syms(i)
+              i += 1
+            }
+          }
+          syms = next.toArray
+        }
+      }
+      syms.foreach(s => out.add(UTF8String.fromString(s)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live

@@ -114,8 +114,14 @@ object EventStreams {
     * the re-crawl interval you need suppressed.
     */
   def cleanIngest(docs: DataFrame, qualityCut: Double = 0.5,
-                  watermark: String = "1 hour"): DataFrame = {
-    val scored = graft.queries.TextQ.withQuality(docs) // the ONE quality formula
+                  watermark: String = "1 hour",
+                  scrubPii: Boolean = false): DataFrame = {
+    // PII scrub FIRST (opt-in): redacted before anything downstream sees
+    // the text, so quality scores, fingerprints, and the persisted output
+    // are all computed over the scrubbed form and raw PII never outlives
+    // the scan. Stateless column expressions — streaming-safe.
+    val src = if (scrubPii) graft.llm.Pii.scrub(docs) else docs
+    val scored = graft.queries.TextQ.withQuality(src) // the ONE quality formula
       .filter(col("quality") >= qualityCut)
       .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))
       .withColumn("fingerprint", graft.queries.TextQ.rollingFingerprint)

@@ -161,4 +161,117 @@ class TextOpsSpec extends AnyFunSuite {
     // for this fixed content — the anchors ride the span's own tokens)
     assert(got.contains((1L, 2L)) && got.contains((10L, 11L)))
   }
+
+  // ---- trained BPE (graft.llm.Bpe) -----------------------------------------
+
+  test("BPE train: hand-computed merges on the classic fixture, incl. a lexicographic tie-break") {
+    val s = spark
+    import s.implicits._
+    // 5x low, 2x lower, 6x newest: pair counts put (w,e)=8 first (lower +
+    // newest), then (l,o)=7; round 3 is a 6-way TIE at count 6 — the
+    // lexicographically smallest pair (e,we) must win deterministically
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).mkString(" ")
+    val merges = graft.llm.Bpe.train(Seq((1L, text)).toDF("doc_id", "text"), 3)
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("e", "we")))
+  }
+
+  test("BPE train: merge table independent of partitioning; apply round-trips and compresses") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = graft.llm.Bpe.train(docs.repartition(13), 8)
+    val b = graft.llm.Bpe.train(docs.coalesce(1), 8)
+    assert(a == b && a.size == 8)
+    // the frozen q55 table is exactly what train() produces on this corpus
+    assert(graft.llm.Bpe.train(docs, 16) == graft.llm.Bpe.CanonicalMerges)
+
+    val enc = docs.select(col("doc_id"), col("text"),
+      graft.functions.bpe_encode(col("text"), graft.llm.Bpe.CanonicalMerges).as("toks"))
+      .collect()
+    enc.foreach { r =>
+      val (text, toks) = (r.getString(1), r.getSeq[String](2))
+      // lossless: stripping the word markers reconstructs the text
+      assert(toks.mkString.replace(graft.llm.Bpe.EndOfWord, " ").trim ==
+        text.split(" ", -1).mkString(" ").trim)
+      // compression: strictly fewer tokens than characters+markers unless trivial
+      val nWords = text.split(" ", -1).length
+      assert(toks.size <= text.replace(" ", "").length + nWords)
+    }
+  }
+
+  test("BPE apply: single left-to-right pass per merge, rank order respected") {
+    val s = spark
+    import s.implicits._
+    // merge (a,a) on 'aaaa': one pass gives aa|aa (no re-match of fresh
+    // symbol); then (aa,aa) merges the results — rank order matters
+    val out = s.createDataset(Seq("aaaa aab"))
+      .toDF("text")
+      .select(graft.functions.bpe_encode(col("text"),
+        Seq(("a", "a"), ("aa", "aa"), ("aa", "b"))).as("toks"))
+      .collect().head.getSeq[String](0)
+    // 'aaaa': (a,a) one pass -> aa|aa, then (aa,aa) -> aaaa;
+    // 'aab':  (a,a) -> aa|b, then (aa,b) -> aab
+    assert(out == Seq("aaaa", "</w>", "aab", "</w>"))
+    // empty word edge: text "" is one empty word = just the marker
+    val empty = s.createDataset(Seq(""))
+      .toDF("text")
+      .select(graft.functions.bpe_encode(col("text"), Seq(("a", "b"))).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(empty == Seq("</w>"))
+  }
+
+  // ---- PII scrub (graft.llm.Pii) -------------------------------------------
+
+  test("PII: counts and redaction on planted fixtures, word-boundary and non-interference semantics") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.co.uk and b@x.io today"), // two emails
+      (2L, "ssn 123-45-6789 phone 555-123-4567 both"),            // 3-2-4 vs 3-3-4
+      (3L, "server 192.168.0.1 and 10.0.0.255 up"),               // two IPs
+      (4L, "embedded x123-45-6789y stays, no boundary"),          // \b blocks it
+      (5L, "version 1.2.3.4.5 chains"),                           // greedy quad + trailing .5
+      (6L, "clean text, nothing to scrub")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Pii.withPiiColumns(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)), r.getString(6))).toMap
+    // columns: doc_id, text, n_email, n_ssn, n_phone, n_ip, clean_text
+    assert(out(1L) == ((2, 0, 0, 0), "mail <EMAIL> and <EMAIL> today"))
+    assert(out(2L) == ((0, 1, 1, 0), "ssn <ID> phone <PHONE> both"))
+    assert(out(3L) == ((0, 0, 0, 2), "server <IP> and <IP> up"))
+    assert(out(4L) == ((0, 0, 0, 0), "embedded x123-45-6789y stays, no boundary"))
+    // '1.2.3.4' matches the dotted quad; '.5' survives outside it
+    assert(out(5L) == ((0, 0, 0, 1), "version <IP>.5 chains"))
+    assert(out(6L) == ((0, 0, 0, 0), "clean text, nothing to scrub"))
+  }
+
+  test("PII: scrub() redacts in place; cleanIngest(scrubPii) dedups docs equal after redaction") {
+    val s = spark
+    import s.implicits._
+    val scrubbed = graft.llm.Pii.scrub(
+      Seq((1L, "reach me a@b.io or 555-123-4567")).toDF("doc_id", "text")).collect().head
+    assert(scrubbed.getString(scrubbed.fieldIndex("text")) == "reach me <EMAIL> or <PHONE>")
+    assert(scrubbed.getLong(scrubbed.fieldIndex("n_pii")) == 2L)
+
+    // two docs that differ ONLY in their PII: after scrub their texts agree,
+    // so the fingerprint dedup keeps one — raw PII neither survives nor
+    // splits dedup groups. Filler keeps quality above the default cut.
+    val filler = Seq.fill(40)("the a data").mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val batch = graft.streaming.EventStreams.cleanIngest(
+      Seq((t0, 1L, s"$filler write to alice@example.com now"),
+          (t1, 2L, s"$filler write to bob@other.org now"))
+        .toDF("ts", "doc_id", "text"),
+      scrubPii = true)
+    val rows = batch.collect()
+    assert(rows.length == 1 && rows.head.getLong(rows.head.fieldIndex("doc_id")) == 1L)
+    assert(rows.head.getLong(rows.head.fieldIndex("n_pii")) == 1L)
+    // without the scrub the same two docs both survive (different texts)
+    val noScrub = graft.streaming.EventStreams.cleanIngest(
+      Seq((t0, 1L, s"$filler write to alice@example.com now"),
+          (t1, 2L, s"$filler write to bob@other.org now"))
+        .toDF("ts", "doc_id", "text"))
+    assert(noScrub.count() == 2)
+  }
 }
