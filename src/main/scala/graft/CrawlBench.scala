@@ -55,6 +55,9 @@ object CrawlBench {
     // GRAFT_CRAWL_CKPT=true additionally runs the fault-tolerant mode:
     // reliable checkpoints every 4 epochs instead of localCheckpoint-only.
     val cacheDir = dirPath.resolveSibling(s"cache-$n").toString
+    // a cache left by a previous invocation would make "cold" a lie
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(cacheDir))
+    graft.cache.SegmentStore.invalidate(cacheDir)
     val ckptDir =
       if (sys.env.get("GRAFT_CRAWL_CKPT").contains("true"))
         Some(dirPath.resolveSibling(s"ckpt-$n").toString)
@@ -79,6 +82,14 @@ object CrawlBench {
     crawl("cold", expectRemote = Some(n.toLong))
     InMemoryDocCache.clear() // force the DFS tier
     crawl("warm-dfs", expectRemote = Some(0L))
+    InMemoryDocCache.clear()
+    // compact the cache to segment files and prove warm parity holds with
+    // ZERO loose files left (the 100 TB small-file story end-to-end)
+    val cstats = graft.cache.CacheCompactor.compact(cacheDir)
+    println(s"[crawlbench] compacted ${cstats.filesPacked} files " +
+      s"(${cstats.bytesPacked} B) into ${cstats.segmentsWritten} segment(s)")
+    assert(cstats.filesPacked >= n, s"expected >= $n packed files")
+    crawl("warm-packed", expectRemote = Some(0L))
     InMemoryDocCache.clear()
     spark.stop()
   }

@@ -75,7 +75,9 @@ object InMemoryDocCache extends DocCache {
 /** Filesystem tier (reference DFSDocCache.scala:13-46): one file per version
   * at `<dir>/<key>/<timestamp>.obs`, java-serialized observations. Works on
   * any Hadoop FS (local, HDFS, S3A); on a real cluster this is the shared
-  * tier that makes re-runs fetch zero pages.
+  * tier that makes re-runs fetch zero pages. Loose files are periodically
+  * packed into indexed segment files by [[CacheCompactor]] (billions of
+  * tiny DFS objects otherwise); reads merge both forms transparently.
   */
 final class DfsDocCache(dir: String) extends DocCache with Serializable {
 
@@ -94,14 +96,27 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
 
   private def keyDir(key: String) = new Path(dir, key)
 
-  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] =
-    localBase match {
+  override def get(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
+    // best in-window version across BOTH tiers: loose per-key files (recent
+    // writes) and compacted segments ([[CacheCompactor]] pointer writeback).
+    // Ties go to the loose file (a re-put after compaction wins).
+    val loose: Option[(Long, () => Array[Byte])] = localBase match {
       case Some(base) => getLocal(base, key, conf, now)
       case None       => getHadoop(key, conf, now)
     }
+    val packed: Option[(Long, () => Array[Byte])] = SegmentStore.lookup(dir, key)
+      .filter(e => inWindow(e.ts, conf, now))
+      .sortBy(-_.ts).headOption
+      .map(e => (e.ts, () => SegmentStore.read(dir, e)))
+    val best = (loose, packed) match {
+      case (Some(l), Some(p)) => Some(if (p._1 > l._1) p else l)
+      case (l, p)             => l.orElse(p)
+    }
+    best.map { case (_, thunk) => deserialize(thunk()) }
+  }
 
   private def getLocal(base: String, key: String, conf: GraftConf,
-                       now: Long): Option[Seq[Observation]] = {
+                       now: Long): Option[(Long, () => Array[Byte])] = {
     val kd = java.nio.file.Paths.get(base, key)
     if (!java.nio.file.Files.isDirectory(kd)) None
     else {
@@ -119,13 +134,14 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
             .filter { case (ts, _) => inWindow(ts, conf, now) }
             .toSeq
         } finally stream.close()
-      versions.sortBy(-_._1).headOption.map { case (_, p) =>
-        deserialize(java.nio.file.Files.readAllBytes(p))
+      versions.sortBy(-_._1).headOption.map { case (ts, p) =>
+        (ts, () => java.nio.file.Files.readAllBytes(p))
       }
     }
   }
 
-  private def getHadoop(key: String, conf: GraftConf, now: Long): Option[Seq[Observation]] = {
+  private def getHadoop(key: String, conf: GraftConf,
+                        now: Long): Option[(Long, () => Array[Byte])] = {
     val kd = keyDir(key)
     if (!fs.exists(kd)) None
     else {
@@ -134,12 +150,12 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
         .flatMap(p => scala.util.Try(p.getName.stripSuffix(".obs").toLong).toOption.map(_ -> p))
         .filter { case (ts, _) => inWindow(ts, conf, now) }
         .sortBy(-_._1)
-      versions.headOption.map { case (_, p) =>
-        val in = fs.open(p)
-        try {
-          val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-          deserialize(bytes)
-        } finally in.close()
+      versions.headOption.map { case (ts, p) =>
+        (ts, () => {
+          val in = fs.open(p)
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        })
       }
     }
   }

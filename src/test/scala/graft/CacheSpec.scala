@@ -231,4 +231,74 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     run()
     assert(InMemoryDocCache.size == 0)
   }
+
+  // ---- segment compaction (CacheCompactor) ---------------------------------
+
+  private def looseObsFiles(dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".obs")).toSeq
+  }
+
+  test("compaction: pack/unpack round-trip, version selection, wayback across tiers") {
+    val cacheDir = scratchDir("packcache")
+    val cache = new DfsDocCache(cacheDir)
+    val any = GraftConf()
+    def doc(key: String, body: String, ts: Long) =
+      Doc(DocUID(key), s"uri-$key", body.getBytes("UTF-8"), timestampMillis = ts)
+    // two versions of k1, one of k2
+    cache.put("k1", Seq(doc("k1", "v1-old", 1000L)), 1000L)
+    cache.put("k1", Seq(doc("k1", "v1-new", 2000L)), 2000L)
+    cache.put("k2", Seq(doc("k2", "v2", 1500L)), 1500L)
+    assert(looseObsFiles(cacheDir).size == 3)
+
+    val stats = graft.cache.CacheCompactor.compact(cacheDir)
+    assert(stats.filesPacked == 3 && stats.segmentsWritten == 1)
+    assert(looseObsFiles(cacheDir).isEmpty, "loose files must be retired")
+
+    // round-trip identity through the packed tier
+    val k1 = cache.get("k1", any, 5000L).get.head.asInstanceOf[Doc]
+    assert(new String(k1.bytes, "UTF-8") == "v1-new")
+    val k2 = cache.get("k2", any, 5000L).get.head.asInstanceOf[Doc]
+    assert(new String(k2.bytes, "UTF-8") == "v2")
+    // wayback pin selects the OLDER packed version
+    val pinned = cache.get("k1", GraftConf(waybackMillis = Some(1500L)), 5000L)
+    assert(new String(pinned.get.head.asInstanceOf[Doc].bytes, "UTF-8") == "v1-old")
+    // TTL still enforced on packed entries
+    assert(cache.get("k2", GraftConf(docTtlMillis = 10L), 100000L).isEmpty)
+
+    // new loose write AFTER compaction beats older packed versions...
+    cache.put("k1", Seq(doc("k1", "v1-post", 3000L)), 3000L)
+    val post = cache.get("k1", any, 5000L).get.head.asInstanceOf[Doc]
+    assert(new String(post.bytes, "UTF-8") == "v1-post")
+    // ...and a second compaction packs it into a second segment
+    val stats2 = graft.cache.CacheCompactor.compact(cacheDir)
+    assert(stats2.filesPacked == 1 && stats2.segmentsWritten == 1)
+    assert(looseObsFiles(cacheDir).isEmpty)
+    val again = cache.get("k1", any, 5000L).get.head.asInstanceOf[Doc]
+    assert(new String(again.bytes, "UTF-8") == "v1-post")
+    // idempotent: nothing loose, nothing packed
+    assert(graft.cache.CacheCompactor.compact(cacheDir).filesPacked == 0)
+  }
+
+  test("warm re-crawl from a fully compacted cache fetches 0 pages") {
+    val uri = writeFixture("cache5/p.html", "<p>packed</p>")
+    val cacheDir = scratchDir("packcache2")
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir))
+    val ctx = new GraftContext(spark, conf)
+    import spark.implicits._
+    def run() = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri"))).count()
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1)
+    graft.cache.CacheCompactor.compact(cacheDir)
+    assert(looseObsFiles(cacheDir).isEmpty)
+    InMemoryDocCache.clear() // fresh-JVM analog: only the packed tier remains
+    run()
+    assert(ctx.metrics.pagesFetched.value == 1, "warm run must fetch nothing")
+    val hit = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"file:$uri")))
+      .collect().head.trajectory.doc.get
+    assert(hit.root.text.contains("packed"))
+  }
 }
