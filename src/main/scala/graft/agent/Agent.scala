@@ -166,7 +166,9 @@ object Agent {
     }
 
     private def interact(s: StateChange): Unit = s match {
-      case Visit(uri, timeout)     => withTimeout(timeout)(driver.visit(uri))
+      case Visit(uri, timeout) =>
+        HostPoliteness.acquire(uri, env.conf.hostMinIntervalMillis)
+        withTimeout(timeout)(driver.visit(uri))
       case Click(sel)              => driver.click(sel)
       case ClickNext(sel, excl)    => driver.clickNext(sel, excl)
       case TextInput(sel, text)    => driver.textInput(sel, text)
@@ -183,9 +185,11 @@ object Agent {
       val raw: Seq[Observation] = e match {
         case w: Wget =>
           env.metrics.pagesFetched.add(1)
+          HostPoliteness.acquire(w.uri, env.conf.hostMinIntervalMillis)
           Seq(withTimeout(w.timeoutMillis)(Fetcher.get(w.uri, w.timeoutMillis, DocUID(key, name = w.alias), now)))
         case w: Wpost =>
           env.metrics.pagesFetched.add(1)
+          HostPoliteness.acquire(w.uri, env.conf.hostMinIntervalMillis)
           Seq(withTimeout(w.timeoutMillis)(
             Fetcher.post(w.uri, w.entity, w.contentType, w.timeoutMillis, DocUID(key, name = w.alias), now)))
         case o: OAuthV2 =>
@@ -196,6 +200,7 @@ object Agent {
           // the cache key, so trace dedup/caching is unaffected.
           val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
           val header = OAuth1.authorizationHeader(o, nonce = nonce, timestampSec = now / 1000)
+          HostPoliteness.acquire(o.delegate.uri, env.conf.hostMinIntervalMillis)
           Seq(withTimeout(o.delegate.timeoutMillis)(
             Fetcher.httpGet(o.delegate.uri, o.delegate.timeoutMillis,
               DocUID(key, name = o.alias), now, headers = Map("Authorization" -> header))))

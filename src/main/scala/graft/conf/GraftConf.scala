@@ -101,7 +101,12 @@ final case class GraftConf(
     blobOffloadBytes: Long = Long.MaxValue,
     checkpointDir: Option[String] = None,
     checkpointEveryEpochs: Int = 8,
-    exploreEpochInterval: Int = 8
+    exploreEpochInterval: Int = 8,
+    /** Minimum ms between remote fetch STARTS against one host, per
+      * executor JVM ([[graft.agent.HostPoliteness]]); 0 = off. Cache hits
+      * never wait.
+      */
+    hostMinIntervalMillis: Long = 0L
 ) extends Serializable {
 
   /** Blob store in effect: explicit `blobDir`, else a `blobs/` subdir of the

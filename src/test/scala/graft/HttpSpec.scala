@@ -12,6 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 /** Real-HTTP paths (Wget http, Wpost, OAuth header) against a localhost JDK
   * HttpServer — the same role as the reference's Jetty TestSiteServer
   * (integration ITBaseSpec).
@@ -64,6 +66,10 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       if (auth.startsWith("OAuth ") && auth.contains("oauth_signature="))
         respond(ex, 200, "<p>authorized</p>")
       else respond(ex, 401, "unauthorized")
+    })
+    server.createContext("/timed", (ex: HttpExchange) => {
+      HttpSpec.arrivals.add(System.currentTimeMillis())
+      respond(ex, 200, "<p>t</p>")
     })
     server.start()
   }
@@ -158,8 +164,70 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(seen.size == 2, s"expected 2 signed requests, saw $seen")
     assert(seen.distinct.size == 2, s"nonce repeated across replays: $seen")
   }
+
+  // ---- per-host politeness (HostPoliteness) --------------------------------
+
+  test("politeness: concurrent acquires on one host serialize to >= interval spacing; hosts independent") {
+    graft.agent.HostPoliteness.clear()
+    val interval = 150L
+    val n = 6
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        graft.agent.HostPoliteness.acquire("http://one-host.test/p", interval)
+        done.add(System.currentTimeMillis())
+      })
+    }
+    val t0 = System.currentTimeMillis()
+    threads.foreach(_.start()); threads.foreach(_.join(20000))
+    assert(done.size == n)
+    // reserved slots are exactly interval apart; thread wake-up jitter can
+    // only stretch the span, never compress it below (n-1) x interval
+    val span = done.asScala.max - done.asScala.min
+    assert(span >= (n - 1) * interval - 20,
+      s"6 same-host fetch starts spanned only $span ms")
+
+    // distinct hosts do NOT serialize: 4 hosts concurrently, one slot each
+    graft.agent.HostPoliteness.clear()
+    val multi = (1 to 4).map { i =>
+      new Thread(() => {
+        graft.agent.HostPoliteness.acquire(s"http://host-$i.test/p", 5000L)
+        done.add(0L)
+      })
+    }
+    val m0 = System.currentTimeMillis()
+    multi.foreach(_.start()); multi.foreach(_.join(20000))
+    assert(System.currentTimeMillis() - m0 < 2500,
+      "first fetch per host must not wait on other hosts")
+    assert(System.currentTimeMillis() - t0 < 60000)
+  }
+
+  test("politeness: end-to-end spacing through concurrent Spark fetch tasks; cache hits never wait") {
+    graft.agent.HostPoliteness.clear()
+    HttpSpec.arrivals.clear()
+    val interval = 120L
+    val ctx = new GraftContext(spark,
+      GraftConf(hostMinIntervalMillis = interval))
+    import spark.implicits._
+    val b = base // plain String: the lambda must not capture the spec
+    ctx.create(1 to 4).fetchOne(i => Trace.of(Wget(s"$b/timed?i=$i"))).count()
+    val ts = HttpSpec.arrivals.asScala.toSeq.sorted
+    assert(ts.size == 4)
+    // server-side arrival of request k+1 happens after request k's start
+    // slot + interval (arrivals can lag their slots, stretching gaps is
+    // fine; the SPAN can never compress below 3 x interval)
+    assert(ts.last - ts.head >= 3 * interval - 20,
+      s"4 same-host fetches arrived within ${ts.last - ts.head} ms")
+    // warm re-run: all four hit the cache — no remote fetch, no waiting
+    val t0 = System.currentTimeMillis()
+    val before = ctx.metrics.pagesFetched.value
+    ctx.create(1 to 4).fetchOne(i => Trace.of(Wget(s"$b/timed?i=$i"))).count()
+    assert(ctx.metrics.pagesFetched.value == before, "second run must be all cache hits")
+    assert(System.currentTimeMillis() - t0 < 3000, "cache hits must not be rate-limited")
+  }
 }
 
 object HttpSpec {
   val nonces = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }
