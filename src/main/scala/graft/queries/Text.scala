@@ -285,6 +285,107 @@ object TextQ {
     }
   }
 
+  /** TRAINED quality classifier — logistic regression over the q21 feature
+    * family, trained with distributed batch gradient descent where every
+    * iteration is ONE small aggregate over the (persisted) featurized
+    * corpus: no per-row collect, no mllib dependency, weights are the only
+    * driver-side state (the LangId.train discipline: aggregates and joins,
+    * never a corpus on the driver).
+    *
+    * Corpus-label caveat (documented, like LangId's): the synthetic
+    * `documents` table carries NO quality labels, and its `lang` labels
+    * correlate only weakly with the text — so the trained model's accuracy
+    * is demonstrated on constructed fixtures where the quality signal is
+    * real (TextOpsSpec), never asserted on the corpus. The fixed q21
+    * formula ([[withQuality]]) remains the oracle-gated production default;
+    * [[Quality.predict]] is the drop-in upgrade once real labels exist.
+    */
+  object Quality {
+
+    /** (means, stds, weights, bias) — features are standardized with the
+      * training moments, which ride along in the model.
+      */
+    final case class Model(means: Seq[Double], stds: Seq[Double],
+                           weights: Seq[Double], bias: Double)
+        extends Serializable
+
+    /** The q21-family feature set, as plain columns: log-scaled token
+      * count, stopword ratio, mean token length, distinct-token ratio.
+      */
+    private[graft] def featurize(df: DataFrame): DataFrame = {
+      val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
+      df.withColumn("toks", split(col("text"), " "))
+        .withColumn("f0", log1p(size(col("toks"))))
+        .withColumn("f1",
+          expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("double") /
+            size(col("toks")))
+        .withColumn("f2",
+          (length(col("text")) - size(col("toks")) + 1).cast("double") /
+            size(col("toks")))
+        .withColumn("f3",
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .drop("toks")
+    }
+
+    private val F = Seq("f0", "f1", "f2", "f3")
+
+    /** Train on (label ∈ {0,1}, text) rows. `iters` full-batch GD steps;
+      * each step is one aggregate of 5 doubles + a count. Deterministic up
+      * to float summation order.
+      */
+    def train(docs: DataFrame, iters: Int = 150, lr: Double = 0.8): Model = {
+      val feats = featurize(docs)
+        .select(col("label").cast("double").as("y") +: F.map(col): _*)
+        .persist()
+      try {
+        if (feats.isEmpty)
+          return Model(Seq.fill(F.size)(0.0), Seq.fill(F.size)(1.0),
+            Seq.fill(F.size)(0.0), 0.0)
+        val mRow = feats.select(
+          F.map(f => avg(col(f)).as(s"m_$f")) ++
+            F.map(f => stddev_pop(col(f)).as(s"s_$f")): _*).head()
+        val means = F.indices.map(i => mRow.getDouble(i))
+        val stds = F.indices.map(i => math.max(mRow.getDouble(F.size + i), 1e-9))
+        val std = feats.select(col("y") +:
+          F.zipWithIndex.map { case (f, i) =>
+            ((col(f) - means(i)) / stds(i)).as(f)
+          }: _*).persist()
+        try {
+          var w = Array.fill(F.size)(0.0)
+          var b = 0.0
+          var it = 0
+          while (it < iters) {
+            val margin = F.zipWithIndex
+              .map { case (f, i) => col(f) * lit(w(i)) }
+              .reduce(_ + _) + lit(b)
+            val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
+            val g = std.select(
+              (F.map(f => sum(err * col(f))) :+ sum(err) :+
+                count(lit(1)).cast("double")): _*).head()
+            val n = g.getDouble(F.size + 1)
+            F.indices.foreach(i => w(i) -= lr * g.getDouble(i) / n)
+            b -= lr * g.getDouble(F.size) / n
+            it += 1
+          }
+          Model(means, stds, w.toSeq, b)
+        } finally std.unpersist(false)
+      } finally feats.unpersist(false)
+    }
+
+    /** Adds `quality_score` (the model's probability) to (doc_id, text)
+      * rows — pure column arithmetic, broadcast-free (the model is a few
+      * doubles baked into the plan).
+      */
+    def predict(docs: DataFrame, model: Model): DataFrame = {
+      val margin = F.zipWithIndex.map { case (f, i) =>
+        ((col(f) - lit(model.means(i))) / lit(model.stds(i))) * lit(model.weights(i))
+      }.reduce(_ + _) + lit(model.bias)
+      featurize(docs)
+        .withColumn("quality_score", lit(1.0) / (lit(1.0) + exp(-margin)))
+        .drop(F: _*)
+    }
+  }
+
   /** q50 — benchmark DECONTAMINATION: flag training documents that share
     * any word 5-gram with an evaluation set (here: every 50th doc plays the
     * eval set; in production it is the benchmark suite). The standard

@@ -162,6 +162,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)) && got.contains((10L, 11L)))
   }
 
+  // ---- trained quality classifier (TextQ.Quality) --------------------------
+
+  /** Constructed corpus where quality signal is REAL (the driver corpus has
+    * no quality labels at all — the documented caveat): "good" docs are
+    * longer, stopword-bearing, and lexically varied; "junk" docs are short
+    * repetitive keyword soup.
+    */
+  private def qualityCorpus(nPerClass: Int, seed: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val content = (0 until 400).map(i => s"word$i")
+    val stops = Seq("the", "a", "of", "to", "in") // TextQ.STOPWORDS (private)
+    val rows = (0 until nPerClass).flatMap { i =>
+      val good = (0 until 60).map { _ =>
+        if (rnd.nextInt(4) == 0) stops(rnd.nextInt(stops.size))
+        else content(rnd.nextInt(content.size))
+      }.mkString(" ")
+      val kw = content(rnd.nextInt(content.size))
+      val junk = Seq.fill(6 + rnd.nextInt(6))(kw).mkString(" ")
+      Seq((2L * i, 1, good), (2L * i + 1, 0, junk))
+    }
+    rows.toDF("doc_id", "label", "text")
+  }
+
+  test("Quality: trained logistic separates constructed good/junk docs; q21 formula untouched") {
+    val train = qualityCorpus(120, seed = 5)
+    val test = qualityCorpus(60, seed = 99) // disjoint draws, same generators
+    val model = TextQ.Quality.train(train)
+    val pred = TextQ.Quality.predict(test, model)
+      .select(col("label"), col("quality_score")).collect()
+    val acc = pred.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / pred.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // scores are genuine probabilities, spread across the classes
+    val goodMean = pred.filter(_.getInt(0) == 1).map(_.getDouble(1)).sum /
+      pred.count(_.getInt(0) == 1)
+    val junkMean = pred.filter(_.getInt(0) == 0).map(_.getDouble(1)).sum /
+      pred.count(_.getInt(0) == 0)
+    assert(goodMean > 0.8 && junkMean < 0.2, s"good=$goodMean junk=$junkMean")
+    // empty training input degrades to the zero model, not an NPE
+    val empty = TextQ.Quality.train(train.filter(col("doc_id") < 0))
+    assert(empty.weights.forall(_ == 0.0) && empty.bias == 0.0)
+  }
+
   // ---- trained BPE (graft.llm.Bpe) -----------------------------------------
 
   test("BPE train: hand-computed merges on the classic fixture, incl. a lexicographic tie-break") {
