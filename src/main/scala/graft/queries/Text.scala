@@ -449,27 +449,35 @@ object TextQ {
     * deterministic for fixed content).
     */
   def substringDedupPairs(docs: DataFrame, k: Int, p: Int): DataFrame = {
-    val anchors = docs.select(col("doc_id"),
-      explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
     // candidates ride the 8-byte xxhash64 of the gram; band_id is constant
-    // (one "band" — the anchor table IS the index)
+    // (one "band" — the anchor table IS the index).
     // checkpoint: the corpus-scale salted join runs ONCE; both consumers
     // (the candIds broadcast and the verify join) read the materialized
     // (candidate-scale) pair list — the q47 discipline
     val cand = SimQ.saltedBandCandidates(
-      anchors.select(col("doc_id"), lit(1).as("band_id"),
+      anchorIndex(docs, k, p).select(col("doc_id"), lit(1).as("band_id"),
         xxhash64(col("gram")).as("band_key")),
       lit(true)).localCheckpoint()
+    verifySharedGrams(cand, docs, k, p)
+  }
+
+  /** Positional verify shared by the batch and incremental substring-dedup
+    * paths: re-derive anchor gram STRINGS for candidate docs only
+    * (broadcast semi-join out of the corpus scan) and count distinct
+    * shared grams per pair — 64-bit candidate-key collisions die here,
+    * with their pairs (the inner join drops 0-overlap pairs). The pair
+    * list broadcasts by the same candidate-scale premise as the candIds
+    * broadcast; the right anchor side hash-joins without a sort (hint
+    * pins it — checkpointed inputs carry no stats, so the static planner
+    * would otherwise fall back to sort-merge).
+    */
+  private def verifySharedGrams(cand: DataFrame, docs: DataFrame,
+                                k: Int, p: Int): DataFrame = {
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val candAnchors = docs.join(broadcast(candIds), Seq("doc_id"))
-      .select(col("doc_id"),
-        explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+    val candAnchors = anchorIndex(
+        docs.join(broadcast(candIds), Seq("doc_id")), k, p)
       .localCheckpoint() // read twice below; candidate-sized, not corpus-sized
-    // the pair list broadcasts by the same candidate-scale premise as the
-    // candIds broadcast above; the right anchor side hash-joins without a
-    // sort (hint pins it — checkpointed inputs carry no stats, so the
-    // static planner would otherwise fall back to sort-merge)
     candAnchors.select(col("doc_id").as("id_a"), col("gram"))
       .join(broadcast(cand), Seq("id_a"))
       .join(candAnchors.select(col("doc_id").as("id_b"), col("gram"))
@@ -527,6 +535,44 @@ object TextQ {
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe"),
         array_join(col("toks"), " ").as("bpe_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The persistable exact-substring index of a corpus: its anchor table —
+    * (doc_id, gram) rows, ~1/p of the k-grams, no text. Write it out
+    * between ingest batches and feed it to [[incrementalSubstringPairs]]
+    * (the substring-family analog of [[SimQ.bandIndex]]).
+    */
+  def anchorIndex(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+
+  /** Incremental exact-substring pair detection — arrivals-only, the
+    * [[SimQ.incrementalNearDupPairs]] discipline applied to the substring
+    * family: only the NEW batch pays the anchor pass; its anchors join
+    * (persisted ∪ new) through the hot-key-salted candidate join, so every
+    * candidate pair touches ≥ 1 arrival and per-batch cost tracks the
+    * batch, never the corpus. The positional verify re-derives gram
+    * strings ONLY for candidate docs (broadcast semi-join out of the full
+    * corpus).
+    *
+    * @param allDocs corpus INCLUDING the arrivals (doc_id, text)
+    * @param oldAnchors persisted [[anchorIndex]] of the pre-existing corpus
+    * @param newDocs the arrival batch (doc_ids disjoint from oldAnchors)
+    * @return (anchors of the new batch — append to the persisted index;
+    *         verified pairs (id_a, id_b, n_shared) touching ≥ 1 arrival)
+    */
+  def incrementalSubstringPairs(allDocs: DataFrame, oldAnchors: DataFrame,
+                                newDocs: DataFrame, k: Int = 12,
+                                p: Int = 4): (DataFrame, DataFrame) = {
+    val newAnchors = anchorIndex(newDocs, k, p).localCheckpoint() // batch-sized; reused
+    val tagged = oldAnchors.select(col("doc_id"), col("gram"))
+      .withColumn("is_new", lit(false))
+      .union(newAnchors.withColumn("is_new", lit(true)))
+    val cand = SimQ.saltedBandCandidates(
+      tagged.select(col("doc_id"), lit(1).as("band_id"),
+        xxhash64(col("gram")).as("band_key"), col("is_new")),
+      col("is_new")).localCheckpoint()
+    (newAnchors, verifySharedGrams(cand, allDocs, k, p).localCheckpoint())
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

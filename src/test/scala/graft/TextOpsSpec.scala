@@ -162,6 +162,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)) && got.contains((10L, 11L)))
   }
 
+  test("incremental substring dedup: composed batches reconstruct the full-corpus pairs") {
+    val all = plantedSpanDocs()
+    val batchTruth = TextQ.substringDedupPairs(all, k = 12, p = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // arrival order: {1,10,20,21,noise} first, then {2,11}, then {3} — every
+    // planted pair completes in the batch where its LATER member arrives
+    val init = all.filter(!col("doc_id").isin(2L, 11L, 3L))
+    val b1 = all.filter(col("doc_id").isin(2L, 11L))
+    val b2 = all.filter(col("doc_id") === 3L)
+
+    val initPairs = TextQ.substringDedupPairs(init, k = 12, p = 4)
+    assert(initPairs.isEmpty) // no planted pair is complete yet
+    var index = TextQ.anchorIndex(init)
+    val (idx1, pairs1) = TextQ.incrementalSubstringPairs(init.union(b1), index, b1)
+    assert(pairs1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (10L, 11L)))
+    index = index.union(idx1)
+    val (idx2, pairs2) = TextQ.incrementalSubstringPairs(all, index, b2)
+    assert(pairs2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 3L)))
+    index = index.union(idx2)
+
+    // composed pairs == full batch recompute, n_shared included
+    val composed = (initPairs.collect() ++ pairs1.collect() ++ pairs2.collect())
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(composed == batchTruth)
+    // and the maintained index is exactly the full corpus anchor index
+    val full = TextQ.anchorIndex(all).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(index.collect().map(r => (r.getLong(0), r.getString(1))).toSet == full)
+  }
+
   // ---- trained quality classifier (TextQ.Quality) --------------------------
 
   /** Constructed corpus where quality signal is REAL (the driver corpus has
