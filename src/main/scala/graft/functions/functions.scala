@@ -78,6 +78,14 @@ object functions {
   def anchor_grams(text: Column, k: Int, p: Int): Column =
     native(graft.sql.AnchorGrams(ex(text), k, p))
 
+  /** Winnowing fingerprints (SIGMOD'03): distinct k-token grams at the
+    * min-hash position of every w consecutive grams — detection of shared
+    * spans ≥ w+k−1 tokens is GUARANTEED (vs [[anchor_grams]]' probabilistic
+    * mod-p sample).
+    */
+  def winnow_grams(text: Column, k: Int, w: Int): Column =
+    native(graft.sql.WinnowGrams(ex(text), k, w))
+
   /** BPE token sequence of a text column under a fixed merge table
     * (rank-ordered single left-to-right passes per word; `</w>` word
     * marker) — the apply stage of [[graft.llm.Bpe]].

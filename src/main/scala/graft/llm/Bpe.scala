@@ -110,6 +110,46 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Deterministic token-id vocabulary for a trained merge table over a
+    * corpus: every distinct token the encoder emits (single symbols that
+    * survive + merged symbols), id-assigned by frequency rank with a
+    * lexicographic tie-break — the id table is a pure function of (corpus
+    * word multiset, merges), independent of partitioning. One aggregate
+    * over the corpus token stream; the result is vocabulary-sized.
+    */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      explode(graft.functions.bpe_encode(col("text"), merges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // global window over the ALREADY-AGGREGATED vocabulary — bounded
+    // (|chars| + nMerges upper-bounds distinct tokens' growth per merge;
+    // in practice vocab-sized), the same dimension-table ranking shape as
+    // LangId's per-lang topN, not a corpus-sized sort
+    toks.withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long") - 1)
+      .select(col("token_id"), col("token"), col("freq"))
+  }
+
+  /** Encode docs to token-ID sequences: tokens explode, join the (tiny,
+    * broadcast) vocabulary, and re-assemble in order. Tokens outside the
+    * vocabulary map to id -1 (the OOV contract — a vocab trained on the
+    * same corpus never produces one).
+    */
+  def encodeIds(docs: DataFrame, merges: Seq[(String, String)],
+                vocabDf: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.functions.bpe_encode(col("text"), merges))
+        .as(Seq("pos", "token")))
+    toks.join(broadcast(vocabDf.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token_id"), lit(-1L)).as("tid")))).as("ps"))
+      .select(col("doc_id"),
+        expr("transform(ps, x -> x.tid)").as("token_ids"))
+  }
+
   /** The frozen merge table the q55 oracle replays — trained ONCE by
     * [[train]] on the sf0.001 corpus (nMerges=16, via `runMain
     * graft.BpeTrain /root/testdata/sf0.001 16`) and pinned here so the

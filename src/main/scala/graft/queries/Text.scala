@@ -472,11 +472,14 @@ object TextQ {
     * would otherwise fall back to sort-merge).
     */
   private def verifySharedGrams(cand: DataFrame, docs: DataFrame,
-                                k: Int, p: Int): DataFrame = {
+                                k: Int, p: Int): DataFrame =
+    verifyShared(cand, d => anchorIndex(d, k, p), docs)
+
+  private def verifyShared(cand: DataFrame, index: DataFrame => DataFrame,
+                           docs: DataFrame): DataFrame = {
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val candAnchors = anchorIndex(
-        docs.join(broadcast(candIds), Seq("doc_id")), k, p)
+    val candAnchors = index(docs.join(broadcast(candIds), Seq("doc_id")))
       .localCheckpoint() // read twice below; candidate-sized, not corpus-sized
     candAnchors.select(col("doc_id").as("id_a"), col("gram"))
       .join(broadcast(cand), Seq("id_a"))
@@ -545,6 +548,30 @@ object TextQ {
   def anchorIndex(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+
+  /** Winnowed variant of [[anchorIndex]] — selection by sliding min-hash
+    * window instead of mod-p, making detection of shared spans ≥ w+k−1
+    * tokens GUARANTEED ([[graft.sql.WinnowGrams]]).
+    */
+  def winnowIndex(docs: DataFrame, k: Int = 12, w: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.winnow_grams(col("text"), k, w)).as("gram"))
+
+  /** [[substringDedupPairs]] with winnowing selection: same salted
+    * candidate join and positional verify, but the fingerprints carry the
+    * SIGMOD'03 guarantee — any pair sharing an exact span of ≥ w+k−1
+    * tokens is reported (spec-pinned; the mod-p gate variant stays the
+    * oracle-replayable default). n_shared counts distinct shared WINNOWED
+    * grams.
+    */
+  def substringDedupPairsWinnowed(docs: DataFrame, k: Int = 12,
+                                  w: Int = 8): DataFrame = {
+    val cand = SimQ.saltedBandCandidates(
+      winnowIndex(docs, k, w).select(col("doc_id"), lit(1).as("band_id"),
+        xxhash64(col("gram")).as("band_key")),
+      lit(true)).localCheckpoint()
+    verifyShared(cand, d => winnowIndex(d, k, w), docs)
+  }
 
   /** Incremental exact-substring pair detection — arrivals-only, the
     * [[SimQ.incrementalNearDupPairs]] discipline applied to the substring

@@ -539,8 +539,8 @@ object RollingHashFunction {
   * bounded miss chance on short spans for a p× smaller shuffle (a shared
   * span of L tokens carries L−k+1 grams and is missed only when none is an
   * anchor: (1−1/p)^(L−k+1) — ~2% at p=4 for L=2k, vanishing for long
-  * spans; winnowing would make the guarantee absolute at the price of an
-  * oracle-inexpressible selection rule, documented trade).
+  * spans; [[WinnowGrams]] is the companion selector whose guarantee is
+  * absolute at the price of an oracle-inexpressible selection rule).
   *
   * One JVM pass: tokenize once, build each window once, md5 once per
   * DISTINCT window; only selected grams materialize in the output, where
@@ -603,6 +603,119 @@ object AnchorGrams {
   private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03) — the GUARANTEED
+  * companion to [[AnchorGrams]]' mod-p sampling: the distinct k-token
+  * grams selected as the minimum-hash position of every w consecutive
+  * grams (rightmost on hash ties). Any two documents sharing an exact
+  * span of ≥ w+k−1 tokens contain one full common window and therefore
+  * select at least one IDENTICAL gram — detection is deterministic, not
+  * probabilistic, at density ~2/(w+1). The selection rule reads a window
+  * of neighboring hashes, which is exactly why the DuckDB gate replays
+  * mod-p (q53) while winnowing is spec-pinned against a brute reference
+  * (TextOpsSpec): the trade documented on [[AnchorGrams]], resolved here.
+  *
+  * One JVM pass: tokenize, hash each distinct window once (md5, compared
+  * as hex — content-defined, engine-independent), sliding-window minimum
+  * via a monotonic deque (pop-while-≥ gives the rightmost tie). Docs with
+  * fewer than w windows select their global minimum (every doc keeps ≥ 1
+  * fingerprint). Same tokenization and under-k truncation conventions as
+  * [[AnchorGrams]].
+  */
+final case class WinnowGrams(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(w >= 1, s"w must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val m = math.max(toks.length - k + 1, 1)
+    val grams = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    val md = WinnowGrams.threadMd5.get()
+    val memo = new java.util.HashMap[String, String]() // identical grams hash once
+    val hashes = grams.map { g =>
+      var h = memo.get(g)
+      if (h == null) {
+        md.reset()
+        h = WinnowGrams.hex(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        memo.put(g, h)
+      }
+      h
+    }
+    val selected = new java.util.LinkedHashSet[String]()
+    if (m <= w) {
+      // fewer windows than w: keep the global (rightmost) minimum
+      var best = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      selected.add(grams(best))
+    } else {
+      // monotonic deque of indices; pop-while->= keeps the RIGHTMOST min
+      val dq = new java.util.ArrayDeque[Integer]()
+      i = 0
+      while (i < m) {
+        while (!dq.isEmpty && hashes(dq.peekLast()) >= hashes(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.pollFirst()
+        if (i >= w - 1) selected.add(grams(dq.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](selected.size())
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowGrams =
+    copy(child = newChild)
+}
+
+object WinnowGrams {
+  private[sql] val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private[sql] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = HEX(b >>> 4)
+      out(i * 2 + 1) = HEX(b & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 }
 

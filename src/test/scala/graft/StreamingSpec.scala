@@ -209,6 +209,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(fp == expected)
   }
 
+  test("cleanIngest(scrubPii): streaming redacts before fingerprinting, parity with batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    // identical after redaction: the email is the only difference — the
+    // streaming dedup must drop the second arrival, same as batch
+    val a = "the of to in report ready, mail alice@example.com for the data of today"
+    val b = "the of to in report ready, mail bob@other.org for the data of today"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.cleanIngest(
+        input.toDF.toDF("ts", "doc_id", "text"), scrubPii = true)
+      .writeStream.format("memory").queryName("cis").outputMode("append").start()
+    try {
+      input.addData((new Timestamp(base), 1L, a))
+      q.processAllAvailable()
+      input.addData((new Timestamp(base + 1000), 2L, b))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cis").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("doc_id"))).toSeq == Seq(1L))
+    val kept = rows.head
+    assert(kept.getString(kept.fieldIndex("text")).contains("<EMAIL>"))
+    assert(kept.getLong(kept.fieldIndex("n_pii")) == 1L)
+    // batch path: same inputs, same single survivor with the same fingerprint
+    val batch = EventStreams.cleanIngest(Seq(
+        (new Timestamp(base), 1L, a), (new Timestamp(base + 1000), 2L, b))
+      .toDF("ts", "doc_id", "text"), scrubPii = true).collect()
+    assert(batch.length == 1)
+    assert(batch.head.getLong(batch.head.fieldIndex("fingerprint")) ==
+      kept.getLong(kept.fieldIndex("fingerprint")))
+  }
+
   test("rollingFingerprint of an empty norm is the bare seed (sequence(1,0) guard)") {
     val spark0 = spark
     import spark0.implicits._

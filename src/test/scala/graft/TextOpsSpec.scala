@@ -162,6 +162,78 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)) && got.contains((10L, 11L)))
   }
 
+  /** Brute winnowing reference: grams (q50 truncation convention), md5-hex
+    * hashes, rightmost window minimum per w-window; global rightmost min
+    * when fewer than w windows.
+    */
+  private def bruteWinnow(text: String, k: Int, w: Int): Seq[String] = {
+    val toks = text.split(" ", -1)
+    val m = math.max(toks.length - k + 1, 1)
+    val grams = (0 until m).map(i => toks.slice(i, i + k).mkString(" "))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val hs = grams.map(hex)
+    val sel = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (m <= w) {
+      var best = 0
+      (1 until m).foreach(i => if (hs(i) <= hs(best)) best = i)
+      sel += grams(best)
+    } else {
+      (0 to m - w).foreach { s =>
+        var best = s
+        (s + 1 until s + w).foreach(i => if (hs(i) <= hs(best)) best = i)
+        sel += grams(best)
+      }
+    }
+    sel.toSeq
+  }
+
+  test("winnow_grams: native == brute reference, including ties and short docs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 50).map(i => s"t$i")
+    val docs = (Seq(
+      "",                                      // empty: one "" gram
+      "a b c",                                 // under k
+      Seq.fill(30)("same").mkString(" "),      // all grams identical (ties)
+      (0 until 25).map(i => s"x${i % 3}").mkString(" ") // periodic ties
+    ) ++ (0 until 20).map(_ =>
+      Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("text")
+    val k = 4; val w = 5
+    val rows = docs.select(col("text"),
+      graft.functions.winnow_grams(col("text"), k, w).as("g")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == bruteWinnow(r.getString(0), k, w),
+        s"mismatch for '${r.getString(0).take(40)}...'")
+    }
+  }
+
+  test("winnowed substring dedup: spans >= w+k-1 tokens are ALWAYS detected") {
+    val s = spark
+    import s.implicits._
+    val k = 12; val w = 8
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 300).map(i => s"v$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    // exactly the guarantee threshold: w+k-1 = 19 tokens, at several offsets
+    val span = (0 until (w + k - 1)).map(i => s"g$i")
+    val docs = (0 until 6).map { i =>
+      (i.toLong, (soup(5 + 7 * i) ++ span ++ soup(40 - 5 * i)).mkString(" "))
+    } ++ (100L until 140L).map(i => (i, soup(60).mkString(" ")))
+    val got = TextQ.substringDedupPairsWinnowed(docs.toDF("doc_id", "text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 15 pairs among the 6 span-carrying docs — no misses, by theorem
+    val expected = (for {
+      a <- 0L until 6L; b <- 0L until 6L if a < b
+    } yield (a, b)).toSet
+    assert(expected.subsetOf(got))
+    // and nothing else: accidental 12-gram collisions in 300-word soup
+    // are essentially impossible
+    assert(got == expected)
+  }
+
   test("incremental substring dedup: composed batches reconstruct the full-corpus pairs") {
     val all = plantedSpanDocs()
     val batchTruth = TextQ.substringDedupPairs(all, k = 12, p = 4)
@@ -273,6 +345,37 @@ class TextOpsSpec extends AnyFunSuite {
       val nWords = text.split(" ", -1).length
       assert(toks.size <= text.replace(" ", "").length + nWords)
     }
+  }
+
+  test("BPE ids: deterministic vocab, id round-trip, OOV contract") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = graft.llm.Bpe.CanonicalMerges
+    val v = graft.llm.Bpe.vocab(docs, merges)
+    val v2 = graft.llm.Bpe.vocab(docs.repartition(13), merges)
+    val table = v.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(table == v2.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+    val ids = table.map(_._1)
+    assert(ids == (0L until ids.size).toSet) // dense, zero-based
+    val byId = table.map(t => t._1 -> t._2).toMap
+    // ids round-trip to the exact token sequence for every doc
+    val enc = graft.llm.Bpe.encodeIds(docs, merges, v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val toks = docs.select(col("doc_id"),
+        graft.functions.bpe_encode(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc.keySet == toks.keySet)
+    enc.foreach { case (id, seq) =>
+      assert(seq.map(byId) == toks(id), s"doc $id id sequence mismatch")
+    }
+    // OOV: a doc with symbols the vocab never saw maps to -1, not a drop
+    val s = spark
+    import s.implicits._
+    val oov = graft.llm.Bpe.encodeIds(
+      Seq((99L, "ZZZZ")).toDF("doc_id", "text"), merges, v)
+      .collect().head.getSeq[Long](1)
+    // Z,Z,Z,Z are OOV for a lowercase corpus; the trailing </w> may or may
+    // not be a standalone vocab token (only empty words emit it bare)
+    assert(oov.size == 5 && oov.take(4).forall(_ == -1L))
   }
 
   test("BPE apply: single left-to-right pass per merge, rank order respected") {
