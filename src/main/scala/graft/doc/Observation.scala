@@ -1,5 +1,6 @@
 package graft.doc
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
 
 /** Identity of one observation: the canonical backtrace that produced it plus
@@ -85,29 +86,54 @@ final case class Doc(
       copy(content = Array.empty, contentPtr = Some(path))
     }
 
+  /** Transparent gzip unwrap (the commonest Tika-normalisation case in
+    * crawl data: `.html.gz` / `.json.gz` / gzip Content-Encoding): when the
+    * body carries the 1f 8b magic, everything CONTENT-DERIVED (mime sniff,
+    * charset, contentStr, the parsed tree) reads the inflated form, with
+    * the `.gz` suffix stripped from the sniffing uri — while `content`/
+    * `bytes`, equality, caching, and blob offload keep the raw compressed
+    * body (storage stays byte-faithful to the fetch). Inflation is capped
+    * ([[Gzip.MaxInflate]], a zip-bomb guard); over-cap or corrupt streams
+    * fall back to the opaque raw bytes.
+    */
+  @transient private lazy val inflated: Option[Array[Byte]] =
+    if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      Gzip.inflate(bytes, Gzip.MaxInflate)
+    else None
+
+  /** The content-derived view: inflated body + sniffing uri. */
+  @transient private lazy val view: (Array[Byte], String) = inflated match {
+    case Some(b) => (b, uri.stripSuffix(".gz"))
+    case None    => (bytes, uri)
+  }
+
   /** Effective mime: declared (parameters stripped) else sniffed from the uri
     * extension else from the content head (reference Doc.scala:70-144, minus
     * the Tika dependency — detection here is extension+magic heuristics).
+    * Gzip-declared bodies are treated like octet-stream: the unwrapped
+    * content decides.
     */
   lazy val mime: String =
     declaredMime.map(_.takeWhile(_ != ';').trim.toLowerCase)
-      .filter(_.nonEmpty).filter(_ != "application/octet-stream")
-      .getOrElse(Mime.sniff(uri, bytes))
+      .filter(_.nonEmpty)
+      .filter(m => m != "application/octet-stream" &&
+        m != "application/gzip" && m != "application/x-gzip")
+      .getOrElse(Mime.sniff(view._2, view._1))
 
   /** Detected charset: Content-Type parameter > BOM > meta/XML-decl sniff >
     * UTF-8 (stands in for the reference's universalchardet, Doc.scala:70-144).
     */
-  lazy val charset: String = Charsets.detect(declaredMime, bytes)
+  lazy val charset: String = Charsets.detect(declaredMime, view._1)
 
   lazy val contentStr: String =
-    new String(bytes, java.nio.charset.Charset.forName(charset))
+    new String(view._1, java.nio.charset.Charset.forName(charset))
 
   def isImage: Boolean = mime.startsWith("image/")
 
   /** Root of the selector-queryable tree; [[Node.Unrecognisable]] for binary
     * content (reference Node.scala:8-26 null-object).
     */
-  @transient lazy val root: Node = Node.parse(bytes, mime, uri, charset)
+  @transient lazy val root: Node = Node.parse(view._1, mime, view._2, charset)
 
   // content is an Array — default case-class equality would be reference
   // equality; identity here is uid + bytes.
@@ -271,6 +297,37 @@ object Charsets {
   }
 }
 
+/** Capped gzip inflation for [[Doc]]'s transparent unwrap. */
+private[graft] object Gzip {
+
+  /** Zip-bomb guard: refuse to inflate past this (the doc then stays an
+    * opaque binary — refusal, not truncation, so extraction never sees a
+    * silently cut-off document).
+    */
+  val MaxInflate: Int = 64 << 20
+
+  /** Inflate fully (multi-member streams included) or not at all: None on
+    * corrupt input or when the output would exceed `cap`.
+    */
+  def inflate(gz: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    var in: java.util.zip.GZIPInputStream = null
+    try {
+      in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(gz))
+      val out = new ByteArrayOutputStream(math.min(math.max(gz.length * 4, 1024), 1 << 20))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      var over = false
+      while (n >= 0 && !over) {
+        out.write(buf, 0, n)
+        if (out.size > cap) over = true else n = in.read(buf)
+      }
+      if (over) None else Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None // corrupt stream: keep raw bytes
+    } finally if (in != null) in.close()
+  }
+}
+
 /** Extension + magic-byte mime sniffing (stands in for the reference's
   * Tika detection, which is not on our classpath).
   */
@@ -300,6 +357,8 @@ object Mime {
       else if (head.startsWith("{\\rtf")) "application/rtf" // before the JSON `{` guess
       else if (content.startsWith(Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte)))
         "application/msword" // CFB container (.doc/.xls — salvage path)
+      // only reached when Doc's transparent unwrap refused (corrupt/bomb)
+      else if (content.startsWith(Array[Byte](0x1f, 0x8b.toByte))) "application/gzip"
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"
