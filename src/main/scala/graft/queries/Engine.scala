@@ -493,6 +493,67 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q56 — WARC segment ingest: archived-crawl ETL through the Doc seam
+  // -------------------------------------------------------------------------
+
+  private val WarcDate = "2026-01-01T00:00:00Z"
+
+  private def warcHtml(id: Long, text: String): Array[Byte] =
+    ("<!DOCTYPE html><html><head><title>doc " + id +
+      "</title></head><body><article>" + xmlEscape(text) +
+      "</article></body></html>").getBytes(StandardCharsets.UTF_8)
+
+  /** Every 10th document (offset 2) becomes an HTTP response record inside
+    * a multi-record `.warc.gz` segment (per-record gzip members — the
+    * Common Crawl layout; a warcinfo head + an interleaved request record
+    * per response prove record-type filtering). The query ingests the
+    * segment directory through [[graft.sources.Warc.read]] — binaryFile,
+    * one task per segment, streaming record iterator, payload bytes never
+    * shuffled — lifts each response into the Doc/Node seam and recovers
+    * title + article text. The oracle predicts every field from the source
+    * table alone: url/status from the id, byte length from the HTML
+    * template via octet_length, body text round-tripped LOSSLESSLY through
+    * entity escaping.
+    */
+  def q56WarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val fix = fixtureDir(dir, "q56")
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / 200)
+      .mapGroups { (seg, it) =>
+        val bout = new java.io.ByteArrayOutputStream()
+        bout.write(Warc.gzMember(Warc.writeRecord("warcinfo",
+          Seq("WARC-Date" -> WarcDate, "Content-Type" -> "application/warc-fields"),
+          "software: graft\r\n".getBytes(StandardCharsets.ISO_8859_1))))
+        it.toArray.sortBy(_._1).foreach { case (id, text) =>
+          val url = s"http://corpus.test/doc/$id"
+          bout.write(Warc.gzMember(Warc.writeRecord("request",
+            Seq("WARC-Target-URI" -> url, "WARC-Date" -> WarcDate,
+              "Content-Type" -> "application/http; msgtype=request"),
+            s"GET /doc/$id HTTP/1.1\r\nHost: corpus.test\r\n\r\n"
+              .getBytes(StandardCharsets.ISO_8859_1))))
+          bout.write(Warc.gzMember(Warc.writeRecord("response",
+            Seq("WARC-Target-URI" -> url, "WARC-Date" -> WarcDate,
+              "Content-Type" -> "application/http; msgtype=response"),
+            Warc.httpResponse(200, "text/html; charset=utf-8", warcHtml(id, text)))))
+        }
+        graft.agent.DocIO.writeBytes(fix, f"segment_$seg%05d.warc.gz", bout.toByteArray)
+        seg
+      }.count() // force the writes before the scan below lists the dir
+    Warc.read(spark, fix)
+      .map { r =>
+        val root = Warc.toDoc(r).root
+        (r.url.substring(r.url.lastIndexOf('/') + 1).toLong, r.url,
+          r.http_status, r.body.length.toLong,
+          root.findOnly("title").text, root.findOnly("article").text)
+      }
+      .toDF("doc_id", "url", "http_status", "n_bytes", "title", "body_text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -506,6 +567,7 @@ object EngineQ {
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
     "q46_media_decode" -> q46MediaDecode _,
+    "q56_warc_ingest"  -> q56WarcIngest _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -631,6 +693,19 @@ object EngineQ {
         |  CAST(600 + doc_id % 400 AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 7
         |ORDER BY doc_id""".stripMargin,
+    // n_bytes re-derives the HTML template length; escape order (& first)
+    // mirrors xmlEscape's per-char flatMap exactly
+    "q56_warc_ingest" ->
+      """SELECT doc_id,
+        |  'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(200 AS INT) AS http_status,
+        |  CAST(octet_length(encode('<!DOCTYPE html><html><head><title>doc '
+        |    || CAST(doc_id AS VARCHAR) || '</title></head><body><article>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</article></body></html>')) AS BIGINT) AS n_bytes,
+        |  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  text AS body_text
+        |FROM documents WHERE doc_id % 10 = 2 ORDER BY doc_id""".stripMargin,
     "q41_media_ingest" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 16 AS INT) AS width,

@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.Warc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+/** WARC segment source ([[graft.sources.Warc]]): streaming record grammar,
+  * gzip layouts (per-record members / whole-file / plain), fail-soft tail
+  * handling, HTTP block parse, the Doc seam, and the distributed read.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  private def warcinfoRec = Warc.writeRecord("warcinfo",
+    Seq("WARC-Date" -> "2026-01-01T00:00:00Z", "Content-Type" -> "application/warc-fields"),
+    bytes("software: graft\r\n"))
+
+  private def request(url: String) = Warc.writeRecord("request",
+    Seq("WARC-Target-URI" -> url,
+      "Content-Type" -> "application/http; msgtype=request"),
+    bytes(s"GET / HTTP/1.1\r\nHost: h\r\n\r\n"))
+
+  private def response(url: String, mime: String, body: Array[Byte]) =
+    Warc.writeRecord("response",
+      Seq("WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponse(200, mime, body))
+
+  private def parse(seg: Array[Byte]) =
+    Warc.records(new ByteArrayInputStream(seg)).toVector
+
+  test("record grammar round-trips; responses() filters types; <uri> brackets strip") {
+    val html = bytes("<html><body>hi</body></html>")
+    val seg = warcinfoRec ++ request("http://h/a") ++
+      Warc.writeRecord("response",
+        Seq("WARC-Target-URI" -> "<http://h/a>", // WARC/1.0 bracketed form
+          "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "text/html", html))
+    val recs = parse(seg)
+    assert(recs.map(_.warcType) == Vector("warcinfo", "request", "response"))
+    val resp = Warc.responses(new ByteArrayInputStream(seg)).toVector
+    assert(resp.size == 1)
+    val (r, h) = resp.head
+    assert(r.targetUri.contains("http://h/a")) // brackets stripped
+    assert(h.status == 200 && h.mime == "text/html")
+    assert(h.body.sameElements(html))
+  }
+
+  test("gzip layouts: per-record members, whole-file, and plain all decode identically") {
+    val segPlain = warcinfoRec ++ response("http://h/1", "text/plain", bytes("one")) ++
+      response("http://h/2", "text/plain", bytes("two"))
+    val perRecord = Warc.gzMember(warcinfoRec) ++
+      Warc.gzMember(response("http://h/1", "text/plain", bytes("one"))) ++
+      Warc.gzMember(response("http://h/2", "text/plain", bytes("two")))
+    val wholeFile = Warc.gzMember(segPlain)
+    for (seg <- Seq(segPlain, perRecord, wholeFile)) {
+      val resp = Warc.responses(new ByteArrayInputStream(seg)).toVector
+      assert(resp.map(_._1.targetUri.get) == Vector("http://h/1", "http://h/2"))
+      assert(resp.map(p => new String(p._2.body, "UTF-8")) == Vector("one", "two"))
+    }
+  }
+
+  test("fail-soft: truncated tail, bad Content-Length, and junk all end after the last good record") {
+    val good = response("http://h/ok", "text/plain", bytes("intact"))
+    // truncated mid-block
+    val truncated = good ++ response("http://h/cut", "text/plain", bytes("gone")).dropRight(20)
+    assert(parse(truncated).size == 1)
+    // absurd Content-Length (corrupt header): stop, don't allocate
+    val bomb = good ++ bytes("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999999999\r\n\r\n")
+    assert(parse(bomb).size == 1)
+    // non-WARC garbage after a good record
+    val junk = good ++ bytes("not a warc header\r\n\r\n")
+    assert(parse(junk).size == 1)
+    // empty stream
+    assert(parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("HTTP parse: declared Content-Length clamps sloppy padding; non-HTTP block is None") {
+    val block = bytes("HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\nContent-Length: 4\r\n\r\nbodyPADDING")
+    val h = Warc.parseHttp(block).get
+    assert(h.status == 404 && new String(h.body, "UTF-8") == "body")
+    assert(Warc.parseHttp(bytes("not http at all")).isEmpty)
+    // no Content-Length: body runs to the end of the block
+    val open = Warc.parseHttp(bytes("HTTP/1.1 200 OK\r\n\r\nfull tail")).get
+    assert(new String(open.body, "UTF-8") == "full tail")
+  }
+
+  test("Doc seam: charset parameter honored, entities decode, selector engine reaches the payload") {
+    val html = "<html><head><title>café</title></head><body><article>a &amp; b</article></body></html>"
+    val latin = Warc.WarcResponse("seg", "http://h/l", "", 200,
+      "text/html; charset=iso-8859-1", html.getBytes(StandardCharsets.ISO_8859_1))
+    val utf = Warc.WarcResponse("seg", "http://h/u", "", 200,
+      "text/html; charset=utf-8", html.getBytes(StandardCharsets.UTF_8))
+    for (r <- Seq(latin, utf)) {
+      val root = Warc.toDoc(r).root
+      assert(root.findOnly("title").text == "café")
+      assert(root.findOnly("article").text == "a & b")
+    }
+  }
+
+  test("distributed read: one row per response across segments, bodies intact, one task per segment") {
+    val spark = SparkFixture.spark
+    val dir = SparkFixture.scratchDir("warc")
+    val seg0 = Warc.gzMember(warcinfoRec) ++
+      Warc.gzMember(response("http://h/a", "text/html", bytes("<p>A</p>"))) ++
+      Warc.gzMember(request("http://h/b")) ++
+      Warc.gzMember(response("http://h/b", "text/html", bytes("<p>B</p>")))
+    val seg1 = Warc.gzMember(response("http://h/c", "application/json", bytes("""{"k":1}""")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc.gz"), seg0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s1.warc.gz"), seg1)
+
+    val ds = Warc.read(spark, dir)
+    val rows = ds.collect().sortBy(_.url)
+    assert(rows.map(_.url).toVector == Vector("http://h/a", "http://h/b", "http://h/c"))
+    assert(rows.forall(_.http_status == 200))
+    assert(new String(rows(2).body, "UTF-8") == """{"k":1}""")
+    // the scan parallelizes by segment and nothing shuffles before collect
+    assert(ds.rdd.getNumPartitions >= 1)
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    // payload reaches the JSON node tree through the same seam
+    val doc = Warc.toDoc(rows(2))
+    assert(doc.root.findAll("k").nonEmpty)
+  }
+}
