@@ -183,15 +183,32 @@ object Agent {
       val key = backtraceKey(e)
 
       val raw: Seq[Observation] = e match {
+        // Wget/Wpost consult the robots gate (no-op unless respectRobots):
+        // disallowed uris yield a DocError WITHOUT a request or a
+        // pagesFetched tick; a declared Crawl-delay widens the politeness
+        // interval. Browser Visit and OAuth API calls stay ungated — REP
+        // governs crawling, not authenticated API traffic.
         case w: Wget =>
-          env.metrics.pagesFetched.add(1)
-          HostPoliteness.acquire(w.uri, env.conf.hostMinIntervalMillis)
-          Seq(withTimeout(w.timeoutMillis)(Fetcher.get(w.uri, w.timeoutMillis, DocUID(key, name = w.alias), now)))
+          val uid = DocUID(key, name = w.alias)
+          val (blocked, interval) = RobotsCache.check(w.uri, env.conf, uid, now)
+          blocked match {
+            case Some(err) => Seq(err)
+            case None =>
+              env.metrics.pagesFetched.add(1)
+              HostPoliteness.acquire(w.uri, interval)
+              Seq(withTimeout(w.timeoutMillis)(Fetcher.get(w.uri, w.timeoutMillis, uid, now)))
+          }
         case w: Wpost =>
-          env.metrics.pagesFetched.add(1)
-          HostPoliteness.acquire(w.uri, env.conf.hostMinIntervalMillis)
-          Seq(withTimeout(w.timeoutMillis)(
-            Fetcher.post(w.uri, w.entity, w.contentType, w.timeoutMillis, DocUID(key, name = w.alias), now)))
+          val uid = DocUID(key, name = w.alias)
+          val (blocked, interval) = RobotsCache.check(w.uri, env.conf, uid, now)
+          blocked match {
+            case Some(err) => Seq(err)
+            case None =>
+              env.metrics.pagesFetched.add(1)
+              HostPoliteness.acquire(w.uri, interval)
+              Seq(withTimeout(w.timeoutMillis)(
+                Fetcher.post(w.uri, w.entity, w.contentType, w.timeoutMillis, uid, now)))
+          }
         case o: OAuthV2 =>
           env.metrics.pagesFetched.add(1)
           // RFC 5849 §3.3: nonce must be unique per (timestamp, token) — a

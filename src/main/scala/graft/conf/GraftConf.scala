@@ -106,7 +106,16 @@ final case class GraftConf(
       * executor JVM ([[graft.agent.HostPoliteness]]); 0 = off. Cache hits
       * never wait.
       */
-    hostMinIntervalMillis: Long = 0L
+    hostMinIntervalMillis: Long = 0L,
+    /** Honor robots.txt on live http(s) fetches ([[graft.agent.RobotsCache]]):
+      * one robots fetch per site per executor, disallowed uris become
+      * [[graft.doc.DocError]]s without a request, a declared Crawl-delay
+      * widens (never narrows) `hostMinIntervalMillis` for that host.
+      */
+    respectRobots: Boolean = false,
+    /** Agent token robots groups match against (REP group selection). */
+    robotsUserAgent: String = "graftbot",
+    robotsTimeoutMillis: Long = 10000L
 ) extends Serializable {
 
   /** Blob store in effect: explicit `blobDir`, else a `blobs/` subdir of the

@@ -93,6 +93,20 @@ object functions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     native(graft.sql.BpeEncode(ex(text), merges))
 
+  /** Canonical crawl form of an absolute URL — fragment dropped, case/port/
+    * dot-segment/percent normalization, query sorted with tracking params
+    * stripped. The frontier-dedup key maker (native codegen expression).
+    */
+  def url_normalize(url: Column): Column =
+    native(graft.sql.UrlNormalize(ex(url)))
+
+  /** RFC 9309 allow/deny of (robots_txt, user_agent, url) — bulk frontier
+    * filtering against archived robots corpora (native codegen expression;
+    * the robots body parses once per distinct value per thread).
+    */
+  def robots_allowed(robots: Column, agent: Column, url: Column): Column =
+    native(graft.sql.RobotsAllowed(ex(robots), ex(agent), ex(url)))
+
   /** All absolutized hrefs of matching elements. */
   def css_hrefs(html: Column, css: Column, baseUri: Column): Column =
     udfCssHrefs(html, css, baseUri)

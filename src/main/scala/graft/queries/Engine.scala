@@ -554,6 +554,58 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q57/q58 — crawl compliance: URL canonicalization + robots.txt gating
+  // -------------------------------------------------------------------------
+
+  /** Every document id becomes a deliberately messy absolute URL — upper
+    * cased scheme/host, explicit default port, `/.`+`/..` dot segments,
+    * percent-encoded unreserved (%7E %41), unsorted query with utm_/fbclid
+    * tracking params, empty param, fragment — built by IDENTICAL concat
+    * formulas on both engines; the Spark side then runs the real
+    * [[graft.functions.url_normalize]] (native codegen, one map pass, no
+    * shuffle) while the oracle states the canonical form in closed form.
+    * Every normalization rule is load-bearing for the hash match.
+    */
+  def q57UrlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.url_normalize
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val messy = concat(
+      when(d % 2 === 0, "HTTP://").otherwise(lit("HTTPS://")),
+      lit("WWW.Site"), s(d % 5), lit(".COM"),
+      when(d % 2 === 0, ":80").otherwise(lit(":443")),
+      lit("/%7Euser/a/./b"), s(d % 7), lit("/../c%41"),
+      lit("?utm_source=feed&z=2&fbclid=x&a="), s(d % 3), lit("&#sec"))
+    Tables.documents(spark, dir)
+      .select(d, messy.as("url_raw"), url_normalize(messy).as("url"))
+      .orderBy(d)
+  }
+
+  /** A constant robots.txt exercising the RFC 9309 decision points — group
+    * selection (specific `graftbot` group vs `*`, groups never merge),
+    * longest-match precedence, allow-wins-ties via the `$` anchor, `*`
+    * wildcard — evaluated per document over id-derived urls through the
+    * native [[graft.functions.robots_allowed]] (per-thread parse memo: one
+    * parse per task, millions of rows). The oracle states both verdicts in
+    * closed form from the id.
+    */
+  def q58RobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.robots_allowed
+    val robotsTxt =
+      "User-agent: *\nDisallow: /private\nAllow: /private/ok$\nDisallow: /tmp*\n" +
+        "User-agent: graftbot\nDisallow: /deep\nCrawl-delay: 2\n"
+    val d = col("doc_id")
+    val path = when(d % 4 === 0, "/deep/x").when(d % 4 === 1, "/private")
+      .when(d % 4 === 2, "/ok").otherwise(lit("/private/ok"))
+    val url = concat(lit("https://site.test"), path)
+    Tables.documents(spark, dir)
+      .select(d, path.as("path"),
+        robots_allowed(lit(robotsTxt), lit("graftbot/1.0"), url).as("allowed_graft"),
+        robots_allowed(lit(robotsTxt), lit("otherbot/2.0"), url).as("allowed_other"))
+      .orderBy(d)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -568,6 +620,8 @@ object EngineQ {
     "q42_ann_lsh"      -> q42AnnLsh _,
     "q46_media_decode" -> q46MediaDecode _,
     "q56_warc_ingest"  -> q56WarcIngest _,
+    "q57_url_normalize" -> q57UrlNormalize _,
+    "q58_robots_gate"  -> q58RobotsGate _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -693,6 +747,30 @@ object EngineQ {
         |  CAST(600 + doc_id % 400 AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 7
         |ORDER BY doc_id""".stripMargin,
+    // the raw url is built by the same formula on both engines; the
+    // canonical form is stated closed-form — every rule is load-bearing
+    "q57_url_normalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+        |    || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |    || '/%7Euser/a/./b' || CAST(doc_id % 7 AS VARCHAR) || '/../c%41'
+        |    || '?utm_source=feed&z=2&fbclid=x&a=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '&#sec' AS url_raw,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |    || '://www.site' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.com/~user/a/cA?a=' || CAST(doc_id % 3 AS VARCHAR) || '&z=2' AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed-form REP verdicts: graftbot group blocks only /deep; the *
+    // group blocks /private (with the $-anchored allow rescuing
+    // /private/ok) and /tmp*
+    "q58_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN '/deep/x' WHEN 1 THEN '/private'
+        |    WHEN 2 THEN '/ok' ELSE '/private/ok' END AS path,
+        |  doc_id % 4 <> 0 AS allowed_graft,
+        |  doc_id % 4 <> 1 AS allowed_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // n_bytes re-derives the HTML template length; escape order (& first)
     // mirrors xmlEscape's per-char flatMap exactly
     "q56_warc_ingest" ->

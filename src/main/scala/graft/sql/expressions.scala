@@ -773,6 +773,170 @@ final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Static evaluators for the URL/crawl-compliance expressions. */
+object UrlFunctions {
+
+  // non-utm_ tracking params dropped during canonicalization
+  private val Tracking = Set("fbclid", "gclid", "msclkid", "dclid", "igshid")
+  private def isTracking(k: String): Boolean =
+    k.startsWith("utm_") || Tracking.contains(k)
+
+  private def unreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** RFC 3986 §6 percent normal form: decode unreserved, uppercase the
+    * hex of the rest; malformed triplets pass through literally.
+    */
+  private def percentNorm(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val v = (Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)
+        if (unreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal; empty path → "/". */
+  private def normPath(path: String): String = {
+    if (path.isEmpty) return "/"
+    val trailingSlash = path.endsWith("/") || path.endsWith("/.") || path.endsWith("/..")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    path.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg      => out += seg
+    }
+    val p = "/" + out.mkString("/")
+    if (trailingSlash && !p.endsWith("/")) p + "/" else p
+  }
+
+  /** Drop tracking params + empties, sort the rest (deterministic crawl
+    * canonical form; sorting is what makes `?a=1&b=2` and `?b=2&a=1` the
+    * same frontier key).
+    */
+  private def normQuery(q: String): String =
+    if (q == null || q.isEmpty) ""
+    else q.split("&", -1).iterator
+      .filter(_.nonEmpty)
+      .map(percentNorm)
+      .filterNot(p => isTracking(p.takeWhile(_ != '=')))
+      .toArray.sorted.mkString("&")
+
+  /** Canonical crawl form of an absolute URL: fragment dropped, scheme+host
+    * lower-cased, default port stripped, dot-segments resolved, percent
+    * normal form, query params sorted with tracking params removed, empty
+    * path → "/". Non-absolute input passes through (minus fragment) — a
+    * total function, never null, so frontier keys never disappear.
+    */
+  def normalize(u: UTF8String): UTF8String = {
+    val url0 = u.toString
+    val hash = url0.indexOf('#')
+    val url = if (hash >= 0) url0.substring(0, hash) else url0
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return UTF8String.fromString(url)
+    val scheme = url.substring(0, schemeEnd).toLowerCase
+    val rest = url.substring(schemeEnd + 3)
+    val authEnd = {
+      val s = rest.indexOf('/'); val q = rest.indexOf('?')
+      val ends = Seq(s, q).filter(_ >= 0)
+      if (ends.isEmpty) rest.length else ends.min
+    }
+    var authority = {
+      val a = rest.substring(0, authEnd)
+      val at = a.lastIndexOf('@') // lowercase the host, never the userinfo
+      if (at >= 0) a.substring(0, at + 1) + a.substring(at + 1).toLowerCase
+      else a.toLowerCase
+    }
+    if ((scheme == "http" && authority.endsWith(":80")) ||
+        (scheme == "https" && authority.endsWith(":443")))
+      authority = authority.substring(0, authority.lastIndexOf(':'))
+    val tail = rest.substring(authEnd)
+    val qmark = tail.indexOf('?')
+    val path = normPath(percentNorm(if (qmark >= 0) tail.substring(0, qmark) else tail))
+    val query = normQuery(if (qmark >= 0) tail.substring(qmark + 1) else null)
+    UTF8String.fromString(
+      scheme + "://" + authority + path + (if (query.isEmpty) "" else "?" + query))
+  }
+
+  private val lastRobots = new ThreadLocal[(UTF8String, graft.agent.Robots.RobotsFile)]
+
+  /** REP matching for a frontier row. The robots text parses once per
+    * distinct value per thread (the NodeFunctions memo pattern — bulk
+    * filters scan millions of urls against few robots bodies). Absolute
+    * urls match on path+query (Google's documented matching scope); bare
+    * paths pass through.
+    */
+  def robotsAllowed(robots: UTF8String, agent: UTF8String, url: UTF8String): Boolean = {
+    val c = lastRobots.get()
+    val rf =
+      if (c != null && c._1.equals(robots)) c._2
+      else {
+        val parsed = try graft.agent.Robots.parse(robots.toString)
+        catch { case scala.util.control.NonFatal(_) => graft.agent.Robots.Empty }
+        lastRobots.set((robots.clone(), parsed))
+        parsed
+      }
+    val s = url.toString
+    val schemeEnd = s.indexOf("://")
+    val path =
+      if (schemeEnd <= 0) s
+      else {
+        val rest = s.substring(schemeEnd + 3)
+        val slash = rest.indexOf('/')
+        if (slash < 0) "/" else rest.substring(slash)
+      }
+    rf.allowed(agent.toString, path)
+  }
+}
+
+/** Canonical crawl form of an absolute URL (see [[UrlFunctions.normalize]]);
+  * the frontier-dedup key maker.
+  */
+final case class UrlNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_normalize"
+
+  protected override def nullSafeEval(u: Any): Any =
+    UrlFunctions.normalize(u.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.UrlFunctions.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
+    copy(child = newChild)
+}
+
+/** RFC 9309 allow/deny of (robots_txt, user_agent, url) — bulk frontier
+  * filtering against archived robots corpora.
+  */
+final case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "robots_allowed"
+
+  protected override def nullSafeEval(robots: Any, agent: Any, url: Any): Any =
+    UrlFunctions.robotsAllowed(robots.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String], url.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, u) => s"graft.sql.UrlFunctions.robotsAllowed($r, $a, $u)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RobotsAllowed = copy(f, s, t)
+}
+
 /** SQL registration seam: `spark.sql.extensions=graft.sql.GraftExtensions`
   * exposes the extraction expressions to pure-SQL users
   * (`SELECT css_text(html, 'title') ...`). Runtime registration on a live
@@ -817,6 +981,10 @@ object GraftExtensions {
     ("anchor_grams", new ExpressionInfo(classOf[AnchorGrams].getName, "anchor_grams"),
       (c: Seq[Expression]) => AnchorGrams(s(c(0)),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
-        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()))
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    ("url_normalize", new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
+      (c: Seq[Expression]) => UrlNormalize(s(c(0)))),
+    ("robots_allowed", new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      (c: Seq[Expression]) => RobotsAllowed(s(c(0)), s(c(1)), s(c(2))))
   )
 }

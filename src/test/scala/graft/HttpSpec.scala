@@ -71,6 +71,17 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       HttpSpec.arrivals.add(System.currentTimeMillis())
       respond(ex, 200, "<p>t</p>")
     })
+    server.createContext("/robots.txt", (ex: HttpExchange) => {
+      HttpSpec.robotsHits.incrementAndGet()
+      respond(ex, 200,
+        "User-agent: *\nDisallow: /blocked\n\n" +
+          "User-agent: delaybot\nDisallow: /blocked\nCrawl-delay: 0.25\n",
+        "text/plain")
+    })
+    server.createContext("/blocked", (ex: HttpExchange) => {
+      HttpSpec.blockedHits.incrementAndGet()
+      respond(ex, 200, "<p>must never be served to a compliant crawler</p>")
+    })
     server.start()
   }
 
@@ -225,9 +236,82 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(ctx.metrics.pagesFetched.value == before, "second run must be all cache hits")
     assert(System.currentTimeMillis() - t0 < 3000, "cache hits must not be rate-limited")
   }
+  // ---- robots.txt gate (RobotsCache) ---------------------------------------
+
+  test("robots on: disallowed uri => DocError with NO request and NO pagesFetched; one robots fetch per site") {
+    graft.agent.RobotsCache.clear()
+    HttpSpec.robotsHits.set(0); HttpSpec.blockedHits.set(0)
+    val ctx = new GraftContext(spark, GraftConf(respectRobots = true, remoteRetries = 0))
+    import spark.implicits._
+    val b = base
+    val rows = ctx.create(Seq(1, 2, 3))
+      .fetchOne(i => Trace.of(Wget(s"$b/blocked/secret?i=$i")))
+      .select(_.trajectory.failed.map(_.uri).mkString).collect()
+    assert(rows.size == 3 && rows.forall(_.contains("/blocked/secret")))
+    assert(HttpSpec.blockedHits.get() == 0, "gated path must never receive a request")
+    assert(ctx.metrics.pagesFetched.value == 0, "blocked uris are not fetches")
+    // allowed path on the same site still fetches; robots.txt was read ONCE
+    val ok = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"$b/page")))
+      .collect().head.trajectory.doc
+    assert(ok.exists(_.root.findOnly("title").text == "HTTP OK"))
+    assert(HttpSpec.robotsHits.get() == 1,
+      s"expected exactly one robots fetch, got ${HttpSpec.robotsHits.get()}")
+    assert(ctx.metrics.pagesFetched.value == 1, "robots fetch must not count as a page")
+  }
+
+  test("robots off (default): gated path serves normally and robots.txt is never requested") {
+    graft.agent.RobotsCache.clear()
+    HttpSpec.robotsHits.set(0); HttpSpec.blockedHits.set(0)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val b = base
+    val doc = ctx.create(Seq(0)).fetchOne(_ => Trace.of(Wget(s"$b/blocked/x")))
+      .collect().head.trajectory.doc
+    assert(doc.isDefined && HttpSpec.blockedHits.get() == 1)
+    assert(HttpSpec.robotsHits.get() == 0)
+  }
+
+  test("robots availability semantics: 404 site allows all, unreachable site denies all") {
+    graft.agent.RobotsCache.clear()
+    // a second server with NO robots.txt context → default 404
+    val bare = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      bare.createContext("/p", (ex: HttpExchange) => {
+        val bytes = "<p>open</p>".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      })
+      bare.start()
+      val conf = GraftConf(respectRobots = true, robotsTimeoutMillis = 3000)
+      val uid = graft.doc.DocUID("k")
+      val openUri = s"http://127.0.0.1:${bare.getAddress.getPort}/p"
+      assert(graft.agent.RobotsCache.check(openUri, conf, uid, 0L)._1.isEmpty)
+      // unreachable (nothing listens on the site) → RFC 9309 assume-disallow
+      val dead = graft.agent.RobotsCache.check("http://127.0.0.1:1/x", conf, uid, 0L)._1
+      assert(dead.exists(!_.isSuccess))
+    } finally bare.stop(0)
+  }
+
+  test("robots Crawl-delay widens politeness spacing for the declaring agent") {
+    graft.agent.RobotsCache.clear()
+    graft.agent.HostPoliteness.clear()
+    HttpSpec.arrivals.clear()
+    val ctx = new GraftContext(spark, GraftConf(respectRobots = true,
+      robotsUserAgent = "delaybot", hostMinIntervalMillis = 0L))
+    import spark.implicits._
+    val b = base
+    ctx.create(1 to 3).fetchOne(i => Trace.of(Wget(s"$b/timed?d=$i"))).count()
+    val ts = HttpSpec.arrivals.asScala.toSeq.sorted
+    assert(ts.size == 3)
+    // Crawl-delay: 0.25 → three starts span >= 2 x 250ms (modulo clock skew)
+    assert(ts.last - ts.head >= 2 * 250 - 20,
+      s"3 fetches under Crawl-delay 0.25 arrived within ${ts.last - ts.head} ms")
+  }
 }
 
 object HttpSpec {
   val nonces = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val robotsHits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val blockedHits = new java.util.concurrent.atomic.AtomicInteger(0)
 }
