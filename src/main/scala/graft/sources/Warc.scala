@@ -219,6 +219,38 @@ object Warc {
       declaredMime = Some(row.mime).filter(_.nonEmpty),
       status = row.http_status)
 
+  /** Offline crawl replay: seed the doc caches from archived segments.
+    * Every response row becomes the cached observation of `Wget(url)`'s
+    * CANONICAL trace key (timeouts/aliases never affect it), so a
+    * subsequent fetch/explore over those urls — with caching on — runs
+    * with zero network: the probe hits before any request or politeness
+    * wait. `WARC-Date` supplies the observation timestamp, which is what
+    * makes wayback pins select among multiple archived snapshots of one
+    * url. Distributed: each task imports its own segments; executor-side
+    * writes go to the conf's DFS tier (plus that executor's memory tier).
+    * Returns the number of responses imported.
+    */
+  def importToCache(spark: SparkSession, path: String,
+                    conf: graft.conf.GraftConf): Long = {
+    import spark.implicits._
+    read(spark, path).mapPartitions { rows =>
+      var n = 0L
+      rows.foreach { r =>
+        val key = graft.actions.Trace.of(graft.actions.Wget(r.url)).cacheKey
+        val ts =
+          try java.time.Instant.parse(r.warc_date).toEpochMilli
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        val doc = Doc(DocUID(key), r.url, r.body,
+          declaredMime = Some(r.mime).filter(_.nonEmpty),
+          status = r.http_status, metadata = Map("via" -> "warc"),
+          timestampMillis = ts)
+        graft.cache.DocCaches.write(key, Seq(doc), conf, ts)
+        n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum
+  }
+
   // ---------------------------------------------------------------------
   // writer (fixture synthesis + archive sink)
   // ---------------------------------------------------------------------

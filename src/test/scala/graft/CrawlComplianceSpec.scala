@@ -100,6 +100,39 @@ class CrawlComplianceSpec extends AnyFunSuite {
     samples.foreach { s => assert(norm(norm(s)) == norm(s)) }
   }
 
+  // ---- sitemaps ----------------------------------------------------------
+
+  test("sitemap: urlset entries with lastmod, sitemapindex children, gzipped body via the Doc seam") {
+    import graft.sources.Sitemap
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://s.test/a</loc><lastmod>2026-01-01</lastmod></url>
+        |  <url><loc>https://s.test/b</loc></url>
+        |</urlset>""".stripMargin
+    val p = Sitemap.parse(urlset.getBytes("UTF-8"))
+    assert(p.urls == Seq(
+      Sitemap.Entry("https://s.test/a", Some("2026-01-01")),
+      Sitemap.Entry("https://s.test/b", None)))
+    assert(p.sitemaps.isEmpty)
+
+    val index =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://s.test/sm1.xml.gz</loc></sitemap>
+        |  <sitemap><loc>https://s.test/sm2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val pi = Sitemap.parse(index.getBytes("UTF-8"))
+    assert(pi.urls.isEmpty)
+    assert(pi.sitemaps == Seq("https://s.test/sm1.xml.gz", "https://s.test/sm2.xml"))
+
+    // .xml.gz inflates transparently through Doc's gzip unwrap
+    val bout = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bout)
+    g.write(urlset.getBytes("UTF-8")); g.close()
+    val pz = Sitemap.parse(bout.toByteArray, "http://s.test/sitemap.xml.gz")
+    assert(pz.urls.map(_.loc) == Seq("https://s.test/a", "https://s.test/b"))
+  }
+
   // ---- native expressions under codegen ----------------------------------
 
   test("url_normalize + robots_allowed run inside WholeStageCodegen and from SQL") {

@@ -125,4 +125,47 @@ class WarcSpec extends AnyFunSuite {
     val doc = Warc.toDoc(rows(2))
     assert(doc.root.findAll("k").nonEmpty)
   }
+
+  test("offline crawl replay: importToCache seeds the DFS tier; Wget then runs with zero network; wayback picks snapshots") {
+    import graft.actions.{Trace, Wget}
+    import graft.api.GraftContext
+    import graft.conf.GraftConf
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val segDir = SparkFixture.scratchDir("warc-replay")
+    val cacheDir = SparkFixture.scratchDir("warc-cache")
+    def respAt(url: String, date: String, body: String) =
+      Warc.writeRecord("response",
+        Seq("WARC-Target-URI" -> url, "WARC-Date" -> date,
+          "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponse(200, "text/html",
+          bytes(s"<html><head><title>$body</title></head><body/></html>")))
+    // two snapshots of /a (a month apart) + one of /b — host does not exist
+    val seg = Warc.gzMember(respAt("http://warc.test/a", "2026-01-01T00:00:00Z", "a-v1")) ++
+      Warc.gzMember(respAt("http://warc.test/a", "2026-02-01T00:00:00Z", "a-v2")) ++
+      Warc.gzMember(respAt("http://warc.test/b", "2026-01-15T00:00:00Z", "b-v1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(segDir, "s.warc.gz"), seg)
+
+    val conf = GraftConf(dfsCacheDir = Some(cacheDir), remoteRetries = 0)
+    assert(Warc.importToCache(spark, segDir, conf) == 3)
+    // force every later probe through the imported DFS tier
+    graft.cache.InMemoryDocCache.clear()
+
+    val ctx = new GraftContext(spark, conf)
+    val titles = ctx.create(Seq("http://warc.test/a", "http://warc.test/b"))
+      .fetchOne(u => Trace.of(Wget(u)))
+      .select(_.trajectory.doc.get.root.findOnly("title").text).collect().sorted
+    assert(titles.toSeq == Seq("a-v2", "b-v1")) // freshest snapshot wins by default
+    assert(ctx.metrics.pagesFetched.value == 0, "replay must not touch the network")
+
+    // wayback pinned between the two snapshots selects the OLDER one
+    graft.cache.InMemoryDocCache.clear()
+    val pinned = new GraftContext(spark, conf.copy(
+      waybackMillis = Some(java.time.Instant.parse("2026-01-20T00:00:00Z").toEpochMilli)))
+    val old = pinned.create(Seq("http://warc.test/a"))
+      .fetchOne(u => Trace.of(Wget(u)))
+      .select(_.trajectory.doc.get.root.findOnly("title").text).collect()
+    assert(old.toSeq == Seq("a-v1"))
+    assert(pinned.metrics.pagesFetched.value == 0)
+  }
 }
