@@ -103,10 +103,17 @@ object Node {
       if (m.contains("epub")) EpubNode.parse(content)
       else if (m.contains("officedocument")) OfficeNode.parse(content)
       else if (m.contains("application/zip")) {
-        // magic-sniffed zips: OOXML entry names first, EPUB chapters second
+        // magic-sniffed zips: OOXML entry names first, EPUB chapters second,
+        // generic archive listing last (r10 — plain zips used to fall to
+        // Unrecognisable)
         val office = OfficeNode.parse(content)
-        if (office eq Unrecognisable) EpubNode.parse(content) else office
+        if (office ne Unrecognisable) office
+        else {
+          val epub = EpubNode.parse(content)
+          if (epub ne Unrecognisable) epub else ArchiveNode.fromZip(content)
+        }
       }
+      else if (m.contains("x-tar")) ArchiveNode.fromTar(content)
       else if (m.contains("rtf")) RtfNode.parse(rtfStr)
       else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
         m.contains("vnd.ms-powerpoint")) {

@@ -342,7 +342,10 @@ object Mime {
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
-    "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel"
+    "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel",
+    // .tar.gz/.tgz reach these through Doc's transparent gzip unwrap
+    // (which strips the .gz suffix before sniffing)
+    "tar" -> "application/x-tar", "tgz" -> "application/x-tar"
   )
 
   def sniff(uri: String, content: Array[Byte]): String = {
@@ -359,6 +362,9 @@ object Mime {
         "application/msword" // CFB container (.doc/.xls — salvage path)
       // only reached when Doc's transparent unwrap refused (corrupt/bomb)
       else if (content.startsWith(Array[Byte](0x1f, 0x8b.toByte))) "application/gzip"
+      else if (content.length > 262 && content(257) == 'u' && content(258) == 's' &&
+        content(259) == 't' && content(260) == 'a' && content(261) == 'r')
+        "application/x-tar" // ustar magic at 257 (extension-less tars)
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"

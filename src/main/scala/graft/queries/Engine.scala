@@ -606,6 +606,75 @@ object EngineQ {
       .orderBy(d)
   }
 
+  // -------------------------------------------------------------------------
+  // q59 — tar.gz bundle ingestion: generic-archive members through the seam
+  // -------------------------------------------------------------------------
+
+  /** Minimal ustar writer for the q59 fixture (member data + valid size/
+    * magic/checksum fields — what [[graft.doc.ArchiveNode.fromTar]] reads).
+    */
+  private def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes(StandardCharsets.ISO_8859_1)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      val sz = ("%011o".format(data.length) + " ").getBytes(StandardCharsets.ISO_8859_1)
+      System.arraycopy(sz, 0, h, 124, sz.length)
+      h(156) = '0'
+      val magic = "ustar 00".getBytes(StandardCharsets.ISO_8859_1)
+      System.arraycopy(magic, 0, h, 257, magic.length)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val cs = ("%06o".format(h.map(_ & 0xff).sum) + "  ").getBytes(StandardCharsets.ISO_8859_1)
+      System.arraycopy(cs, 0, h, 148, cs.length)
+      out.write(h); out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Every 10th document (offset 8) becomes a `.txt` member of a
+    * multi-member `.tar.gz` bundle (the data-dump shape: q56's segment
+    * grouping, tar instead of WARC). Ingest is binaryFile → Doc seam,
+    * where the transparent gzip unwrap strips `.gz`, the tar mime sniffs
+    * from the remaining extension, and [[graft.doc.ArchiveNode]] lists
+    * members with per-member text extracted through the full seam again.
+    * The oracle predicts member names and LOSSLESS text from the source
+    * table — the whole container stack is load-bearing for the hash.
+    */
+  def q59TarExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q59")
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / 200)
+      .mapGroups { (seg, it) =>
+        val members = it.toArray.sortBy(_._1).map { case (id, text) =>
+          s"doc_$id.txt" -> text.getBytes(StandardCharsets.UTF_8)
+        }
+        val gzBytes = {
+          val bout = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bout)
+          g.write(tarOf(members.toSeq)); g.close()
+          bout.toByteArray
+        }
+        graft.agent.DocIO.writeBytes(fix, f"bundle_$seg%05d.tar.gz", gzBytes)
+        seg
+      }.count()
+    spark.read.format("binaryFile").load(fix)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        graft.doc.Doc(graft.doc.DocUID(p), p, bytes).root.findAll("entries").map { e =>
+          val name = e.attr("name").getOrElse("")
+          val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
+          (id, name, e.attr("text").getOrElse(""))
+        }
+      }
+      .toDF("doc_id", "member", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -622,6 +691,7 @@ object EngineQ {
     "q56_warc_ingest"  -> q56WarcIngest _,
     "q57_url_normalize" -> q57UrlNormalize _,
     "q58_robots_gate"  -> q58RobotsGate _,
+    "q59_tar_extract"  -> q59TarExtract _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -747,6 +817,13 @@ object EngineQ {
         |  CAST(600 + doc_id % 400 AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 7
         |ORDER BY doc_id""".stripMargin,
+    // members and text are stated from the source table; the gz+tar+seam
+    // container stack must round-trip losslessly for the hash to match
+    "q59_tar_extract" ->
+      """SELECT doc_id,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+        |  text
+        |FROM documents WHERE doc_id % 10 = 8 ORDER BY doc_id""".stripMargin,
     // the raw url is built by the same formula on both engines; the
     // canonical form is stated closed-form — every rule is load-bearing
     "q57_url_normalize" ->
