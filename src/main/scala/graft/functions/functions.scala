@@ -93,6 +93,13 @@ object functions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     native(graft.sql.BpeEncode(ex(text), merges))
 
+  /** Word-n-gram repetition stats `struct(n_grams, n_distinct, top_count)`
+    * in one native pass — the Gopher/C4 repetition quality filters derive
+    * as `1 - n_distinct/n_grams` and `top_count/n_grams`.
+    */
+  def ngram_rep_stats(text: Column, n: Int): Column =
+    native(graft.sql.NgramRepStats(ex(text), n))
+
   /** Canonical crawl form of an absolute URL — fragment dropped, case/port/
     * dot-segment/percent normalization, query sorted with tracking params
     * stripped. The frontier-dedup key maker (native codegen expression).

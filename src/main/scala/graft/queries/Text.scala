@@ -602,9 +602,33 @@ object TextQ {
     (newAnchors, verifySharedGrams(cand, allDocs, k, p).localCheckpoint())
   }
 
+  /** q60 — Gopher/C4 repetition quality filters ([[graft.functions
+    * .ngram_rep_stats]]): duplicate-bigram fraction and top-bigram
+    * concentration per document, one native map pass (no token explode, no
+    * shuffle but the output sort). These are the standard pre-training
+    * drop signals for boilerplate/spam (Rae et al. 2021 §A1.1) and compose
+    * with the q21 formula family. The DuckDB oracle recomputes both
+    * fractions from first principles with list functions.
+    */
+  def q60Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.functions.ngram_rep_stats(col("text"), 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"),
+        col("s.n_grams").as("n_bigrams"),
+        when(col("s.n_grams") === 0, 0.0).otherwise(
+          round(lit(1.0) - col("s.n_distinct").cast("double") / col("s.n_grams"), 4))
+          .as("dup_bigram_frac"),
+        when(col("s.n_grams") === 0, 0.0).otherwise(
+          round(col("s.top_count").cast("double") / col("s.n_grams"), 4))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
+    "q60_repetition"  -> q60Repetition _,
     "q22_langid"      -> q22LangId _,
     "q23_fingerprint" -> q23Fingerprint _,
     "q24_exact_dedup" -> q24ExactDedup _,
@@ -730,6 +754,22 @@ object TextQ {
         |)
         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+    "q60_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]) AS grams
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE round(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+        |  END AS dup_bigram_frac,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE round(CAST(len(list_filter(grams, x -> x = list_aggregate(grams, 'mode'))) AS DOUBLE)
+        |      / len(grams), 4)
+        |  END AS top_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

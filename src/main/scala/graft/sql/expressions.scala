@@ -773,6 +773,66 @@ final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Word-n-gram repetition statistics in one pass — the Gopher/C4 family of
+  * repetition quality filters (Rae et al. 2021 §A1.1: documents whose
+  * duplicate-n-gram or top-n-gram fraction is high are boilerplate/spam and
+  * get dropped before training). Returns
+  * `struct(n_grams, n_distinct, top_count)`; the filters derive as
+  * `1 - n_distinct/n_grams` (duplicate fraction) and `top_count/n_grams`
+  * (top-gram concentration). Same `split(' ')` tokenization as the q20
+  * token-stats family. One hash map over the doc's grams, no explode, no
+  * shuffle — the map-side cost model of [[SimHash]]/[[ShingleSignature]].
+  */
+final case class NgramRepStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"ngram_rep_stats: n must be >= 1, got $n")
+
+  override def dataType: DataType = NgramRepStats.SCHEMA
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val total = words.length - n + 1
+    if (total <= 0) new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    else {
+      val counts = new java.util.HashMap[String, Int](total * 2)
+      val sb = new StringBuilder
+      var top = 0
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val c = counts.merge(sb.result(), 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](total.toLong, counts.size.toLong, top.toLong))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+    copy(child = newChild)
+}
+
+object NgramRepStats {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("n_grams", LongType),
+    StructField("n_distinct", LongType),
+    StructField("top_count", LongType)))
+}
+
 /** Static evaluators for the URL/crawl-compliance expressions. */
 object UrlFunctions {
 
@@ -984,6 +1044,10 @@ object GraftExtensions {
         c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("url_normalize", new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
       (c: Seq[Expression]) => UrlNormalize(s(c(0)))),
+    // n must be a foldable int literal (it shapes the per-row loop)
+    ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
+      (c: Seq[Expression]) => NgramRepStats(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("robots_allowed", new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
       (c: Seq[Expression]) => RobotsAllowed(s(c(0)), s(c(1)), s(c(2))))
   )

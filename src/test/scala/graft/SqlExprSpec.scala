@@ -322,6 +322,44 @@ class SqlExprSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 2.0)
   }
 
+  test("ngram_rep_stats: hand-computed fixtures, brute equivalence, null/short-doc semantics, SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    def stats(text: String, n: Int): (Long, Long, Long) = {
+      val r = Seq(text).toDF("t")
+        .select(ngram_rep_stats(col("t"), n).as("s"))
+        .select("s.n_grams", "s.n_distinct", "s.top_count").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(stats("a a a a", 2) == (3L, 1L, 3L))        // grams: "a a" x3
+    assert(stats("a b a b c", 2) == (4L, 3L, 2L))      // "a b" x2, "b a", "b c"
+    assert(stats("x y z", 3) == (1L, 1L, 1L))
+    assert(stats("x y", 3) == (0L, 0L, 0L))            // shorter than n
+    assert(stats("", 2) == (0L, 0L, 0L))               // one empty token
+    // brute-force equivalence on 100 random-ish docs
+    val docs = (0 until 100).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until 3 + rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" ")
+    }
+    val got = docs.toDF("t").select(ngram_rep_stats(col("t"), 2).as("s"))
+      .select("s.n_grams", "s.n_distinct", "s.top_count").collect()
+    docs.zip(got).foreach { case (d, r) =>
+      val grams = d.split(" ", -1).sliding(2).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity)
+      assert(r.getLong(0) == grams.size && r.getLong(1) == byGram.size &&
+        r.getLong(2) == byGram.values.map(_.size).max)
+    }
+    // null in → null out; SQL registration
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(ngram_rep_stats(col("t"), 2)).collect().head.isNullAt(0))
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT ngram_rep_stats('a a a', 2).top_count AS tc")
+      .collect().head.getLong(0)
+    assert(viaSql == 2L)
+  }
+
   test("per-thread parse cache: repeated extraction over one doc is cheap and correct") {
     val spark0 = spark
     import spark0.implicits._
