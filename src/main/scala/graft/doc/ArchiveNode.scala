@@ -30,6 +30,13 @@ object ArchiveNode {
     */
   val MaxEntries = 4096
 
+  /** Per-member inflate cap for the zip walk (the OfficeNode discipline —
+    * a zip-bomb member stays LISTED with its declared size but extracts no
+    * text; refusal, not truncation). Tar members need no cap: tar stores
+    * them uncompressed, so the archive's own byte length bounds them.
+    */
+  val MaxMemberBytes: Int = 64 << 20
+
   private val depth = new ThreadLocal[Integer] { override def initialValue: Integer = 0 }
 
   private final case class Entry(name: String, size: Long, isDir: Boolean, text: String)
@@ -71,8 +78,11 @@ object ArchiveNode {
     else listing("tar", es, truncated)
   }
 
-  /** Plain-zip walk (caller has already ruled out OOXML/EPUB). */
-  def fromZip(content: Array[Byte]): Node =
+  /** Plain-zip walk (caller has already ruled out OOXML/EPUB). The cap is
+    * a parameter only so the spec can exercise the bomb path with small
+    * fixtures; production callers use the default.
+    */
+  def fromZip(content: Array[Byte], maxMember: Int = MaxMemberBytes): Node =
     try {
       val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(content))
       val entries = Vector.newBuilder[Entry]
@@ -81,9 +91,16 @@ object ArchiveNode {
       var e = zin.getNextEntry
       while (e != null) {
         if (n < MaxEntries) {
-          val bytes = zin.readAllBytes()
-          val text = if (e.isDirectory) "" else memberText(e.getName, bytes)
-          entries += Entry(e.getName, bytes.length.toLong, e.isDirectory, text)
+          // bounded read: up to the cap + 1 probe byte to detect overflow.
+          // Size is the header's declared size when present; streamed zips
+          // carry it in the post-data descriptor, so an over-cap member
+          // then reports the clamped read length (a lower bound).
+          val bytes = zin.readNBytes(maxMember + 1)
+          val over = bytes.length > maxMember
+          val size = if (e.getSize >= 0) e.getSize else bytes.length.toLong
+          val text =
+            if (e.isDirectory || over) "" else memberText(e.getName, bytes)
+          entries += Entry(e.getName, size, e.isDirectory, text)
         } else truncated = true
         n += 1
         e = zin.getNextEntry
