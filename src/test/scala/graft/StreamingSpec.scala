@@ -254,6 +254,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(fps(1) == ((7L * 31 + 'a') * 31 + 'b') * 31 + 'c')
   }
 
+  test("streaming frontier compliance: canonical-key dedup + robots verdicts + repetition stats == batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.{ngram_rep_stats, robots_allowed, url_normalize}
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val robots = "User-agent: *\nDisallow: /private\n"
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df
+      .select(url_normalize(col("url_raw")).as("url"),
+        robots_allowed(lit(robots), lit("bot"), col("url_raw")).as("ok"),
+        ngram_rep_stats(col("text"), 2).getField("top_count").as("top2"))
+      .dropDuplicates("url") // frontier dedup keys on the CANONICAL form
+    val input = MemoryStream[(String, String)]
+    val q = pipeline(input.toDF.toDF("url_raw", "text"))
+      .writeStream.format("memory").queryName("fc").outputMode("append").start()
+    val rows = Seq(
+      ("HTTP://Ex.COM:80/a?utm_s=1&k=v", "a a a"),
+      ("http://ex.com/a?k=v", "b b c"),            // same canonical url as row 1
+      ("https://Ex.com/private/x#frag", "x y z"))
+    try {
+      input.addData(rows.take(2))
+      q.processAllAvailable()
+      input.addData(rows.drop(2)) // dedup must hold ACROSS micro-batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fc").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("http://ex.com/a?k=v", true, 2L),          // first spelling won; "a a" x2
+      ("https://ex.com/private/x", false, 1L)))   // robots verdict rode along
+    // batch parity on the same rows
+    val batch = pipeline(rows.toDF("url_raw", "text")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    assert(batch.toSeq == got.toSeq)
+  }
+
   test("streaming sessionValues == batch sessionValues (session_window)") {
     val (got, batch) = runStream("sv", df => EventStreams.sessionValues(df))
     val g = got.collect().map(_.toSeq).toSet
