@@ -82,6 +82,13 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       HttpSpec.blockedHits.incrementAndGet()
       respond(ex, 200, "<p>must never be served to a compliant crawler</p>")
     })
+    server.createContext("/site", (ex: HttpExchange) => {
+      val p = ex.getRequestURI.getPath
+      if (p.endsWith("/a.html"))
+        respond(ex, 200, "<html><head><title>A</title></head><body>" +
+          "<a href=\"/site/b.html\">b</a> <a href=\"/blocked/c.html\">c</a></body></html>")
+      else respond(ex, 200, "<html><head><title>B</title></head><body>leaf</body></html>")
+    })
     server.start()
   }
 
@@ -290,6 +297,22 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       val dead = graft.agent.RobotsCache.check("http://127.0.0.1:1/x", conf, uid, 0L)._1
       assert(dead.exists(!_.isSuccess))
     } finally bare.stop(0)
+  }
+
+  test("explore honors robots: disallowed links error out, are never fetched, and stop expansion") {
+    graft.agent.RobotsCache.clear()
+    HttpSpec.robotsHits.set(0); HttpSpec.blockedHits.set(0)
+    val ctx = new GraftContext(spark, GraftConf(respectRobots = true, remoteRetries = 0))
+    import spark.implicits._
+    val b = base
+    val rows = ctx.create(Seq(s"$b/site/a.html"))
+      .explore(u => Trace.of(Wget(u)))(ExploreSpec.linkExpand)
+      .collect()
+    val titles = rows.flatMap(_.row.trajectory.texts("title")).toSet
+    assert(titles == Set("A", "B"), s"crawl reached $titles")
+    assert(ctx.metrics.pagesFetched.value == 2, "only the allowed pages count as fetches")
+    assert(HttpSpec.blockedHits.get() == 0, "the disallowed child must never be requested")
+    assert(HttpSpec.robotsHits.get() == 1)
   }
 
   test("robots Crawl-delay widens politeness spacing for the declaring agent") {
