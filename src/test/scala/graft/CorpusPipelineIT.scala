@@ -113,4 +113,75 @@ class CorpusPipelineIT extends AnyFunSuite {
     assert(kept.contains("c1"))
     assert(kept.exists(_.startsWith("a")) && kept.exists(_.startsWith("b")))
   }
+
+  test("archived crawl (WARC) -> extract -> scrub -> dedup: the offline variant of the same pipeline") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Warc
+
+    // the directory IT's corpus as an archived crawl: 2 exact copies of A
+    // (one of them planted with an email — equal AFTER redaction), a
+    // near-dup pair B/B', unique C with a gzip Content-Encoding body
+    val bodyA = "alpha beta gamma delta epsilon zeta eta theta"
+    val bodyB = "one two three four five six seven eight nine ten"
+    val bodyB2 = "one two three four five six seven eight nine eleven"
+    val bodyC = "completely different text with no overlap whatsoever at all"
+    def html(t: String) = s"<html><body><p>$t</p></body></html>".getBytes("UTF-8")
+    def gzBytes(b: Array[Byte]) = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o); g.write(b); g.close()
+      o.toByteArray
+    }
+    val records = Seq(
+      "a1" -> Warc.httpResponse(200, "text/html", html(bodyA)),
+      "a2" -> Warc.httpResponse(200, "text/html",
+        html(bodyA + " spam@trap.example")),
+      "b1" -> Warc.httpResponse(200, "text/html", html(bodyB)),
+      "b2" -> Warc.httpResponse(200, "text/html", html(bodyB2)),
+      "c1" -> Warc.httpResponse(200, "text/html", gzBytes(html(bodyC))))
+    val seg = records.map { case (n, http) =>
+      Warc.gzMember(Warc.writeRecord("response",
+        Seq("WARC-Target-URI" -> s"http://corpus.test/$n",
+          "Content-Type" -> "application/http; msgtype=response"), http))
+    }.reduce(_ ++ _)
+    val dir = SparkFixture.scratchDir("warc-corpus")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "crawl.warc.gz"), seg)
+
+    val texts = Warc.read(s, dir)
+      .map { r =>
+        val doc = Warc.toDoc(r) // gzip bodies inflate through the Doc seam
+        (r.url.split('/').last,
+          doc.root.findAll("p").headOption.map(_.text).getOrElse(""))
+      }
+      .toDF("name", "body")
+    // PII scrub BEFORE dedup so a1/a2 collapse (the cleanIngest ordering)
+    val scrubbed = graft.llm.Pii.withPiiColumns(texts.withColumnRenamed("body", "text"))
+      .select(col("name"), col("clean_text").as("body"))
+      .withColumn("id", xxhash64(col("name")).bitwiseAND(lit(Long.MaxValue)))
+    val exact = scrubbed
+      .withColumn("norm", regexp_replace(col("body"), "<EMAIL>|\\s+", " "))
+      .groupBy(trim(col("norm")).as("k"))
+      .agg(min(col("id")).as("id"), expr("min_by(name, id)").as("name"))
+    assert(exact.count() == 4, "a1/a2 must collapse after redaction")
+
+    val grams = exact.select(col("id"), col("k").as("body"))
+      .withColumn("toks", split(col("body"), " "))
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+      .select(col("id"), col("grams"))
+    val pairs = grams.as("x").join(grams.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"),
+        (size(array_intersect($"x.grams", $"y.grams")).cast("double") /
+          size(array_union($"x.grams", $"y.grams"))).as("jac"))
+      .filter(col("jac") >= 0.5).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val kept = exact.join(comp.withColumnRenamed("id", "cid"),
+        exact("id") === col("cid"), "left_outer")
+      .filter(col("comp").isNull || col("comp") === col("id"))
+      .select("name").as[String].collect().toSet
+    assert(kept.size == 3)
+    assert(kept.contains("c1"), "gzip-bodied page must survive extraction")
+    assert(kept.exists(_.startsWith("a")) && kept.exists(_.startsWith("b")))
+  }
 }

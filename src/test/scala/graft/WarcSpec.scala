@@ -167,5 +167,17 @@ class WarcSpec extends AnyFunSuite {
       .select(_.trajectory.doc.get.root.findOnly("title").text).collect()
     assert(old.toSeq == Seq("a-v1"))
     assert(pinned.metrics.pagesFetched.value == 0)
+
+    // a 100 TB import is billions of loose .obs files — compaction must
+    // pack the imported tier without breaking warm replay (incl. wayback)
+    val stats = graft.cache.CacheCompactor.compact(cacheDir)
+    assert(stats.filesPacked >= 3 && stats.segmentsWritten >= 1)
+    graft.cache.InMemoryDocCache.clear()
+    val packed = new GraftContext(spark, conf)
+    val packedTitles = packed.create(Seq("http://warc.test/a", "http://warc.test/b"))
+      .fetchOne(u => Trace.of(Wget(u)))
+      .select(_.trajectory.doc.get.root.findOnly("title").text).collect().sorted
+    assert(packedTitles.toSeq == Seq("a-v2", "b-v1"))
+    assert(packed.metrics.pagesFetched.value == 0, "packed replay must stay offline")
   }
 }
