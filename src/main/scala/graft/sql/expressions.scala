@@ -898,6 +898,12 @@ object UrlFunctions {
     * path → "/". Non-absolute input passes through (minus fragment) — a
     * total function, never null, so frontier keys never disappear.
     */
+  /** Scala-land form for explore/fetch lambdas (e.g. canonicalizing hrefs
+    * in a link-expand function so the visited set keys on canonical urls —
+    * `?b=2&a=1` and `?a=1&b=2#frag` then dedup to ONE fetch).
+    */
+  def normalize(u: String): String = normalize(UTF8String.fromString(u)).toString
+
   def normalize(u: UTF8String): UTF8String = {
     val url0 = u.toString
     val hash = url0.indexOf('#')

@@ -73,9 +73,8 @@ class CrawlComplianceSpec extends AnyFunSuite {
 
   // ---- url_normalize -----------------------------------------------------
 
-  private def norm(u: String): String =
-    graft.sql.UrlFunctions.normalize(
-      org.apache.spark.unsafe.types.UTF8String.fromString(u)).toString
+  // the Scala-land overload explore lambdas use (same code path)
+  private def norm(u: String): String = graft.sql.UrlFunctions.normalize(u)
 
   test("url_normalize: case, default ports, dot segments, percent form, query policy, fragment") {
     assert(norm("HTTP://WWW.Ex.COM:80/a/./b/../c#f") == "http://www.ex.com/a/c")

@@ -87,6 +87,9 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       if (p.endsWith("/a.html"))
         respond(ex, 200, "<html><head><title>A</title></head><body>" +
           "<a href=\"/site/b.html\">b</a> <a href=\"/blocked/c.html\">c</a></body></html>")
+      else if (p.endsWith("/links.html"))
+        respond(ex, 200, "<html><head><title>L</title></head><body>" +
+          "<a href=\"/page?b=2&amp;a=1\">one</a> <a href=\"/page?a=1&amp;b=2#f\">two</a></body></html>")
       else respond(ex, 200, "<html><head><title>B</title></head><body>leaf</body></html>")
     })
     server.start()
@@ -313,6 +316,29 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(ctx.metrics.pagesFetched.value == 2, "only the allowed pages count as fetches")
     assert(HttpSpec.blockedHits.get() == 0, "the disallowed child must never be requested")
     assert(HttpSpec.robotsHits.get() == 1)
+  }
+
+  test("canonical frontier keys: two spellings of one url explore to a single fetch") {
+    import graft.exec.FetchedRow
+    val b = base
+    def expand(canonical: Boolean)(r: FetchedRow[String]): Seq[(Trace, String)] =
+      r.trajectory.findAll("a").flatMap(_.href).map { h =>
+        val u = if (canonical) graft.sql.UrlFunctions.normalize(h) else h
+        (Trace.of(Wget(u)), u)
+      }
+    // raw hrefs: query order + fragment make two distinct trace keys → 3 fetches
+    val raw = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    raw.create(Seq(s"$b/site/links.html"))
+      .explore(u => Trace.of(Wget(u)))(expand(canonical = false)).count()
+    assert(raw.metrics.pagesFetched.value == 3)
+    // canonicalized frontier: both spellings collapse to ONE visited key
+    InMemoryDocCache.clear()
+    val canon = new GraftContext(spark, GraftConf())
+    canon.create(Seq(s"$b/site/links.html"))
+      .explore(u => Trace.of(Wget(u)))(expand(canonical = true)).count()
+    assert(canon.metrics.pagesFetched.value == 2,
+      "url_normalize in the expand fn must dedup the two spellings")
   }
 
   test("robots Crawl-delay widens politeness spacing for the declaring agent") {
