@@ -625,10 +625,31 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q61 — per-language length distribution: count + mean + EXACT
+    * interpolated percentiles (p50/p90/p99) of token counts. Spark's
+    * `percentile` aggregate and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition, so the gate hash-matches on rounded
+    * doubles. One partial-aggregated shuffle by lang (20 groups); at 100 TB
+    * swap `percentile` for `approx_percentile` and gate on tolerance
+    * instead — the exact form IS the oracle for that sketch.
+    */
+  def q61LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n_toks"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_toks")), 4).as("mean_toks"),
+        round(expr("percentile(n_toks, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_toks, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_toks, 0.99)"), 4).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q21_quality"     -> q21Quality _,
     "q60_repetition"  -> q60Repetition _,
+    "q61_length_percentiles" -> q61LengthPercentiles _,
     "q22_langid"      -> q22LangId _,
     "q23_fingerprint" -> q23Fingerprint _,
     "q24_exact_dedup" -> q24ExactDedup _,
@@ -754,6 +775,18 @@ object TextQ {
         |)
         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 30 ORDER BY lang, rn""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` share the interpolated
+    // (type 7) definition — exact double match before rounding
+    "q61_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_toks), 4) AS mean_toks,
+        |  round(quantile_cont(n_toks, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_toks, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_toks, 0.99), 4) AS p99
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q60_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |g AS (
