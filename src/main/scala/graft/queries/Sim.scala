@@ -576,7 +576,45 @@ object SimQ {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** q62 — PageRank link centrality (3 power iterations, d = 0.85): the
+    * iterative-graph workload next to q39's connected components, and a
+    * standard crawl quality signal (link-authority weighting of training
+    * data). The graph is synthesized from id formulas — every doc links to
+    * `(7i+1) % n, (13i+3) % n, (31i+7) % n` as a MULTISET (outdeg exactly
+    * 3, parallel edges kept) — so the DuckDB oracle can unroll the same
+    * three iterations as CTEs and hash-match rounded ranks.
+    *
+    * Scale shape: each iteration is one shuffle (contribs groupBy dst) +
+    * a left join back onto the node set for dangling targets; ranks and
+    * edges hash-partition on the same id so AQE reuses the exchange. At
+    * 100 TB the edge table is the corpus link graph (q33's explore emits
+    * exactly that), iterations run until delta, and the rank join stays
+    * shuffle-hash — never broadcast (ranks are node-cardinality).
+    */
+  def q62Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val n = ids.count() // one tiny job; the oracle computes the same count
+    val edges = ids.select(col("id").as("src"),
+        explode(array(
+          (col("id") * 7 + 1) % n, (col("id") * 13 + 3) % n,
+          (col("id") * 31 + 7) % n)).as("dst"))
+      .localCheckpoint() // reused 3x; cuts the re-synthesis lineage
+    var ranks = ids.select(col("id"), lit(1.0).as("pr"))
+    for (_ <- 1 to 3) {
+      // checkpointed/iterative inputs carry no stats — hint shuffle_hash so
+      // the static planner never falls back to sort-merge (q53 discipline)
+      val contribs = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+        .select(col("dst"), (col("pr") / 3.0).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = ids.join(contribs.hint("shuffle_hash"), ids("id") === contribs("dst"), "left_outer")
+        .select(ids("id"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_pagerank"      -> q62Pagerank _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
     "q27_simhash"       -> q27Simhash _,
@@ -714,6 +752,25 @@ object SimQ {
          |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
+    // same three unrolled power iterations over the same formula multiset
+    "q62_pagerank" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT id AS src, (id * 7 + 1) % (SELECT n FROM n) AS dst FROM ids
+        |  UNION ALL SELECT id, (id * 13 + 3) % (SELECT n FROM n) FROM ids
+        |  UNION ALL SELECT id, (id * 31 + 7) % (SELECT n FROM n) FROM ids),
+        |r0 AS (SELECT id, 1.0 AS pr FROM ids),
+        |r1 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r0.pr / 3), 0) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r0 ON r0.id = e.src
+        |  GROUP BY ids.id),
+        |r2 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r1.pr / 3), 0) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r1 ON r1.id = e.src
+        |  GROUP BY ids.id),
+        |r3 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r2.pr / 3), 0) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r2 ON r2.id = e.src
+        |  GROUP BY ids.id)
+        |SELECT id AS doc_id, round(pr, 4) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
