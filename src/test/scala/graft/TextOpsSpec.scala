@@ -454,4 +454,26 @@ class TextOpsSpec extends AnyFunSuite {
         .toDF("ts", "doc_id", "text"))
     assert(noScrub.count() == 2)
   }
+
+  test("q61's documented 100 TB swap: approx_percentile tracks the exact percentile within tolerance") {
+    val s = SparkFixture.spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.01")
+      .select(col("lang"), size(split(col("text"), " ")).cast("double").as("n"))
+    // accuracy 10000 => rank error <= n_rows/10000; at 500 rows the sketch
+    // is exact up to interpolation (approx returns an actual sample, exact
+    // interpolates between samples — allow one inter-sample gap)
+    val rows = docs.groupBy(col("lang")).agg(
+      expr("percentile(n, 0.5)").as("exact50"),
+      expr("approx_percentile(n, 0.5, 10000)").as("apx50"),
+      expr("percentile(n, 0.9)").as("exact90"),
+      expr("approx_percentile(n, 0.9, 10000)").as("apx90")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 2.0,
+        s"p50 drifted: ${r.getDouble(1)} vs ${r.getDouble(2)} (${r.getString(0)})")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 3.0,
+        s"p90 drifted: ${r.getDouble(3)} vs ${r.getDouble(4)} (${r.getString(0)})")
+    }
+  }
 }
