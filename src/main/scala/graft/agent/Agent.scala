@@ -167,7 +167,14 @@ object Agent {
 
     private def interact(s: StateChange): Unit = s match {
       case Visit(uri, timeout) =>
-        HostPoliteness.acquire(uri, env.conf.hostMinIntervalMillis)
+        // browser navigation is crawling too: the robots gate covers it
+        // (disallowed Visit fails the trace into the error path, with no
+        // navigation and no politeness wait)
+        val (blocked, interval) = RobotsCache.check(uri, env.conf, DocUID("robots-gate"), 0L)
+        blocked.foreach { _ =>
+          throw new IllegalStateException(s"Visit blocked by robots.txt: $uri")
+        }
+        HostPoliteness.acquire(uri, interval)
         withTimeout(timeout)(driver.visit(uri))
       case Click(sel)              => driver.click(sel)
       case ClickNext(sel, excl)    => driver.clickNext(sel, excl)
@@ -186,8 +193,9 @@ object Agent {
         // Wget/Wpost consult the robots gate (no-op unless respectRobots):
         // disallowed uris yield a DocError WITHOUT a request or a
         // pagesFetched tick; a declared Crawl-delay widens the politeness
-        // interval. Browser Visit and OAuth API calls stay ungated — REP
-        // governs crawling, not authenticated API traffic.
+        // interval. Browser Visit is gated too (see interact); OAuth API
+        // calls stay ungated — REP governs crawling, not authenticated
+        // API traffic.
         case w: Wget =>
           val uid = DocUID(key, name = w.alias)
           val (blocked, interval) = RobotsCache.check(w.uri, env.conf, uid, now)

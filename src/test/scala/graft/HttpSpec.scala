@@ -318,6 +318,25 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(HttpSpec.robotsHits.get() == 1)
   }
 
+  test("robots gates browser Visit too: disallowed navigation fails the trace without loading") {
+    graft.agent.RobotsCache.clear()
+    HttpSpec.blockedHits.set(0)
+    val b = base
+    val site = Map(
+      s"$b/blocked/page" -> "<html><head><title>NO</title></head><body/></html>",
+      s"$b/ok" -> "<html><head><title>YES</title></head><body/></html>")
+    val ctx = new GraftContext(spark, GraftConf(respectRobots = true, remoteRetries = 0))
+      .withDrivers(graft.agent.MockBrowserFactory(site))
+    import spark.implicits._
+    val rows = ctx.create(Seq(s"$b/blocked/page", s"$b/ok"))
+      .fetchOne(u => Trace.of(Visit(u), Snapshot()))
+      .select(r => (r.data, r.trajectory.failed.nonEmpty,
+        r.trajectory.doc.map(_.root.findOnly("title").text).getOrElse("")))
+      .collect().sortBy(_._1)
+    assert(rows(0)._2 && rows(0)._3 == "", "disallowed Visit must fail without navigating")
+    assert(!rows(1)._2 && rows(1)._3 == "YES")
+  }
+
   test("canonical frontier keys: two spellings of one url explore to a single fetch") {
     import graft.exec.FetchedRow
     val b = base
