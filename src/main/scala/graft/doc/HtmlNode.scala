@@ -215,7 +215,15 @@ object HtmlNode {
   }
 
   /** Parse an HTML/XML string into a tree rooted at a synthetic `#root`. */
-  def parse(html: String, baseUri: String = ""): HtmlNode = {
+  /** XML-mode parse: identical grammar but NO void elements and no
+    * raw-text elements — XML has neither, and an RSS `<link>url</link>`
+    * or an Atom `<script>`-named element must nest normally where the
+    * HTML rules would orphan their content.
+    */
+  def parseXml(xml: String, baseUri: String = ""): HtmlNode =
+    parse(xml, baseUri, xmlMode = true)
+
+  def parse(html: String, baseUri: String = "", xmlMode: Boolean = false): HtmlNode = {
     val root = mk("#root", Map.empty, baseUri, None, "")
     var stack = List(root)
     val n = html.length
@@ -263,14 +271,14 @@ object HtmlNode {
           stack.head.kids += el
           i = next
           val tag = el.tag
-          if (!selfClosed && rawTextTags.contains(tag)) {
+          if (!selfClosed && !xmlMode && rawTextTags.contains(tag)) {
             val close = lower.indexOf(s"</$tag", i)
             val end = if (close < 0) n else close
             val raw = html.substring(i, end)
             if (raw.trim.nonEmpty) el.kids += mk("#text", Map.empty, baseUri, Some(el), raw)
             val gt = html.indexOf('>', end)
             i = if (gt < 0) n else gt + 1
-          } else if (!selfClosed && !voidTags.contains(tag)) {
+          } else if (!selfClosed && (xmlMode || !voidTags.contains(tag))) {
             stack = el :: stack
           }
           textStart = i

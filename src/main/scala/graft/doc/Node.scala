@@ -124,7 +124,10 @@ object Node {
         if ((cfb eq Unrecognisable) && rtfStr.startsWith("{\\rtf")) RtfNode.parse(rtfStr)
         else cfb
       }
-      else if (m.contains("html") || m.contains("xml")) HtmlNode.parse(str, uri)
+      // xml parses in XML mode (no void/raw-text elements — RSS <link>
+      // bodies nest); html keeps the HTML5-ish rules
+      else if (m.contains("html")) HtmlNode.parse(str, uri)
+      else if (m.contains("xml")) HtmlNode.parseXml(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
       else if (m.contains("pdf")) PdfNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)

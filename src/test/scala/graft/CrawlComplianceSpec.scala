@@ -132,6 +132,49 @@ class CrawlComplianceSpec extends AnyFunSuite {
     assert(pz.urls.map(_.loc) == Seq("https://s.test/a", "https://s.test/b"))
   }
 
+  // ---- feeds ---------------------------------------------------------------
+
+  test("feeds: RSS link text and Atom href links normalize to one entry shape; XML mode makes it possible") {
+    import graft.sources.Feed
+    // RSS carries the url as <link> TEXT — void-element HTML rules would
+    // orphan it; XML mode nests it (regression pinned directly too)
+    val xmlRoot = graft.doc.HtmlNode.parseXml("<a><link>inside</link><script><b>nested</b></script></a>")
+    assert(xmlRoot.findOnly("link").text == "inside")
+    assert(xmlRoot.findAll("script b").nonEmpty)
+
+    val rss =
+      """<?xml version="1.0"?><rss version="2.0"><channel>
+        |<title>News &amp; Views</title><link>https://n.test/</link>
+        |<item><title>First</title><link>https://n.test/1</link>
+        |  <pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate></item>
+        |<item><title>Second</title><link>https://n.test/2</link></item>
+        |</channel></rss>""".stripMargin
+    val r = Feed.parse(rss.getBytes("UTF-8"))
+    assert(r.title == "News & Views")
+    assert(r.entries == Seq(
+      Feed.Entry("First", "https://n.test/1", Some("Mon, 01 Jan 2026 00:00:00 GMT")),
+      Feed.Entry("Second", "https://n.test/2", None)))
+
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom"><title>Blog</title>
+        |<entry><title>Post</title>
+        |  <link rel="self" href="https://b.test/api/1"/>
+        |  <link rel="alternate" href="https://b.test/post/1"/>
+        |  <updated>2026-02-01T00:00:00Z</updated></entry>
+        |</feed>""".stripMargin
+    val a = Feed.parse(atom.getBytes("UTF-8"))
+    assert(a.title == "Blog")
+    assert(a.entries == Seq(
+      Feed.Entry("Post", "https://b.test/post/1", Some("2026-02-01T00:00:00Z"))))
+
+    // gzipped feed bodies inflate through the Doc seam
+    val bout = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bout)
+    g.write(rss.getBytes("UTF-8")); g.close()
+    assert(Feed.parse(bout.toByteArray, "http://n.test/feed.xml.gz")
+      .entries.map(_.link) == Seq("https://n.test/1", "https://n.test/2"))
+  }
+
   // ---- native expressions under codegen ----------------------------------
 
   test("url_normalize + robots_allowed run inside WholeStageCodegen and from SQL") {
