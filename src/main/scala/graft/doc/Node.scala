@@ -102,15 +102,20 @@ object Node {
       lazy val rtfStr = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (m.contains("epub")) EpubNode.parse(content)
       else if (m.contains("officedocument")) OfficeNode.parse(content)
+      else if (m.contains("opendocument")) OdfNode.parse(content)
       else if (m.contains("application/zip")) {
-        // magic-sniffed zips: OOXML entry names first, EPUB chapters second,
-        // generic archive listing last (r10 — plain zips used to fall to
-        // Unrecognisable)
+        // magic-sniffed zips: OOXML entry names first, ODF content.xml,
+        // EPUB chapters, generic archive listing last (r10 — plain zips
+        // used to fall to Unrecognisable)
         val office = OfficeNode.parse(content)
         if (office ne Unrecognisable) office
         else {
-          val epub = EpubNode.parse(content)
-          if (epub ne Unrecognisable) epub else ArchiveNode.fromZip(content)
+          val odf = OdfNode.parse(content)
+          if (odf ne Unrecognisable) odf
+          else {
+            val epub = EpubNode.parse(content)
+            if (epub ne Unrecognisable) epub else ArchiveNode.fromZip(content)
+          }
         }
       }
       else if (m.contains("x-tar")) ArchiveNode.fromTar(content)

@@ -343,6 +343,9 @@ object Mime {
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
     "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel",
+    "odt" -> "application/vnd.oasis.opendocument.text",
+    "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
+    "odp" -> "application/vnd.oasis.opendocument.presentation",
     // .tar.gz/.tgz reach these through Doc's transparent gzip unwrap
     // (which strips the .gz suffix before sniffing)
     "tar" -> "application/x-tar", "tgz" -> "application/x-tar"
