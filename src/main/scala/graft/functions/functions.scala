@@ -78,6 +78,14 @@ object functions {
   def anchor_grams(text: Column, k: Int, p: Int): Column =
     native(graft.sql.AnchorGrams(ex(text), k, p))
 
+  /** Positional anchors `array<struct<pos,gram>>` — every token position
+    * whose k-gram passes the [[anchor_grams]] mod-p gate, repeats kept
+    * (one entry per occurrence): the input to span-granular removal-list
+    * dedup ([[graft.queries.TextQ.substringRemovalSpans]]).
+    */
+  def anchor_spans(text: Column, k: Int, p: Int): Column =
+    native(graft.sql.AnchorSpans(ex(text), k, p))
+
   /** Winnowing fingerprints (SIGMOD'03): distinct k-token grams at the
     * min-hash position of every w consecutive grams — detection of shared
     * spans ≥ w+k−1 tokens is GUARANTEED (vs [[anchor_grams]]' probabilistic

@@ -465,11 +465,17 @@ object TextQ {
     * paths: re-derive anchor gram STRINGS for candidate docs only
     * (broadcast semi-join out of the corpus scan) and count distinct
     * shared grams per pair — 64-bit candidate-key collisions die here,
-    * with their pairs (the inner join drops 0-overlap pairs). The pair
-    * list broadcasts by the same candidate-scale premise as the candIds
-    * broadcast; the right anchor side hash-joins without a sort (hint
-    * pins it — checkpointed inputs carry no stats, so the static planner
-    * would otherwise fall back to sort-merge).
+    * with their pairs (the inner join drops 0-overlap pairs).
+    *
+    * The pair table itself NEVER broadcasts: pair cardinality is quadratic
+    * in boilerplate-cluster size (a span shared by m docs is m²/2 pairs),
+    * so unlike the candIds broadcast (candidate-DOC-scale, linear) it has
+    * no safe size premise — both pair joins shuffle-hash instead (hints
+    * pinned because checkpointed inputs carry no stats and the static
+    * planner would otherwise fall back to sort-merge). Callers who need
+    * boilerplate-heavy corpora at full scale should prefer the
+    * O(occurrences) span-granular [[substringRemovalSpans]], which never
+    * materializes pairs at all.
     */
   private def verifySharedGrams(cand: DataFrame, docs: DataFrame,
                                 k: Int, p: Int): DataFrame =
@@ -482,7 +488,7 @@ object TextQ {
     val candAnchors = index(docs.join(broadcast(candIds), Seq("doc_id")))
       .localCheckpoint() // read twice below; candidate-sized, not corpus-sized
     candAnchors.select(col("doc_id").as("id_a"), col("gram"))
-      .join(broadcast(cand), Seq("id_a"))
+      .join(cand.hint("shuffle_hash"), Seq("id_a"))
       .join(candAnchors.select(col("doc_id").as("id_b"), col("gram"))
         .hint("shuffle_hash"), Seq("id_b", "gram"))
       .groupBy(col("id_a"), col("id_b"))
@@ -573,6 +579,76 @@ object TextQ {
     verifyShared(cand, d => winnowIndex(d, k, w), docs)
   }
 
+  /** Span-granular exact-substring dedup — REMOVAL LISTS instead of doc
+    * pairs (Lee et al. ACL'22, "Deduplicating Training Data Makes Language
+    * Models Better": delete every duplicated span, keep one canonical
+    * occurrence, never enumerate pairs). This is the output mode that
+    * survives boilerplate-heavy corpora at 100 TB: a span shared by m
+    * documents costs O(m) occurrence rows end-to-end where the pair mode
+    * ([[substringDedupPairs]]) is O(m²) by result-set identity.
+    *
+    * Shape: one positional-anchor pass ([[graft.functions.anchor_spans]],
+    * repeats kept — each occurrence is a removable span of its own) →
+    * shuffle of (doc_id, pos, 16-hex-char md5-prefix key) rows → per-gram
+    * keeper election (global min (doc_id, pos), deterministic) → every
+    * non-keeper occurrence becomes a removal interval [pos, pos+k) →
+    * per-doc interval merge (sort + one fold over a doc-bounded list).
+    * Three shuffles total (gram key, gram key again for the join-back,
+    * doc_id), all linear in occurrences; the skew unit is one reducer
+    * row per occurrence of a hot gram — linear, so no salt needed.
+    *
+    * Both engines group on `substr(md5(gram), 1, 16)` — bit-identical by
+    * construction (a fingerprint collision, ~2⁻⁶⁴, would affect both
+    * identically), and 16 narrow chars shuffle instead of ~100-byte gram
+    * strings.
+    *
+    * @return (doc_id, n_spans, n_removed_tokens) per doc with ≥ 1 removal
+    *         interval after merging; spans cover tokens
+    *         [pos, min(pos+k, n_tokens)).
+    */
+  def substringRemovalSpans(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
+        explode(graft.functions.anchor_spans(col("text"), k, p)).as("a"))
+      .select(col("doc_id"), col("n_toks"), col("a.pos").as("pos"),
+        substring(md5(col("a.gram")), 1, 16).as("gh"))
+      .localCheckpoint() // the anchor pass runs once; both sides of the
+                         // keeper join read the materialized occurrences
+    val okey = col("doc_id") * lit(4294967296L) + col("pos")
+    val keep = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"), min(okey).as("kkey"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gh"), col("kkey"))
+    val spans = occ.join(keep.hint("shuffle_hash"), Seq("gh"))
+      .filter(okey =!= col("kkey"))
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + lit(k), col("n_toks")).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .select(col("doc_id"), expr(
+        """aggregate(slice(sp, 2, size(sp) - 1), array(sp[0]),
+          |  (acc, x) -> IF(x.s <= element_at(acc, -1).e,
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('s', element_at(acc, -1).s,
+          |        'e', greatest(element_at(acc, -1).e, x.e)))),
+          |    concat(acc, array(x))))""".stripMargin).as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_spans"),
+        expr("aggregate(m, 0L, (a, x) -> a + x.e - x.s)").as("n_removed_tokens"))
+  }
+
+  /** q63 — span-granular substring-dedup removal lists over the corpus
+    * ([[substringRemovalSpans]]): which docs lose which token spans when
+    * every duplicated ≥ k=12-token anchor span is removed (one canonical
+    * keeper survives). The DuckDB oracle recomputes positional anchors
+    * from first principles and merges intervals with the gaps-and-islands
+    * window form the Spark side deliberately avoids (a global per-doc
+    * window vs a doc-bounded fold).
+    */
+  def q63SubstringRemoval(spark: SparkSession, dir: String): DataFrame =
+    substringRemovalSpans(Tables.documents(spark, dir), k = 12, p = 4)
+      .orderBy(col("doc_id"))
+
   /** Incremental exact-substring pair detection — arrivals-only, the
     * [[SimQ.incrementalNearDupPairs]] discipline applied to the substring
     * family: only the NEW batch pays the anchor pass; its anchors join
@@ -659,6 +735,7 @@ object TextQ {
     "q49_mixture_sample" -> q49MixtureSample _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
+    "q63_substring_removal" -> q63SubstringRemoval _,
     "q54_pii_scrub" -> q54PiiScrub _,
     "q55_bpe_apply" -> q55BpeApply _,
   )
@@ -714,6 +791,45 @@ object TextQ {
          |    + len(regexp_extract_all(t, '$PhoneRe')) + len(regexp_extract_all(t, '$Ipv4Re')) > 0
          |ORDER BY doc_id""".stripMargin
     },
+    // positional anchors from first principles (repeats kept), per-gram
+    // keeper = min (doc_id, pos) encoded as doc_id*2^32+pos, non-keeper
+    // occurrences -> [pos, pos+12) intervals, merged per doc with the
+    // gaps-and-islands window form (the Spark side folds a doc-bounded
+    // list instead). Both engines group on substr(md5(gram),1,16).
+    "q63_substring_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p0 AS (
+        |  SELECT doc_id, len(toks) AS n_toks, toks,
+        |    unnest(range(1, greatest(len(toks) - 11, 1) + 1)) AS i
+        |  FROM t
+        |), occ AS (
+        |  SELECT doc_id, n_toks, i - 1 AS pos,
+        |    substr(md5(array_to_string(list_slice(toks, i, i + 11), ' ')), 1, 16) AS gh
+        |  FROM p0
+        |  WHERE substr(md5(array_to_string(list_slice(toks, i, i + 11), ' ')), 32, 1)
+        |        IN ('0', '4', '8', 'c')
+        |), keep AS (
+        |  SELECT gh, min(doc_id * 4294967296 + pos) AS kkey
+        |  FROM occ GROUP BY gh HAVING count(*) >= 2
+        |), spans AS (
+        |  SELECT o.doc_id, o.pos AS s, least(o.pos + 12, o.n_toks) AS e
+        |  FROM occ o JOIN keep k ON k.gh = o.gh
+        |  WHERE o.doc_id * 4294967296 + o.pos <> k.kkey
+        |), m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM spans
+        |), isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m
+        |), agg AS (
+        |  SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS n_removed_tokens
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     // positional recompute: every k=12 gram per doc, the md5-low-nibble
     // anchor sample, then pairwise distinct shared anchors
     "q53_substring_dedup" ->

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expres
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the scalar doc-extraction functions
@@ -600,10 +600,82 @@ final case class AnchorGrams(child: Expression, k: Int, p: Int)
 }
 
 object AnchorGrams {
-  private val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
+  private[sql] val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** Positional companion to [[AnchorGrams]] for SPAN-granular substring
+  * dedup (removal lists à la Lee et al. ACL'22 — delete the duplicated
+  * bytes, keep the document): every token position whose k-gram is an
+  * anchor (same md5-low-nibble mod-p rule, same tokenization and under-k
+  * truncation), WITHOUT per-document gram dedup — a gram repeated inside
+  * one document yields one entry per occurrence, because each occurrence
+  * is a removable span of its own. Output `array<struct<pos:int,
+  * gram:string>>`, pos = 0-based token index of the span start; the span
+  * covers tokens [pos, min(pos+k, n_tokens)).
+  *
+  * One JVM pass like [[AnchorGrams]], but the md5 gate is evaluated once
+  * per distinct gram and REUSED across repeat occurrences (a tiny per-call
+  * map), so the cost stays one digest per distinct window.
+  */
+final case class AnchorSpans(child: Expression, k: Int, p: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(p >= 1 && 16 % p == 0, s"p must divide 16, got $p")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "anchor_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val nGrams = math.max(toks.length - k + 1, 1)
+    val md = AnchorGrams.threadMd5.get()
+    val verdict = new java.util.HashMap[String, java.lang.Boolean]()
+    val out = new java.util.ArrayList[AnyRef](nGrams / p + 1)
+    var i = 0
+    while (i < nGrams) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val gram = sb.toString
+      var sel = verdict.get(gram)
+      if (sel == null) {
+        md.reset()
+        val digest = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sel = java.lang.Boolean.valueOf(((digest(15) & 0x0F) % p) == 0)
+        verdict.put(gram, sel)
+      }
+      if (sel.booleanValue()) {
+        val row = new GenericInternalRow(2)
+        row.setInt(0, i)
+        row.update(1, UTF8String.fromString(gram))
+        out.add(row)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorSpans =
+    copy(child = newChild)
 }
 
 /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) — the GUARANTEED
@@ -1046,6 +1118,10 @@ object GraftExtensions {
     // k and p must be foldable int literals (they shape the per-row loop)
     ("anchor_grams", new ExpressionInfo(classOf[AnchorGrams].getName, "anchor_grams"),
       (c: Seq[Expression]) => AnchorGrams(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    ("anchor_spans", new ExpressionInfo(classOf[AnchorSpans].getName, "anchor_spans"),
+      (c: Seq[Expression]) => AnchorSpans(s(c(0)),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
         c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("url_normalize", new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),

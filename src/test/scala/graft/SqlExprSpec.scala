@@ -211,6 +211,47 @@ class SqlExprSpec extends AnyFunSuite {
     assert(got == Seq("a b", "b c", "c d", "d e"))
   }
 
+  test("anchor_spans: positional, repeats kept, same md5 gate as anchor_grams") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val docs = Seq(
+      "w1 w2 w3 w4 w5 w6 w7 w8",
+      "a b a b a b",  // repeated gram => one entry PER occurrence
+      "short",        // < k tokens => whole text at pos 0
+      "",
+      null
+    ).toDF("text")
+    val k = 4
+    docs.select(col("text"), anchor_spans(col("text"), k, 1).as("sp"),
+        anchor_spans(col("text"), k, 4).as("sp4"))
+      .collect().foreach { r =>
+        if (r.isNullAt(0)) assert(r.isNullAt(1))
+        else {
+          val toks = r.getString(0).split(" ", -1)
+          val n = math.max(toks.length - k + 1, 1)
+          val expAll = (0 until n).map(i =>
+            (i, toks.slice(i, i + k).mkString(" ")))
+          val got = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getInt(0), x.getString(1)))
+          assert(got == expAll, s"p=1 positions for '${r.getString(0)}'")
+          val got4 = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getInt(0), x.getString(1)))
+          val exp4 = expAll.filter { case (_, g) =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ((d(15) & 0x0F) % 4) == 0
+          }
+          assert(got4 == exp4, s"p=4 gate for '${r.getString(0)}'")
+        }
+      }
+    // SQL path registered
+    val sqlGot = spark.sql("SELECT anchor_spans('a b a b a b', 4, 1) AS s")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getInt(0), x.getString(1)))
+    assert(sqlGot == Seq((0, "a b a b"), (1, "b a b a"), (2, "a b a b")))
+  }
+
   test("sim_hash: value-equivalent to the exploded conditional-sum formulation") {
     val spark0 = spark
     import spark0.implicits._

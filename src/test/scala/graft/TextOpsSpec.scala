@@ -266,6 +266,98 @@ class TextOpsSpec extends AnyFunSuite {
     assert(index.collect().map(r => (r.getLong(0), r.getString(1))).toSet == full)
   }
 
+  // ---- span-granular removal lists (q63 operator) --------------------------
+
+  /** Brute reference for [[TextQ.substringRemovalSpans]]: positional
+    * k-grams per doc (repeats kept — each occurrence removable), grams
+    * with >= 2 occurrences globally elect keeper = min (doc_id, pos),
+    * every other occurrence becomes [pos, min(pos+k, n_toks)), merged
+    * per doc (touching intervals coalesce).
+    */
+  private def bruteRemoval(rows: Seq[(Long, String)], k: Int,
+                           keep: String => Boolean): Map[Long, (Long, Long)] = {
+    val occ = for {
+      (id, text) <- rows
+      toks = text.split(" ", -1)
+      n = math.max(toks.length - k + 1, 1)
+      i <- 0 until n
+      gram = toks.slice(i, i + k).mkString(" ")
+      if keep(gram)
+    } yield (gram, id, i, math.min(i + k, toks.length))
+    occ.groupBy(_._1).filter(_._2.size >= 2)
+      .values.flatMap(_.sortBy(o => (o._2, o._3)).tail)
+      .groupBy(_._2).map { case (id, rs) =>
+        val iv = rs.map(r => (r._3, r._4)).toSeq.sorted
+        val merged = iv.tail.foldLeft(List(iv.head)) { case (acc, (s, e)) =>
+          if (s <= acc.head._2) (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+          else (s, e) :: acc
+        }
+        id -> (merged.size.toLong, merged.map(m => m._2 - m._1).sum.toLong)
+      }
+  }
+
+  test("substring removal spans, p=1: keeper survives, every other planted occurrence removed; == brute") {
+    val docs = plantedSpanDocs()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = bruteRemoval(rows, k = 12, _ => true)
+    // the planted structure: doc 1 keeps span40 (min doc_id), docs 2/3
+    // lose all 40 tokens; doc 10 keeps span20, doc 11 loses 20; the
+    // 11-token span (below k) is invisible
+    assert(expected.keySet == Set(2L, 3L, 11L))
+    assert(expected(2L) == ((1L, 40L)) && expected(3L) == ((1L, 40L)) &&
+      expected(11L) == ((1L, 20L)))
+    val got = TextQ.substringRemovalSpans(docs, k = 12, p = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("substring removal spans, p=4: brute anchor semantics on the planted fixture") {
+    val docs = plantedSpanDocs()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = bruteRemoval(rows, k = 12, g => "048c".contains(md5LastHex(g)))
+    val got = TextQ.substringRemovalSpans(docs, k = 12, p = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("1000-doc shared span: removal lists are O(occurrences) — 999 one-span rows, no pair table") {
+    // the boilerplate case that kills the pair mode by result-set identity
+    // (10^6/2 pairs): span-granular output is one removal row per
+    // non-keeper occurrence
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 5000).map(i => s"u$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val boiler = (0 until 20).map(i => s"footer$i")
+    // doc-unique sentinels fence the span: otherwise two docs drawing the
+    // same random token right before the boiler share a 21-token span
+    val docs = (0L until 1000L).map { id =>
+      (id, (soup(5 + (id % 7).toInt) ++ (s"pre$id" +: boiler :+ s"post$id")
+        ++ soup(8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextQ.substringRemovalSpans(docs, k = 12, p = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0 is the global-min keeper; every other doc loses exactly the
+    // 20-token boilerplate span, merged to ONE interval
+    assert(got.length == 999 && !got.exists(_._1 == 0L))
+    assert(got.forall { case (_, nSpans, nToks) => nSpans == 1L && nToks == 20L })
+  }
+
+  test("pair mode never broadcasts the pair-derived table (shuffle-hash pinned)") {
+    val docs = plantedSpanDocs()
+    val plan = TextQ.substringDedupPairs(docs, k = 12, p = 4)
+      .queryExecution.executedPlan.toString
+    // the verify stage joins anchors to the candidate-PAIR table on id_a:
+    // pair cardinality is quadratic in boilerplate-cluster size, so that
+    // join must shuffle-hash; the only legitimate broadcast is candIds
+    // (candidate-DOC-scale, linear)
+    assert(plan.contains("ShuffledHashJoin [id_a"),
+      s"pair join is not shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin [id_a"),
+      s"pair-derived table broadcasts:\n$plan")
+  }
+
   // ---- trained quality classifier (TextQ.Quality) --------------------------
 
   /** Constructed corpus where quality signal is REAL (the driver corpus has
