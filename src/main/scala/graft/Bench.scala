@@ -38,8 +38,30 @@ object Bench {
     // charged the real signature cost every pass, while q39/q40 legitimately
     // measure the composed-pipeline reuse within the pass.
     val passes = 5
+    // Environment canary: a fixed synthetic workload that touches NO graft
+    // code and NO storage — 200M-row codegen'd hash reduction plus a 20M-row
+    // 1000-key shuffle. Its cost can only move when the SANDBOX moves
+    // (CPU contention, JIT, shuffle-spill disk), so cross-round bench
+    // ratios divide by the canary median to cancel ambient drift (the r10
+    // verdict measured a ±15-25% band that otherwise swamps real effects).
+    // Sampled once per timed pass so it sees the same environment window
+    // the queries do.
+    def canary(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      // % bounds the addends so the 200M-term sum can't overflow ANSI long
+      spark.range(0L, 200000000L, 1, cpus.toInt)
+        .agg(sum(xxhash64(col("id")) % 1000000)).collect()
+      spark.range(0L, 20000000L, 1, cpus.toInt)
+        .groupBy((col("id") % 1000).as("k")).agg(count(lit(1)))
+        .agg(sum("count(1)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // untimed warm-up (JIT parity with the query warm-up pass)
+    val canaries = new scala.collection.mutable.ArrayBuffer[Double](passes)
     val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
       graft.queries.SimQ.clearNearDupPairCache()
+      canaries += canary()
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -60,9 +82,12 @@ object Bench {
     val sp = iqrs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    val canMed = f"${median(canaries.toSeq)}%.3f"
+    val canIqr = f"${iqr(canaries.toSeq)}%.3f"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""runs":$passes,"iqr":$sp,"sf":"$sfDir"}"""
+        s""""runs":$passes,"iqr":$sp,""" +
+        s""""canary_sec":$canMed,"canary_iqr":$canIqr,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     // stop() BEFORE printing so the JSON is the final stdout line (no
     // shutdown log lines after it) — the driver parses the last line.
