@@ -599,22 +599,51 @@ object SimQ {
           (col("id") * 7 + 1) % n, (col("id") * 13 + 3) % n,
           (col("id") * 31 + 7) % n)).as("dst"))
       .localCheckpoint() // reused 3x; cuts the re-synthesis lineage
-    var ranks = ids.select(col("id"), lit(1.0).as("pr"))
-    for (_ <- 1 to 3) {
-      // checkpointed/iterative inputs carry no stats — hint shuffle_hash so
-      // the static planner never falls back to sort-merge (q53 discipline)
-      val contribs = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
-        .select(col("dst"), (col("pr") / 3.0).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      ranks = ids.join(contribs.hint("shuffle_hash"), ids("id") === contribs("dst"), "left_outer")
-        .select(ids("id"), (lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-    }
-    ranks.select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"))
+    // the general operator ([[graft.scale.PageRank]]): this graph has no
+    // dangling nodes and tol=0, so the run stays PURE LINEAGE — Catalyst
+    // sees all three unrolled iterations and PlanAuditSpec audits their
+    // joins. outdeg is counted from the edge multiset (exactly 3 here);
+    // the oracle divides by the same 3. Both engines compute the teleport
+    // base as IEEE `1.0 - 0.85` (the oracle casts to DOUBLE for parity).
+    graft.scale.PageRank.run(ids, edges, damping = 0.85, tol = 0.0, maxIter = 3)
+      .ranks
+      .select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64 — PageRank with VARIABLE out-degree and DANGLING nodes, the
+    * general-graph path of [[graft.scale.PageRank]] that q62's regular
+    * graph never exercises: docs with `id % 5 == 0` emit NO links (their
+    * rank mass redistributes uniformly each iteration — the standard
+    * dangling fix, without which total mass decays), everyone else emits
+    * 1-2 formula links (outdeg varies, so contributions divide by the
+    * per-node count, not a constant). The DuckDB oracle unrolls the same
+    * three iterations with a dangling-mass scalar CTE per step; the
+    * teleport base is IEEE `1.0 - 0.85` on both engines.
+    *
+    * Scale note: the dangling mass is ONE double per iteration collected
+    * at the driver (the PrefixSum/Bpe bounded-aggregate pattern); ranks
+    * are materialized per iteration through typed-RDD checkpoints whose
+    * predecessors release immediately — O(1) executor storage however
+    * many iterations run.
+    */
+  def q64PagerankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val n = ids.count()
+    val emitters = ids.filter(col("id") % 5 =!= 0)
+    val edges = emitters.select(col("id").as("src"), ((col("id") * 3 + 1) % n).as("dst"))
+      .union(emitters.filter(col("id") % 2 === 0)
+        .select(col("id").as("src"), ((col("id") * 11 + 5) % n).as("dst")))
+      .localCheckpoint()
+    graft.scale.PageRank.run(ids, edges, damping = 0.85, tol = 0.0, maxIter = 3)
+      .ranks
+      .select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"))
       .orderBy(col("doc_id"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_pagerank"      -> q62Pagerank _,
+    "q64_pagerank_dangling" -> q64PagerankDangling _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
     "q27_simhash"       -> q27Simhash _,
@@ -752,6 +781,45 @@ object SimQ {
          |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
+    // same three unrolled iterations; per-step dangling-mass scalar CTE
+    // (sum of rank over nodes with no out-edges, spread uniformly);
+    // per-src outdeg joined in, teleport base forced to IEEE double
+    "q64_pagerank_dangling" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT id AS src, (id * 3 + 1) % (SELECT n FROM n) AS dst
+        |  FROM ids WHERE id % 5 <> 0
+        |  UNION ALL
+        |  SELECT id, (id * 11 + 5) % (SELECT n FROM n)
+        |  FROM ids WHERE id % 5 <> 0 AND id % 2 = 0),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM ids),
+        |d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r0
+        |  WHERE id NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 *
+        |    (coalesce(sum(r0.pr / deg.outdeg), 0) +
+        |     (SELECT dm FROM d1) / (SELECT n FROM n)) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id
+        |    LEFT JOIN r0 ON r0.id = e.src LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY ids.id),
+        |d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r1
+        |  WHERE id NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 *
+        |    (coalesce(sum(r1.pr / deg.outdeg), 0) +
+        |     (SELECT dm FROM d2) / (SELECT n FROM n)) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id
+        |    LEFT JOIN r1 ON r1.id = e.src LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY ids.id),
+        |d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r2
+        |  WHERE id NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 *
+        |    (coalesce(sum(r2.pr / deg.outdeg), 0) +
+        |     (SELECT dm FROM d3) / (SELECT n FROM n)) AS pr
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id
+        |    LEFT JOIN r2 ON r2.id = e.src LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY ids.id)
+        |SELECT id AS doc_id, round(pr, 4) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
     // same three unrolled power iterations over the same formula multiset
     "q62_pagerank" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),
@@ -761,13 +829,13 @@ object SimQ {
         |  UNION ALL SELECT id, (id * 13 + 3) % (SELECT n FROM n) FROM ids
         |  UNION ALL SELECT id, (id * 31 + 7) % (SELECT n FROM n) FROM ids),
         |r0 AS (SELECT id, 1.0 AS pr FROM ids),
-        |r1 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r0.pr / 3), 0) AS pr
+        |r1 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 * coalesce(sum(r0.pr / 3), 0) AS pr
         |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r0 ON r0.id = e.src
         |  GROUP BY ids.id),
-        |r2 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r1.pr / 3), 0) AS pr
+        |r2 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 * coalesce(sum(r1.pr / 3), 0) AS pr
         |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r1 ON r1.id = e.src
         |  GROUP BY ids.id),
-        |r3 AS (SELECT ids.id, 0.15 + 0.85 * coalesce(sum(r2.pr / 3), 0) AS pr
+        |r3 AS (SELECT ids.id, (1::DOUBLE - 0.85::DOUBLE) + 0.85 * coalesce(sum(r2.pr / 3), 0) AS pr
         |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r2 ON r2.id = e.src
         |  GROUP BY ids.id)
         |SELECT id AS doc_id, round(pr, 4) AS pr FROM r3 ORDER BY doc_id""".stripMargin,

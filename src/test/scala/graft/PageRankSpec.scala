@@ -1,0 +1,137 @@
+package graft
+
+import graft.scale.PageRank
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The general PageRank operator ([[graft.scale.PageRank]]) vs driver-side
+  * reference simulations: the q62 closed form (uniform outdeg 3, no
+  * dangling), a variable-outdeg graph WITH dangling nodes (mass
+  * redistribution), convergence stopping, and checkpoint-cadence
+  * equivalence.
+  */
+class PageRankSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  /** Reference: scaled PageRank with uniform dangling redistribution —
+    * pr'(v) = (1-d) + d*(Σ pr(u)/outdeg(u) + danglingMass/n). Multiset
+    * edges (parallel edges contribute once per copy).
+    */
+  private def simulate(n: Int, edges: Seq[(Long, Long)], d: Double,
+                       iters: Int): Map[Long, Double] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var pr = (0L until n.toLong).map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val dm = pr.collect { case (v, p) if !outdeg.contains(v) => p }.sum
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => pr(s) / outdeg(s) }.sum
+      }
+      pr = pr.map { case (v, _) =>
+        v -> ((1 - d) + d * (inflow.getOrElse(v, 0.0) + dm / n))
+      }
+    }
+    pr
+  }
+
+  private def q62Edges(n: Int): Seq[(Long, Long)] =
+    (0L until n.toLong).flatMap(i =>
+      Seq((i, (i * 7 + 1) % n), (i, (i * 13 + 3) % n), (i, (i * 31 + 7) % n)))
+
+  private def runOp(n: Int, edges: Seq[(Long, Long)], d: Double = 0.85,
+                    tol: Double = 0.0, maxIter: Int = 3,
+                    checkpointEvery: Int = 5): (Map[Long, Double], Int, Double) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val nodes = (0L until n.toLong).toDF("id")
+    val e = edges.toDF("src", "dst")
+    val res = PageRank.run(nodes, e, damping = d, tol = tol,
+      maxIter = maxIter, checkpointEvery = checkpointEvery)
+    val out = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val it = res.iterations
+    val delta = res.delta
+    res.release()
+    (out, it, delta)
+  }
+
+  private def assertClose(got: Map[Long, Double], exp: Map[Long, Double]): Unit = {
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) < 1e-9, s"node $k: got $v expected ${exp(k)}")
+    }
+  }
+
+  test("q62 closed form: uniform outdeg 3, no dangling — operator == simulation") {
+    val n = 101
+    val (got, iters, _) = runOp(n, q62Edges(n), maxIter = 3)
+    assert(iters == 3)
+    assertClose(got, simulate(n, q62Edges(n), 0.85, 3))
+  }
+
+  test("variable out-degree + dangling nodes: mass redistributes, total rank == n") {
+    // ids 0..59; ids % 5 == 0 have NO out-edges (dangling); others emit
+    // 1-3 edges by formula — outdeg varies per node
+    val n = 60
+    val edges = (0L until n.toLong).filter(_ % 5 != 0).flatMap { i =>
+      val base = Seq((i, (i * 3 + 1) % n))
+      val more = if (i % 2 == 0) Seq((i, (i * 11 + 5) % n)) else Nil
+      val third = if (i % 3 == 0) Seq((i, (i * 17 + 2) % n)) else Nil
+      base ++ more ++ third
+    }
+    val exp = simulate(n, edges, 0.85, 4)
+    val (got, iters, _) = runOp(n, edges, maxIter = 4)
+    assert(iters == 4)
+    assertClose(got, exp)
+    // dangling redistribution conserves mass: Σpr stays n (a leaky
+    // implementation decays toward (1-d)*n/(1-d...) — this catches it)
+    assert(math.abs(got.values.sum - n) < 1e-6)
+  }
+
+  test("parallel edges are a multiset: a doubled link contributes twice") {
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+    val exp = simulate(3, edges, 0.85, 2)
+    val (got, _, _) = runOp(3, edges, maxIter = 2)
+    assertClose(got, exp)
+    // outdeg(0) = 3 (multiset): node 1 receives 2/3 of pr0, node 2 only
+    // 1/3 — set semantics would make them equal
+    assert(got(1L) > got(2L))
+  }
+
+  test("convergence: tol stops the loop early with delta <= tol") {
+    // a strongly-connected ring converges geometrically; with a loose tol
+    // the loop must stop well before maxIter and report the delta it met
+    val n = 40
+    val edges = (0L until n.toLong).map(i => (i, (i + 1) % n))
+    val (got, iters, delta) = runOp(n, edges, tol = 1e-6, maxIter = 50)
+    assert(iters < 50, s"did not converge early (ran $iters)")
+    assert(delta <= 1e-6 && !delta.isNaN)
+    // the ring's stationary ranks are uniform 1.0
+    got.values.foreach(v => assert(math.abs(v - 1.0) < 1e-4))
+  }
+
+  test("checkpoint cadence does not change values; pure-lineage == per-iteration") {
+    val n = 30
+    val edges = q62Edges(n)
+    val exp = simulate(n, edges, 0.85, 7)
+    // cadence 2: checkpoints at 2,4,6, pure lineage tail at 7
+    val (cadenced, _, _) = runOp(n, edges, maxIter = 7, checkpointEvery = 2)
+    assertClose(cadenced, exp)
+    // cadence 100: the whole run is one declarative plan
+    val (pure, _, _) = runOp(n, edges, maxIter = 7, checkpointEvery = 100)
+    assertClose(pure, exp)
+  }
+
+  test("iterative joins stay shuffle-hash (no SMJ) in pure-lineage mode") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 50
+    val nodes = (0L until n.toLong).toDF("id")
+    val e = q62Edges(n).toDF("src", "dst")
+    val res = PageRank.run(nodes, e, maxIter = 3, checkpointEvery = 100)
+    val plan = res.ranks.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"stat-less iterative join fell back to SMJ:\n$plan")
+    res.release()
+  }
+}
