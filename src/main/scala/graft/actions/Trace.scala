@@ -57,6 +57,22 @@ final case class Trace(actions: Seq[Action]) extends Serializable {
     backtraces.result()
   }
 
+  /** True when re-executing this trace could REPEAT a remote side effect —
+    * an HTTP POST or any browser state-change, anywhere in the action list
+    * including Loop/LocalRetry bodies. The fetch layer's best-effort memo
+    * ([[graft.exec.Locality.Narrow]]) must never silently re-run such a
+    * trace for a key it already executed (a bounded-LRU eviction would
+    * otherwise re-POST and double-count pagesFetched); idempotent traces
+    * may always be re-fetched for a result that is equal by definition.
+    */
+  def nonIdempotent: Boolean = actions.exists {
+    case _: Wpost        => true
+    case _: StateChange  => true
+    case Loop(b, _)      => b.nonIdempotent
+    case LocalRetry(b, _) => b.nonIdempotent
+    case _               => false
+  }
+
   /** Stable canonical cache key: SHA-256 over the rendered dryRun. Two traces
     * with equal dryRun MUST yield equal keys (ScalaCheck property in
     * TraceSpec); names/timeouts/delays never affect it. Memoized — the fetch

@@ -10,15 +10,21 @@ import java.util.regex.Pattern
   * for bulk filtering of frontier tables against archived robots corpora.
   *
   * Semantics implemented (RFC 9309 + the documented Google extensions):
-  * groups of consecutive `User-agent` lines share their rules; a crawler
-  * obeys the MOST SPECIFIC matching group only (longest agent token that
-  * occurs in the client's agent string, case-insensitive; `*` is the
-  * fallback — groups never merge); within the group the LONGEST matching
-  * pattern wins and an allow/disallow tie at equal length resolves to
-  * allow; patterns support `*` wildcards and the `$` end anchor; an empty
-  * `Disallow:` allows everything; unmatched paths are allowed. Non-group
-  * fields (`Sitemap`, unknown) are collected, `Crawl-delay` is parsed
-  * per-group (widely honored, feeds [[HostPoliteness]]).
+  * groups of consecutive `User-agent` lines share their rules; a group
+  * token (lower-cased, any `/version` suffix stripped) matches when it
+  * equals or prefixes one of the client's PRODUCT tokens (maximal runs of
+  * `[a-z0-9_-]` in the agent string) — so `bot` never captures `graftbot`,
+  * but `graft` does; the crawler obeys the MOST SPECIFIC matching token
+  * (longest), with `*` as the fallback, and per RFC 9309 §2.2.1 ALL groups
+  * naming that winning token merge into one rule set (a robots file that
+  * repeats `User-agent: graftbot` twice applies both halves); the merged
+  * crawl-delay is the most conservative (max) of those groups'. Within the
+  * merged group the LONGEST matching pattern wins and an allow/disallow
+  * tie at equal length resolves to allow; patterns support `*` wildcards
+  * and the `$` end anchor; an empty `Disallow:` allows everything;
+  * unmatched paths are allowed. Non-group fields (`Sitemap`, unknown) are
+  * collected, `Crawl-delay` is parsed per-group (widely honored, feeds
+  * [[HostPoliteness]]).
   */
 object Robots {
 
@@ -33,19 +39,30 @@ object Robots {
 
   final case class RobotsFile(groups: Seq[Group], sitemaps: Seq[String]) {
 
-    /** The single group this agent obeys: longest matching token, `*`
-      * fallback, none → None (everything allowed).
+    /** The effective group this agent obeys: the winning token is the
+      * longest group token equal to / prefixing one of the client's
+      * product tokens (ties broken lexicographically for determinism),
+      * `*` the fallback — and per RFC 9309 §2.2.1 EVERY group naming the
+      * winning token merges (rules concatenated in file order, max
+      * crawl-delay). None → no group matches, everything allowed.
       */
     def groupFor(userAgent: String): Option[Group] = {
-      val ua = userAgent.toLowerCase
-      val scored = groups.flatMap { g =>
-        val best = g.agents.collect {
-          case a if a == "*"        => -1
-          case a if ua.contains(a)  => a.length
-        }
-        if (best.isEmpty) None else Some(best.max -> g)
+      val prods = Robots.productTokens(userAgent)
+      def norm(a: String) = a.takeWhile(_ != '/').trim
+      val named = groups.flatMap(g => g.agents.map(norm).collect {
+        case t if t.nonEmpty && t != "*" &&
+          prods.exists(p => p.startsWith(t)) => t
+      })
+      val winner: Option[String] =
+        if (named.nonEmpty) Some(named.maxBy(t => (t.length, t)))
+        else if (groups.exists(_.agents.contains("*"))) Some("*")
+        else None
+      winner.map { w =>
+        val matched = groups.filter(_.agents.map(norm).contains(w))
+        if (matched.size == 1) matched.head
+        else Group(Seq(w), matched.flatMap(_.rules),
+          matched.flatMap(_.crawlDelay).reduceOption((a, b) => math.max(a, b)))
       }
-      if (scored.isEmpty) None else Some(scored.maxBy(_._1)._2)
     }
 
     /** RFC 9309 §2.2.2: longest pattern wins; equal-length tie → allow. */
@@ -67,6 +84,26 @@ object Robots {
   }
 
   val Empty: RobotsFile = RobotsFile(Nil, Nil)
+
+  /** The client agent string's product tokens: maximal lower-cased runs of
+    * `[a-z0-9_-]` — "Mozilla/5.0 (compatible; GraftBot/1.0)" yields
+    * mozilla, 5, 0, compatible, graftbot, 1, 0. Group tokens match against
+    * THESE (equality or prefix), never against raw substrings, so a group
+    * named `bot` cannot capture `graftbot`.
+    */
+  private[agent] def productTokens(userAgent: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val s = userAgent.toLowerCase
+    var i = 0
+    val sb = new StringBuilder
+    while (i <= s.length) {
+      val c = if (i < s.length) s.charAt(i) else ' '
+      if (c.isLetterOrDigit || c == '_' || c == '-') sb.append(c)
+      else if (sb.nonEmpty) { out += sb.result(); sb.clear() }
+      i += 1
+    }
+    out.result()
+  }
 
   /** Parse leniently: unknown fields skipped, `#` comments stripped, BOM
     * tolerated, rules before any User-agent line ignored (RFC 9309 §2.2.1).

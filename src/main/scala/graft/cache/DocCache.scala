@@ -112,7 +112,20 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
       case (Some(l), Some(p)) => Some(if (p._1 > l._1) p else l)
       case (l, p)             => l.orElse(p)
     }
-    best.map { case (_, thunk) => deserialize(thunk()) }
+    best.flatMap { case (_, thunk) =>
+      try Some(deserialize(thunk()))
+      catch {
+        case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
+          // a concurrent CacheCompactor.compact deleted the loose file
+          // between the listing and the read — the same observation now
+          // lives in a segment, so degrade to a fresh packed-tier lookup
+          // (not an error; the reader just raced the compactor)
+          SegmentStore.lookup(dir, key)
+            .filter(e => inWindow(e.ts, conf, now))
+            .sortBy(-_.ts).headOption
+            .map(e => deserialize(SegmentStore.read(dir, e)))
+      }
+    }
   }
 
   private def getLocal(base: String, key: String, conf: GraftConf,

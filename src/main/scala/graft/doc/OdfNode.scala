@@ -56,9 +56,18 @@ object OdfNode {
     * (or `:h>`) was: take from the LAST `<text:p`/`<text:h` opening (the
     * split leaves preceding markup in the chunk), turn the ODF whitespace
     * elements into characters, strip every remaining tag, decode entities.
+    *
+    * The opening is anchored to a REAL tag boundary (name followed by
+    * whitespace or `>`), mirroring the exact closing tags the split uses —
+    * a bare prefix search would also match `<text:page-number>` /
+    * `<text:page-count>` inside headers and attribute the wrong opening,
+    * truncating or polluting the block.
     */
+  private val OpenTag = "<text:(?:p|h)(?=[\\s>])".r
+
   private def blockText(chunk: String): Option[String] = {
-    val open = math.max(chunk.lastIndexOf("<text:p"), chunk.lastIndexOf("<text:h"))
+    var open = -1
+    OpenTag.findAllMatchIn(chunk).foreach(m => open = m.start)
     if (open < 0) None
     else {
       val gt = chunk.indexOf('>', open)

@@ -81,18 +81,26 @@ object FetchExec {
           // all on the heap. Eviction never changes results; it only costs
           // a re-execution if an evicted key recurs after `cap` distinct
           // others (sorted/clustered inputs — the Narrow use case — never
-          // hit that).
+          // hit that). EXCEPT for non-idempotent traces (Wpost / browser
+          // state-changes): re-executing those repeats the remote side
+          // effect, so their entries are PINNED in a separate map that the
+          // LRU never evicts — exactly-once per partition is restored at
+          // the price of holding those (typically rare) trajectories; use
+          // Wide for unbounded POST streams (global dedup, one execution
+          // per key, period).
           val cap = 4096
           val local = new java.util.LinkedHashMap[String, Trajectory](64, 0.75f, true) {
             override def removeEldestEntry(e: java.util.Map.Entry[String, Trajectory]): Boolean =
               size() > cap
           }
+          val pinned = new java.util.HashMap[String, Trajectory]()
           it.map { case (t, d) =>
             val k = keyBy(t)
-            var traj = local.get(k)
+            var traj = pinned.get(k)
+            if (traj == null) traj = local.get(k)
             if (traj == null) {
               traj = Trajectory(Agent.execute(t, env))
-              local.put(k, traj)
+              if (t.nonIdempotent) pinned.put(k, traj) else local.put(k, traj)
             }
             FetchedRow(d, k, t, traj)
           }

@@ -192,20 +192,47 @@ object Warc {
   // Dataset API
   // ---------------------------------------------------------------------
 
-  /** Distributed WARC ingest: every segment under `path` (glob ok) through
-    * `binaryFile`, one task per segment, response records flattened. The
-    * body column is raw payload bytes — hand rows to [[toDoc]] for the
-    * extraction seam. Filters on url/status/mime are cheap post-flatten
-    * (the scan itself is the cost; records never leave their task here).
+  /** Distributed WARC ingest: every segment under `path` (glob ok), one
+    * task per segment, response records flattened. The body column is raw
+    * payload bytes — hand rows to [[toDoc]] for the extraction seam.
+    * Filters on url/status/mime are cheap post-flatten (the scan itself is
+    * the cost; records never leave their task here).
+    *
+    * `binaryFile` serves as the non-splitting FILE LISTING only — selecting
+    * just `path` prunes the content column, so the scan reads file
+    * metadata; each task then OPENS its segment as a DFS stream and feeds
+    * [[records]] directly. A ~1 GB Common Crawl `.warc.gz` therefore never
+    * materializes as a single executor byte array: peak memory per task is
+    * one record block (≤ [[MaxRecord]]), whatever the segment size — the
+    * constant-memory claim holds for the Dataset API, not just the raw
+    * iterator. Streams close on iterator exhaustion AND on task completion
+    * (the listener covers early termination, e.g. a `limit`).
     */
   def read(spark: SparkSession, path: String): Dataset[WarcResponse] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (seg, bytes) =>
-        responses(new ByteArrayInputStream(bytes)).map { case (r, h) =>
-          WarcResponse(seg, r.targetUri.getOrElse(""), r.date, h.status, h.mime, h.body)
+      .select(col("path"))
+      .as[String]
+      .mapPartitions { segs =>
+        segs.flatMap { seg =>
+          val p = new org.apache.hadoop.fs.Path(seg)
+          val fs = p.getFileSystem(graft.agent.DocIO.hadoopConf)
+          val in = fs.open(p)
+          var closed = false
+          def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+          val rows = responses(in).map { case (r, h) =>
+            WarcResponse(seg, r.targetUri.getOrElse(""), r.date, h.status, h.mime, h.body)
+          }
+          new Iterator[WarcResponse] {
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h) closeOnce()
+              h
+            }
+            override def next(): WarcResponse = rows.next()
+          }
         }
       }
   }

@@ -283,6 +283,27 @@ class CacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(graft.cache.CacheCompactor.compact(cacheDir).filesPacked == 0)
   }
 
+  test("reader racing the compactor: vanished loose file degrades to the packed segment") {
+    val cacheDir = scratchDir("racecache")
+    val cache = new DfsDocCache(cacheDir)
+    val any = GraftConf()
+    val doc = Doc(DocUID("k"), "uri-k", "packed".getBytes("UTF-8"), timestampMillis = 1000L)
+    cache.put("k", Seq(doc), 1000L)
+    graft.cache.CacheCompactor.compact(cacheDir)
+    // simulate the compaction race: a loose .obs that the directory listing
+    // still returns but whose bytes are gone by read time (a broken symlink
+    // behaves exactly like a file deleted between list and open)
+    val kd = java.nio.file.Paths.get(cacheDir, "k")
+    java.nio.file.Files.createDirectories(kd)
+    java.nio.file.Files.createSymbolicLink(
+      kd.resolve("2000.obs"), kd.resolve("gone-by-read-time.obs"))
+    // the newer loose version wins the tier merge, its read fails, and the
+    // get must fall back to the packed copy instead of escaping the error
+    val got = cache.get("k", any, 5000L)
+    assert(got.isDefined, "compaction race must degrade to a re-read, not an error")
+    assert(new String(got.get.head.asInstanceOf[Doc].bytes, "UTF-8") == "packed")
+  }
+
   test("warm re-crawl from a fully compacted cache fetches 0 pages") {
     val uri = writeFixture("cache5/p.html", "<p>packed</p>")
     val cacheDir = scratchDir("packcache2")

@@ -45,11 +45,52 @@ class CrawlComplianceSpec extends AnyFunSuite {
     assert(!classic.allowed("graftbot/1.0", "/deep/x"))
     assert(!classic.allowed("randombot", "/private"))
     assert(classic.allowed("randombot", "/deep/x"))
-    // longest matching agent token chooses between two named groups
+    // longest matching agent token chooses between two named groups (both
+    // prefix the client's product token "botzilla-news")
     val two = Robots.parse(
       "User-agent: bot\nDisallow: /a\nUser-agent: botzilla\nDisallow: /b\n")
-    assert(!two.allowed("megabotzilla/3", "/b")) // botzilla (8) beats bot (3)
-    assert(two.allowed("megabotzilla/3", "/a"))
+    assert(!two.allowed("botzilla-news/3", "/b")) // botzilla (8) beats bot (3)
+    assert(two.allowed("botzilla-news/3", "/a"))
+  }
+
+  test("robots: group tokens match product tokens, not substrings — 'bot' cannot capture 'graftbot'") {
+    val r = Robots.parse(
+      "User-agent: bot\nDisallow: /a\nUser-agent: *\nDisallow: /b\n")
+    // 'bot' is a substring of 'graftbot' but neither equals nor prefixes
+    // the product token => graftbot falls through to the * group
+    assert(r.allowed("graftbot/1.0", "/a"))
+    assert(!r.allowed("graftbot/1.0", "/b"))
+    // a bare 'bot' client DOES match the named group
+    assert(!r.allowed("bot/2.0", "/a"))
+    assert(r.allowed("bot/2.0", "/b"))
+    // versioned group tokens normalize: 'graftbot/1.2' names graftbot
+    val v = Robots.parse("User-agent: GraftBot/1.2\nDisallow: /x\n")
+    assert(!v.allowed("Mozilla/5.0 (compatible; graftbot/2)", "/x"))
+  }
+
+  test("robots: ALL groups naming the winning token merge (RFC 9309 2.2.1); crawl-delay takes the max") {
+    val r = Robots.parse(
+      """User-agent: graftbot
+        |Disallow: /a
+        |Crawl-delay: 1
+        |
+        |User-agent: *
+        |Disallow: /c
+        |
+        |User-agent: graftbot
+        |User-agent: other
+        |Disallow: /b
+        |Crawl-delay: 3
+        |""".stripMargin)
+    // both graftbot groups apply; the * group does not
+    assert(!r.allowed("graftbot/1.0", "/a/x"))
+    assert(!r.allowed("graftbot/1.0", "/b/x"))
+    assert(r.allowed("graftbot/1.0", "/c/x"))
+    assert(r.crawlDelay("graftbot/1.0") == Some(3.0)) // most conservative
+    // repeated * groups merge the same way
+    val stars = Robots.parse(
+      "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n")
+    assert(!stars.allowed("x", "/a") && !stars.allowed("x", "/b"))
   }
 
   test("robots: longest-match precedence, allow wins ties, $ anchor, * wildcard") {

@@ -71,6 +71,10 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
       HttpSpec.arrivals.add(System.currentTimeMillis())
       respond(ex, 200, "<p>t</p>")
     })
+    server.createContext("/post-once", (ex: HttpExchange) => {
+      if (ex.getRequestMethod == "POST") HttpSpec.postHits.incrementAndGet()
+      respond(ex, 200, "<p>posted</p>")
+    })
     server.createContext("/robots.txt", (ex: HttpExchange) => {
       HttpSpec.robotsHits.incrementAndGet()
       respond(ex, 200,
@@ -136,6 +140,27 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
         r.trajectory.doc.get.root.children("body").head.text))
       .collect().head
     assert(got == ("POST", "payload42"))
+  }
+
+  test("Narrow eviction pressure never re-executes a Wpost: non-idempotent memo entries are pinned") {
+    // one partition streams > cap (4096) DISTINCT idempotent traces between
+    // two occurrences of the SAME POST; the bounded LRU would have evicted
+    // the POST's entry by the time it recurs — the pinned map must not
+    val ctx = new GraftContext(spark, GraftConf(cacheEnabled = false))
+    import spark.implicits._
+    HttpSpec.postHits.set(0)
+    val postUri = s"$base/post-once"
+    val doc = graft.doc.Doc(graft.doc.DocUID("m"), "mock://m",
+      "<p>filler</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8), Some("text/html"))
+    val n = 4500
+    val view = ctx.create(0 until n, numSlices = 1)
+      .fetchOne(i =>
+        if (i == 0 || i == n - 1) Trace.of(Wpost(postUri, entity = "e"))
+        else Trace.of(Mock(Seq(doc.copy(uid = graft.doc.DocUID(s"m$i"), uri = s"mock://m$i")))),
+        locality = graft.exec.Locality.Narrow)
+    assert(view.count() == n)
+    assert(HttpSpec.postHits.get() == 1,
+      s"POST executed ${HttpSpec.postHits.get()} times — eviction repeated a side effect")
   }
 
   test("OAuthV2 signs the request with an OAuth Authorization header") {
@@ -378,6 +403,7 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
 }
 
 object HttpSpec {
+  val postHits = new java.util.concurrent.atomic.AtomicInteger(0)
   val nonces = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   val robotsHits = new java.util.concurrent.atomic.AtomicInteger(0)

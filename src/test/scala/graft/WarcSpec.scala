@@ -120,7 +120,14 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(rows(2).body, "UTF-8") == """{"k":1}""")
     // the scan parallelizes by segment and nothing shuffles before collect
     assert(ds.rdd.getNumPartitions >= 1)
-    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // constant-memory contract: binaryFile is a LISTING — the content
+    // column must be pruned (tasks stream segments themselves); a scan
+    // whose ReadSchema carries `content` re-materializes whole segments
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("path") && !readSchema.contains("content"),
+      s"binaryFile scan must prune content: $readSchema")
     // payload reaches the JSON node tree through the same seam
     val doc = Warc.toDoc(rows(2))
     assert(doc.root.findAll("k").nonEmpty)
