@@ -57,6 +57,20 @@ final case class Trace(actions: Seq[Action]) extends Serializable {
     backtraces.result()
   }
 
+  /** The first uri-bearing action's uri (Loop/LocalRetry bodies included) —
+    * what host-keyed placement ([[graft.exec.FetchLayout.ByHost]]) and
+    * politeness derive the host from.
+    */
+  def primaryUri: Option[String] = actions.collectFirst(Function.unlift[Action, String] {
+    case Wget(u, _, _, _)       => Some(u)
+    case Wpost(u, _, _, _, _)   => Some(u)
+    case o: OAuthV2             => Some(o.delegate.uri)
+    case Visit(u, _)            => Some(u)
+    case Loop(b, _)             => b.primaryUri
+    case LocalRetry(b, _)       => b.primaryUri
+    case _                      => None
+  })
+
   /** True when re-executing this trace could REPEAT a remote side effect —
     * an HTTP POST or any browser state-change, anywhere in the action list
     * including Loop/LocalRetry bodies. The fetch layer's best-effort memo

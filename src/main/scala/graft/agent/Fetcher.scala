@@ -60,39 +60,57 @@ object Fetcher {
 
   private def isHttp(uri: String) = uri.startsWith("http://") || uri.startsWith("https://")
 
+  // Success paths deliberately do NOT disconnect(): fully reading + closing
+  // the stream returns the socket to the JDK keep-alive pool, so repeated
+  // fetches against one host reuse a connection instead of paying TCP
+  // setup + TIME_WAIT churn per page (measured ~10x on a host-skewed
+  // crawl — HostLayoutBench). disconnect() is reserved for the FAILURE
+  // path and the timeout watchdog ([[abortInFlight]]), where killing the
+  // socket is the point.
+
   private[agent] def httpGet(uri: String, timeoutMillis: Long, uid: DocUID, now: Long,
                              headers: Map[String, String] = Map.empty): Observation = {
     val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try registered(conn) {
-      conn.setConnectTimeout(timeoutMillis.toInt)
-      conn.setReadTimeout(timeoutMillis.toInt)
-      conn.setInstanceFollowRedirects(true)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
-      Doc(uid, uri, bytes, Option(conn.getContentType), status,
-        metadata = Map("via" -> "http"), timestampMillis = now)
-    } finally conn.disconnect()
+    var ok = false
+    try {
+      val r = registered(conn) {
+        conn.setConnectTimeout(timeoutMillis.toInt)
+        conn.setReadTimeout(timeoutMillis.toInt)
+        conn.setInstanceFollowRedirects(true)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val status = conn.getResponseCode
+        val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
+        Doc(uid, uri, bytes, Option(conn.getContentType), status,
+          metadata = Map("via" -> "http"), timestampMillis = now)
+      }
+      ok = true
+      r
+    } finally if (!ok) conn.disconnect()
   }
 
   private def httpPost(uri: String, entity: String, contentType: String,
                        timeoutMillis: Long, uid: DocUID, now: Long): Observation = {
     val conn = new URI(uri).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    try registered(conn) {
-      conn.setConnectTimeout(timeoutMillis.toInt)
-      conn.setReadTimeout(timeoutMillis.toInt)
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", contentType)
-      val body = entity.getBytes(StandardCharsets.UTF_8)
-      conn.getOutputStream.write(body)
-      val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
-      Doc(uid, uri, bytes, Option(conn.getContentType), status,
-        metadata = Map("via" -> "http-post"), timestampMillis = now)
-    } finally conn.disconnect()
+    var ok = false
+    try {
+      val r = registered(conn) {
+        conn.setConnectTimeout(timeoutMillis.toInt)
+        conn.setReadTimeout(timeoutMillis.toInt)
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", contentType)
+        val body = entity.getBytes(StandardCharsets.UTF_8)
+        conn.getOutputStream.write(body)
+        val status = conn.getResponseCode
+        val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val bytes = if (stream == null) Array.empty[Byte] else readAll(stream)
+        Doc(uid, uri, bytes, Option(conn.getContentType), status,
+          metadata = Map("via" -> "http-post"), timestampMillis = now)
+      }
+      ok = true
+      r
+    } finally if (!ok) conn.disconnect()
   }
 
   /** File/DFS scan. A directory returns a JSON listing

@@ -235,17 +235,21 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
   /** For each row, `fn` yields alternative traces (fan-out); rows are re-keyed
     * by canonical trace (or the `keyBy` override — reference
     * `LocalityGroup.sameBy`) and each distinct key executes ONCE
-    * ([[graft.exec.FetchExec]]).
+    * ([[graft.exec.FetchExec]]). `layout = FetchLayout.ByHost(k)` places all
+    * of one host's groups into ≤ k task slots (global politeness — see
+    * [[graft.exec.FetchLayout.ByHost]]); dedup is unaffected.
     */
   def fetch(fn: D => TraceSet, locality: Locality = Locality.Wide,
-            keyBy: Trace => String = _.cacheKey): FetchedView[D] = {
+            keyBy: Trace => String = _.cacheKey,
+            layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey): FetchedView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val keyed = dataset.flatMap(d => fn(d).traces.map(t => (t, d)))
-    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality, keyBy), ctx)
+    new FetchedView(FetchExec.fetch(keyed, ctx.env, locality, keyBy, layout), ctx)
   }
 
-  def fetchOne(fn: D => Trace, locality: Locality = Locality.Wide): FetchedView[D] =
-    fetch(d => TraceSet(Seq(fn(d))), locality)
+  def fetchOne(fn: D => Trace, locality: Locality = Locality.Wide,
+               layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey): FetchedView[D] =
+    fetch(d => TraceSet(Seq(fn(d))), locality, layout = layout)
 
   // -- the flagship operator (reference DataView.scala:205-331)
 
@@ -269,6 +273,28 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
     new ExploredView(
       ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params,
         Option(ord)), ctx)
+  }
+
+  /** Best-first traversal under a fetch budget: like [[explore]] but each
+    * round fetches the top-`batchSize` open traces by `priority`
+    * (descending, deterministic tie-break by trace key) until `fetchBudget`
+    * pages have been fetched — the reference PathPlanning's non-BFS
+    * orderings ([[graft.exec.ExploreExec.exploreBestFirst]]). BFS
+    * [[explore]] stays the default; rows carry DISCOVERY depth.
+    */
+  def exploreBestFirst(seed: D => Trace)(
+      next: FetchedRow[D] => Seq[(Trace, D)],
+      priority: (Trace, D) => Double,
+      fetchBudget: Long,
+      batchSize: Int = 64,
+      minDepth: Int = 0, maxDepth: Int = Int.MaxValue)(
+      implicit ord: Ordering[D] = null): ExploredView[D] = {
+    implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
+    val seeds = dataset.map(d => (seed(d), d))
+    val params = ExploreParams(minDepth, maxDepth)
+    new ExploredView(
+      ExploreExec.exploreBestFirst(dataset.sparkSession, seeds, next, ctx.env,
+        priority, fetchBudget, batchSize, params, Option(ord)), ctx)
   }
 
   // -- export (reference DataView.scala:33-47)

@@ -244,6 +244,131 @@ object ExploreExec {
     out
   }
 
+  /** Best-first (priority-scored) traversal under an explicit FETCH BUDGET —
+    * the reference PathPlanning's non-BFS orderings (core
+    * dsl/PathPlanning.scala:15-60: `selectNextOpen` is an arbitrary
+    * ordering over the open set) made distributed: each round fetches the
+    * top-`batchSize` open traces by `priority` (descending; ties break by
+    * trace key, so selection is fully deterministic), expands them, and
+    * re-scores the merged open set. [[explore]] (level-synchronous BFS)
+    * stays the default — use this when pages are NOT equal and the crawl
+    * must spend a bounded fetch budget on the most valuable frontier first
+    * (focused crawling, recrawl-by-staleness, link-authority ordering).
+    *
+    * Structure shared with BFS explore: exact co-partitioned visited set
+    * (an open key is dropped the moment it's fetched anywhere), winning
+    * payload per key, maxDepth bound, per-round lineage cuts with
+    * end-of-run block release. Differences: a row's depth is its DISCOVERY
+    * depth (no level invariant — a high-score deep node can be visited
+    * before a low-score shallow one), and rounds are inherently
+    * sequential (priority order is a global decision; `fetchBudget /
+    * batchSize` bounds the round count — batch against driver latency).
+    *
+    * Driver-side state per round: `batchSize` (score, key) pairs from a
+    * takeOrdered — the reference's selectNextOpen made BOUNDED; payloads
+    * never reach the driver. Scores must be total (no NaN).
+    */
+  def exploreBestFirst[D](
+      spark: SparkSession,
+      seeds: Dataset[(Trace, D)],
+      next: FetchedRow[D] => Seq[(Trace, D)],
+      env: Env,
+      priority: (Trace, D) => Double,
+      fetchBudget: Long,
+      batchSize: Int = 64,
+      params: ExploreParams = ExploreParams(),
+      winnerOrdering: Option[Ordering[D]] = None
+  ): Dataset[ExploredRow[D]] = {
+
+    implicit val exploredEnc: Encoder[ExploredRow[D]] = Encoders.kryo[ExploredRow[D]]
+    require(fetchBudget >= 1, s"fetchBudget must be >= 1: $fetchBudget")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val conf: GraftConf = env.conf
+    val maxDepth = math.min(params.maxDepth, conf.maxExploreDepth)
+    if (maxDepth <= 0) return spark.emptyDataset[ExploredRow[D]]
+    val sc = spark.sparkContext
+    val down = conf.downSampling
+    val partitioner = new HashPartitioner(sc.defaultParallelism)
+
+    type Scored = (String, (Trace, D, Int, Double))
+    // higher score wins a key collision; equal scores fall to the payload
+    // winner (ordering when given, else first-seen — the BFS convention)
+    val winS: ((Trace, D, Int, Double), (Trace, D, Int, Double)) => (Trace, D, Int, Double) =
+      (a, b) =>
+        if (a._4 > b._4) a
+        else if (b._4 > a._4) b
+        else winnerOrdering match {
+          case Some(ord) => if (ord.compare(a._2, b._2) <= 0) a else b
+          case None      => a
+        }
+    val selOrd: Ordering[(Double, String)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String)
+
+    val visitedParts = scala.collection.mutable.Buffer.empty[RDD[ExploredRow[D]]]
+    val visitedKeyParts = scala.collection.mutable.Buffer.empty[RDD[String]]
+    val persistedFrontiers = scala.collection.mutable.Buffer.empty[RDD[Scored]]
+
+    def cut(rdd: RDD[Scored]): Long = {
+      rdd.localCheckpoint()
+      persistedFrontiers += rdd
+      rdd.count()
+    }
+
+    var open: RDD[Scored] = seeds.rdd
+      .map { case (t, d) => (t.cacheKey, (t, d, 0, priority(t, d))) }
+      .reduceByKey(partitioner, winS)
+    var openCount = cut(open)
+    var remaining = fetchBudget
+
+    while (remaining > 0 && openCount > 0) {
+      val k = math.min(batchSize.toLong, remaining).toInt
+      val selected = open
+        .map { case (key, (_, _, _, s)) => (s, key) }
+        .takeOrdered(k)(selOrd)
+        .map(_._2).toSet
+      val bc = sc.broadcast(selected)
+      val batch = open.filter { case (key, _) => bc.value.contains(key) }
+      val rest = open.filter { case (key, _) => !bc.value.contains(key) }
+
+      val fetched = batch.mapPartitions({ it =>
+        it.map { case (key, (t, d, depth, _)) =>
+          ExploredRow(FetchedRow(d, key, t, Trajectory(Agent.execute(t, env))), depth)
+        }
+      }, preservesPartitioning = true)
+      fetched.persist(StorageLevel.MEMORY_AND_DISK)
+      visitedParts += fetched
+      val keys = fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
+      keys.persist(StorageLevel.MEMORY_AND_DISK)
+      visitedKeyParts += keys
+      remaining -= fetched.count()
+
+      val children: RDD[Scored] = fetched.flatMap { r =>
+        if (r.depth + 1 >= maxDepth) Nil
+        else down(next(r.row)).map { case (t, d) =>
+          (t.cacheKey, (t, d, r.depth + 1, priority(t, d)))
+        }
+      }
+      val merged = rest.union(children).reduceByKey(partitioner, winS)
+      val visited = sc.union(visitedKeyParts.toSeq)
+      val newOpen = merged.zipPartitions(visited, preservesPartitioning = true) { (it, vis) =>
+        val set = new java.util.HashSet[String]()
+        while (vis.hasNext) set.add(vis.next())
+        it.filter(r => !set.contains(r._1))
+      }
+      openCount = cut(newOpen)
+      open = newOpen
+    }
+
+    val all =
+      if (visitedParts.isEmpty) spark.emptyDataset[ExploredRow[D]]
+      else spark.createDataset(sc.union(visitedParts.toSeq))
+    val out = all.filter(_.depth >= params.minDepth).localCheckpoint(true)
+    visitedParts.foreach(_.unpersist(blocking = false))
+    visitedKeyParts.foreach(_.unpersist(blocking = false))
+    persistedFrontiers.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Per-level frontier dedup winner (same level => equal depth), matching
     * the reference's single-winning-lineage reduce
     * (PathPlanning_Simple.scala:36-46 `candidates.minBy`). The surviving

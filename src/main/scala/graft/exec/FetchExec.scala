@@ -36,6 +36,30 @@ object Locality {
   case object Wide extends Locality
 }
 
+/** PLACEMENT of Wide fetch groups — orthogonal to the dedup key (which
+  * stays the canonical trace key either way; dedup semantics never change).
+  */
+sealed trait FetchLayout extends Serializable
+object FetchLayout {
+
+  /** Default: hash-partition by the dedup key (any group anywhere). */
+  case object ByKey extends FetchLayout
+
+  /** Host-keyed frontier layout — the cluster-global politeness story
+    * ([[graft.agent.HostPoliteness]] is per-JVM by design): ALL traces
+    * against one host land in at most `salt` partitions (task slots), so
+    * the per-JVM limiter's min-interval guarantee holds globally at ≤
+    * salt× the configured per-host rate. salt = 1 is strict global
+    * politeness; raise it for a dominant host that would otherwise
+    * serialize the whole crawl behind one task (the documented skew trade:
+    * k× that host's rate for k× its throughput). Hostless traces (file:,
+    * Mock) place by their dedup key as usual.
+    */
+  final case class ByHost(salt: Int = 1) extends FetchLayout {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+  }
+}
+
 /** The engine's one genuinely novel physical operator: common-subexpression
   * elimination on SIDE EFFECTS (reference execution/FetchPlan.scala:25-60,
   * SURVEY §4 #2). Rows are keyed by the canonical hash of their trace and
@@ -60,7 +84,8 @@ object FetchExec {
     */
   def fetch[D](keyed: Dataset[(Trace, D)], env: Env,
                locality: Locality = Locality.Wide,
-               keyBy: Trace => String = _.cacheKey): Dataset[FetchedRow[D]] = {
+               keyBy: Trace => String = _.cacheKey,
+               layout: FetchLayout = FetchLayout.ByKey): Dataset[FetchedRow[D]] = {
     implicit val rowEnc: Encoder[FetchedRow[D]] = Encoders.kryo[FetchedRow[D]]
     implicit val keyedEnc: Encoder[(String, (Trace, D))] =
       Encoders.tuple(Encoders.STRING, Encoders.kryo[(Trace, D)])
@@ -107,17 +132,54 @@ object FetchExec {
         }
 
       case Locality.Wide =>
-        keyed
-          .map { case (t, d) => (keyBy(t), (t, d)) }
-          .groupByKey(_._1)(Encoders.STRING)
-          .flatMapGroups { (key: String, it: Iterator[(String, (Trace, D))]) =>
-            // ONE execution per distinct key (the whole point), streaming
-            // over the group — a group may hold millions of origin rows and
-            // must not be buffered
-            val first = it.next()
-            val traj = Trajectory(Agent.execute(first._2._1, env))
-            (Iterator(first) ++ it).map { case (_, (t, d)) => FetchedRow(d, key, t, traj) }
+        // BOTH layouts run at the RDD layer, deliberately: a fetch stage's
+        // cost is per ROW (a network round-trip), not per byte, so AQE's
+        // size-based partition coalescing — which sees a few KB of (trace,
+        // payload) rows and folds the whole shuffle into one task — would
+        // serialize every fetch behind one thread (measured 16x slower on
+        // a 1200-url crawl). RDD shuffles are invisible to AQE: the fetch
+        // stage's parallelism is exactly spark.sql.shuffle.partitions.
+        //
+        // Placement: ByKey partitions by the dedup key's hash (any group
+        // anywhere — the default); ByHost derives the partition from
+        // (host, traceHash % salt) — two rows of one trace always share a
+        // salt index, so a key's group still lands whole in one partition,
+        // while one host spreads over at most `salt` partitions.
+        // repartitionAndSortWithinPartitions makes equal keys CONSECUTIVE,
+        // so the per-partition pass executes once per key run and streams —
+        // groups are never buffered (the former flatMapGroups discipline).
+        val spark = keyed.sparkSession
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val prepared = keyed.rdd.map { case (t, d) =>
+          val k = keyBy(t)
+          val part = layout match {
+            case FetchLayout.ByKey => math.floorMod(k.hashCode, parts)
+            case FetchLayout.ByHost(salt) =>
+              val host = t.primaryUri.flatMap(graft.agent.HostPoliteness.hostOf).getOrElse(k)
+              val saltIdx = if (salt <= 1) 0 else math.floorMod(k.hashCode, salt)
+              math.floorMod((host, saltIdx).hashCode, parts)
           }
+          ((part, k), (t, d))
+        }
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = parts
+          override def getPartition(key: Any): Int = key.asInstanceOf[(Int, String)]._1
+        }
+        implicit val keyOrd: Ordering[(Int, String)] =
+          Ordering.Tuple2(Ordering.Int, Ordering.String)
+        val sorted = prepared.repartitionAndSortWithinPartitions(partitioner)
+        val rows = sorted.mapPartitions { it =>
+          var curKey: String = null
+          var curTraj: Trajectory = null
+          it.map { case ((_, k), (t, d)) =>
+            if (k != curKey) {
+              curKey = k
+              curTraj = Trajectory(Agent.execute(t, env))
+            }
+            FetchedRow(d, k, t, curTraj)
+          }
+        }
+        spark.createDataset(rows)(rowEnc)
     }
   }
 }

@@ -267,12 +267,73 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     run(ctx2)
     assert(ctx2.metrics.pagesFetched.value == 0)
   }
+
+  // ---- best-first (priority-scored, budgeted) ------------------------------
+
+  /** Page graph with scores ENCODED IN FILENAMES (`name_score.html`):
+    *   seed s_0 → a_10, b_1, c_5;  a_10 → d_2;  c_5 → e_20
+    * Under budget 4 / batch 1, best-first visits s, a, c, e — the
+    * late-DISCOVERED but highest-scored e beats the shallow b and d;
+    * level-synchronous BFS under the same budget could never reach e
+    * (depth 2) before exhausting depth-1 pages.
+    */
+  private def scoredSite(prefix: String): String = {
+    def page(name: String, links: Seq[String]): String = writeFixture(
+      s"$prefix/$name.html",
+      s"""<html><head><title>$name</title></head><body>${
+        links.map(l => s"""<a href="$l.html">$l</a>""").mkString
+      }</body></html>""")
+    page("d_2", Nil); page("e_20", Nil); page("b_1", Nil)
+    page("a_10", Seq("d_2")); page("c_5", Seq("e_20"))
+    page("s_0", Seq("a_10", "b_1", "c_5"))
+  }
+
+  test("best-first: budget N visits the highest-scored reachable pages first, not the shallowest") {
+    val seedPath = scoredSite("explore8")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$seedPath"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        linkExpand,
+        priority = (t, _) => t.primaryUri.map(ExploreSpec.scoreOf).getOrElse(0.0),
+        fetchBudget = 4, batchSize = 1)
+    val rows = explored.collect()
+    val visited = rows.map(r => r.row.trajectory.texts("title").mkString).toSet
+    // s (seed) then strictly by score among open: a_10, c_5, then e_20
+    // (discovered by c) — never b_1 or d_2
+    assert(visited == Set("s_0", "a_10", "c_5", "e_20"), s"got $visited")
+    assert(ctx.metrics.pagesFetched.value == 4) // exactly the budget
+    // discovery depths recorded (e is depth 2 despite early visit)
+    val depths = rows.map(r => r.row.trajectory.texts("title").mkString -> r.depth).toMap
+    assert(depths("e_20") == 2 && depths("a_10") == 1)
+  }
+
+  test("best-first: budget past exhaustion just visits everything once; visited set exact") {
+    val seedPath = scoredSite("explore9")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$seedPath"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        linkExpand,
+        priority = (t, _) => t.primaryUri.map(ExploreSpec.scoreOf).getOrElse(0.0),
+        fetchBudget = 100, batchSize = 2)
+    val visited = explored.collect()
+      .map(r => r.row.trajectory.texts("title").mkString).sorted.toSeq
+    assert(visited == Seq("a_10", "b_1", "c_5", "d_2", "e_20", "s_0"))
+    assert(ctx.metrics.pagesFetched.value == 6) // each page exactly once
+  }
 }
 
 /** Expansion fns live outside the spec class so Spark closures don't capture
   * the (non-serializable) ScalaTest engine.
   */
 object ExploreSpec {
+
+  /** Filename-encoded score (`name_score.html`); lives here so the
+    * priority closure doesn't capture the ScalaTest engine.
+    */
+  def scoreOf(uri: String): Double =
+    "_([0-9]+)\\.html".r.findFirstMatchIn(uri).map(_.group(1).toDouble).getOrElse(0.0)
 
   def linkExpand(r: FetchedRow[String]): Seq[(Trace, String)] =
     r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))

@@ -29,7 +29,10 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
   override def beforeEach(): Unit = InMemoryDocCache.clear()
 
   override def beforeAll(): Unit = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // wildcard bind: the whole 127/8 block is loopback, so 127.0.0.2,
+    // 127.0.0.3, ... reach this same server as DISTINCT logical hosts —
+    // what the host-layout + politeness tests key on
+    server = HttpServer.create(new InetSocketAddress(0), 0)
     port = server.getAddress.getPort
     def respond(ex: HttpExchange, code: Int, body: String, mime: String = "text/html"): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -70,6 +73,12 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     server.createContext("/timed", (ex: HttpExchange) => {
       HttpSpec.arrivals.add(System.currentTimeMillis())
       respond(ex, 200, "<p>t</p>")
+    })
+    server.createContext("/hosted", (ex: HttpExchange) => {
+      val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("?")
+        .takeWhile(_ != ':')
+      HttpSpec.hostArrivals.add(host -> System.currentTimeMillis())
+      respond(ex, 200, "<p>h</p>")
     })
     server.createContext("/post-once", (ex: HttpExchange) => {
       if (ex.getRequestMethod == "POST") HttpSpec.postHits.incrementAndGet()
@@ -140,6 +149,55 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
         r.trajectory.doc.get.root.children("body").head.text))
       .collect().head
     assert(got == ("POST", "payload42"))
+  }
+
+  test("ByHost layout: each host's fetches co-locate into <= salt slots; dedup and spacing hold") {
+    graft.agent.HostPoliteness.clear()
+    HttpSpec.hostArrivals.clear()
+    // cache ON (the default): subsequent actions on the fetched dataset
+    // replay from the doc cache instead of refetching — the arrival log
+    // must only see the FIRST execution's 4 requests per host
+    val ctx = new GraftContext(spark, GraftConf(hostMinIntervalMillis = 100))
+    import spark.implicits._
+    // 3 logical hosts (loopback aliases of the wildcard-bound server) x 4
+    // distinct pages each; every url appears twice across 16 input slices
+    val urls = for (h <- 2 to 4; p <- 0 until 4) yield s"http://127.0.0.$h:$port/hosted?p=$p"
+    val view = ctx.create((urls.indices ++ urls.indices).toSeq, numSlices = 16)
+      .fetchOne(i => Trace.of(Wget(urls(i))),
+        layout = graft.exec.FetchLayout.ByHost(1))
+    assert(view.count() == 24)
+    // dedup is untouched by placement: 24 rows, 12 distinct traces
+    assert(ctx.metrics.pagesFetched.value == 12)
+    // co-location (what makes per-JVM politeness cluster-global): the
+    // output partition IS the execution partition, and each host must
+    // occupy exactly one of them under salt = 1
+    val hostParts = view.dataset.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (graft.agent.HostPoliteness.hostOf(r.trace.primaryUri.get).get, pid))
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(hostParts.keySet == Set("127.0.0.2", "127.0.0.3", "127.0.0.4"))
+    assert(hostParts.values.forall(_.size == 1),
+      s"a host spread past its salt budget: $hostParts")
+    // the limiter composes with the layout: per-host arrival SPAN (the
+    // span-not-gaps form of the dedicated politeness test — individual
+    // gaps can compress when an early arrival lags under load, the span
+    // of 4 spaced starts cannot fall below 3 x interval)
+    import scala.jdk.CollectionConverters._
+    val byHost = HttpSpec.hostArrivals.asScala.toSeq.groupBy(_._1)
+    byHost.values.foreach { arr =>
+      val ts = arr.map(_._2).sorted
+      assert(ts.size == 4)
+      assert(ts.last - ts.head >= 3 * 100 - 20,
+        s"4 same-host fetches arrived within ${ts.last - ts.head} ms")
+    }
+    // salt = 2 trades rate for throughput: each host spans at most 2 slots
+    val view2 = ctx.create(urls.indices.toSeq, numSlices = 16)
+      .fetchOne(i => Trace.of(Wget(urls(i))),
+        layout = graft.exec.FetchLayout.ByHost(2))
+    assert(view2.count() == 12)
+    val parts2 = view2.dataset.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (graft.agent.HostPoliteness.hostOf(r.trace.primaryUri.get).get, pid))
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(parts2.values.forall(_.size <= 2))
   }
 
   test("Narrow eviction pressure never re-executes a Wpost: non-idempotent memo entries are pinned") {
@@ -403,6 +461,7 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
 }
 
 object HttpSpec {
+  val hostArrivals = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
   val postHits = new java.util.concurrent.atomic.AtomicInteger(0)
   val nonces = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
