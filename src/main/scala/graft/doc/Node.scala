@@ -124,8 +124,10 @@ object Node {
         m.contains("vnd.ms-powerpoint")) {
         // "RTF saved as .doc" is a common real-world shape: the extension
         // says msword but the bytes are RTF — fall through to the RTF
-        // interpreter when the CFB magic is absent
-        val cfb = CfbSalvage.parse(content)
+        // interpreter when the CFB magic is absent. Real CFBs get the
+        // structured walk (Word piece table / BIFF8 SST — CfbNode), which
+        // itself degrades to printable-run salvage for other CFB content.
+        val cfb = CfbNode.parse(content)
         if ((cfb eq Unrecognisable) && rtfStr.startsWith("{\\rtf")) RtfNode.parse(rtfStr)
         else cfb
       }

@@ -353,6 +353,34 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q65 — legacy Word ingestion (the q38 posture, CFB edition): every 25th
+    * document (offset 9 — disjoint from q37's PDFs and q38's docx) becomes
+    * a real `.doc` on disk — a CFB container whose WordDocument stream
+    * holds the text as a UTF-16 piece with its piece table in `1Table`
+    * ([[graft.doc.CfbNode.writeDoc]]) — and the engine recovers the text
+    * purely through the Node seam (extension/magic mime sniff → CFB
+    * FAT/directory walk → FIB → piece table). The oracle reads the source
+    * table: extraction must be LOSSLESS, any Unicode.
+    */
+  def q65DocExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q65")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 9)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.doc",
+          graft.doc.CfbNode.writeDoc(r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.doc")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "doc_text")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
@@ -684,6 +712,7 @@ object EngineQ {
     "q36_embed_neardup" -> q36EmbedNearDup _,
     "q37_pdf_extract" -> q37PdfExtract _,
     "q38_docx_extract" -> q38DocxExtract _,
+    "q65_doc_extract" -> q65DocExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -767,6 +796,9 @@ object EngineQ {
     "q38_docx_extract" ->
       """SELECT doc_id, text AS docx_text
         |FROM documents WHERE doc_id % 25 = 7 ORDER BY doc_id""".stripMargin,
+    "q65_doc_extract" ->
+      """SELECT doc_id, text AS doc_text
+        |FROM documents WHERE doc_id % 25 = 9 ORDER BY doc_id""".stripMargin,
     "q42_ann_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
