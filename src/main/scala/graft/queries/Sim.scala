@@ -598,7 +598,8 @@ object SimQ {
         explode(array(
           (col("id") * 7 + 1) % n, (col("id") * 13 + 3) % n,
           (col("id") * 31 + 7) % n)).as("dst"))
-      .localCheckpoint() // reused 3x; cuts the re-synthesis lineage
+    // no checkpoint here: PageRank.run materializes the outdeg-annotated
+    // edge list itself — a second edge materialization would be pure waste
     // the general operator ([[graft.scale.PageRank]]): this graph has no
     // dangling nodes and tol=0, so the run stays PURE LINEAGE — Catalyst
     // sees all three unrolled iterations and PlanAuditSpec audits their
@@ -634,7 +635,6 @@ object SimQ {
     val edges = emitters.select(col("id").as("src"), ((col("id") * 3 + 1) % n).as("dst"))
       .union(emitters.filter(col("id") % 2 === 0)
         .select(col("id").as("src"), ((col("id") * 11 + 5) % n).as("dst")))
-      .localCheckpoint()
     graft.scale.PageRank.run(ids, edges, damping = 0.85, tol = 0.0, maxIter = 3)
       .ranks
       .select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"))

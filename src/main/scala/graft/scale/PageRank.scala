@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   * are needed (no dangling nodes, tol = 0), iterations stay PURE LINEAGE
   * and only every `checkpointEvery`-th iteration truncates — so a short
   * fixed-iteration run like q62 remains fully declarative (Catalyst sees
-  * the whole multi-iteration plan; PlanAuditSpec audits its joins).
+  * the whole multi-iteration plan; PlanAuditSpec audits its joins). The
+  * EDGE index is a plain DataFrame localCheckpoint (a typed-RDD round
+  * trip would pay an encoder pass over the whole edge table just to be
+  * releasable); its blocks free via the ContextCleaner once the Result is
+  * unreferenced — only the node-scale rank checkpoints, the thing that
+  * actually accumulates over a long run, get the eager-release treatment.
   *
   * Driver-side state: one Double per iteration (dangling mass / delta) —
   * the bounded-aggregate pattern of PrefixSum/Bpe, never row data.
@@ -77,28 +82,30 @@ object PageRank {
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
     // out-degree rides the edge list once; the loop never recounts it.
-    // Typed-RDD checkpoints (not DataFrame.localCheckpoint) so the blocks
-    // can actually be RELEASED on return — Dataset.unpersist only knows
-    // CacheManager entries, which localCheckpoint never registers.
+    // Plain DataFrame localCheckpoint (no typed-RDD round trip — an
+    // encoder pass over the EDGE table is the dominant setup cost at
+    // graph scale): the blocks are freed by the ContextCleaner when the
+    // Result drops out of scope, the accepted in-query norm. Only the
+    // node-scale per-iteration rank checkpoints use the releasable
+    // typed-RDD form — those are what accumulate over a long run.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    val edgeEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-      Encoders.scalaDouble)
-    val withDegRdd = edges
+    val withDeg = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .join(deg.hint("shuffle_hash"), Seq("src"))
-      .select(col("src"), col("dst"), col("outdeg"))
-      .as[(Long, Long, Double)](edgeEnc).rdd
-    withDegRdd.localCheckpoint() // edge-scale; released before return
-    val withDeg = spark.createDataset(withDegRdd)(edgeEnc)
-      .toDF("src", "dst", "outdeg")
-    val danglingRdd = ids
-      .join(withDeg.select(col("src").as("id")).distinct().hint("shuffle_hash"),
-        Seq("id"), "left_anti")
-      .as[Long](Encoders.scalaLong).rdd
-    danglingRdd.localCheckpoint() // node-scale at worst
-    val dangling = spark.createDataset(danglingRdd)(Encoders.scalaLong).toDF("id")
-    val nDangling = dangling.count()
+      .localCheckpoint() // edge-scale, materialized once, read per iteration
+    // dangling count without a second edge pass: emitters = distinct srcs
+    // (assumes src ⊆ nodes — the crawl-graph invariant; a foreign src
+    // would contribute rank it never held)
+    val nDangling = n - withDeg.select(col("src")).distinct().count()
+    // materialized only when dangling nodes exist (it feeds a per-
+    // iteration aggregate — without the checkpoint every dm job would
+    // re-run the anti-join)
+    val dangling =
+      if (nDangling == 0) null
+      else ids.join(
+        withDeg.select(col("src").as("id")).distinct().hint("shuffle_hash"),
+        Seq("id"), "left_anti").localCheckpoint()
     // scalars force a materialized rank vector every iteration; without
     // them the loop stays declarative and only truncates on the cadence
     val needScalars = nDangling > 0 || tol > 0
@@ -108,10 +115,8 @@ object PageRank {
     var iter = 0
     var delta = Double.NaN
     var converged = false
-    var lastCheckpointed = false
     while (iter < maxIter && !converged) {
       iter += 1
-      lastCheckpointed = false
       val dm =
         if (nDangling == 0) 0.0
         else ranks.join(dangling.hint("shuffle_hash"), Seq("id"))
@@ -140,18 +145,12 @@ object PageRank {
         }
         if (prevCp != null) prevCp.unpersist(blocking = false)
         prevCp = rdd
-        lastCheckpointed = true
       }
       ranks = next
     }
-    // the edge index and dangling set die with the run — UNLESS the final
-    // iterations are pure lineage (no trailing checkpoint), where the
-    // returned frame still reads them; then they hand over to release()
-    if (lastCheckpointed) {
-      withDegRdd.unpersist(blocking = false)
-      danglingRdd.unpersist(blocking = false)
-      new Result(ranks, iter, delta, Seq(prevCp))
-    } else new Result(ranks, iter, delta,
-      Seq(withDegRdd, danglingRdd) ++ Option(prevCp).toSeq)
+    // rank-checkpoint blocks hand over to release(); the edge index (a
+    // DataFrame localCheckpoint) frees via the ContextCleaner once the
+    // Result is unreferenced
+    new Result(ranks, iter, delta, Option(prevCp).toSeq)
   }
 }
