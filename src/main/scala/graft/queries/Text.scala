@@ -606,7 +606,17 @@ object TextQ {
     *         interval after merging; spans cover tokens
     *         [pos, min(pos+k, n_tokens)).
     */
-  def substringRemovalSpans(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame = {
+  def substringRemovalSpans(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame =
+    substringRemovalIntervals(docs, k, p)
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_spans"),
+        expr("aggregate(m, 0L, (a, x) -> a + x.e - x.s)").as("n_removed_tokens"))
+
+  /** The merged removal INTERVALS behind [[substringRemovalSpans]] —
+    * (doc_id, m: array<struct<s,e>>) for docs with ≥ 1 removal; feed to
+    * [[substringScrub]] to materialize the deduplicated corpus.
+    */
+  def substringRemovalIntervals(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame = {
     val occ = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
         explode(graft.functions.anchor_spans(col("text"), k, p)).as("a"))
@@ -632,10 +642,41 @@ object TextQ {
           |      array(named_struct('s', element_at(acc, -1).s,
           |        'e', greatest(element_at(acc, -1).e, x.e)))),
           |    concat(acc, array(x))))""".stripMargin).as("m"))
-      .select(col("doc_id"),
-        size(col("m")).cast("long").as("n_spans"),
-        expr("aggregate(m, 0L, (a, x) -> a + x.e - x.s)").as("n_removed_tokens"))
   }
+
+  /** APPLY the removal lists — the output stage of Lee et al. 2022's
+    * dedup: every doc minus its duplicated spans (keeper occurrences
+    * survive), as text. Docs without removals pass through VERBATIM (no
+    * tokenize/rejoin round trip — byte-identical text for the untouched
+    * majority of the corpus); scrubbed docs drop exactly the tokens in
+    * their merged intervals (a per-row index filter — O(tokens × spans),
+    * spans per doc are few after merging). One shuffle beyond the
+    * interval computation (the doc_id join; interval side is
+    * removal-scale, not corpus-scale).
+    *
+    * @return (doc_id, clean_text, n_removed_tokens) for EVERY input doc
+    */
+  def substringScrub(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame = {
+    val iv = substringRemovalIntervals(docs, k, p)
+    docs.join(iv.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("m").isNull, col("text")).otherwise(expr(
+          """array_join(filter(split(text, ' '),
+            |  (t, i) -> !exists(m, v -> i >= v.s AND i < v.e)), ' ')""".stripMargin))
+          .as("clean_text"),
+        coalesce(expr("aggregate(m, 0L, (a, x) -> a + x.e - x.s)"), lit(0L))
+          .as("n_removed_tokens"))
+  }
+
+  /** q66 — the scrubbed corpus ([[substringScrub]]): q63's removal lists
+    * APPLIED. The DuckDB oracle rebuilds each scrubbed doc by anti-joining
+    * token positions against the expanded removal intervals and
+    * re-aggregating in order; untouched docs must round-trip
+    * byte-identically.
+    */
+  def q66SubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrub(Tables.documents(spark, dir), k = 12, p = 4)
+      .orderBy(col("doc_id"))
 
   /** q63 — span-granular substring-dedup removal lists over the corpus
     * ([[substringRemovalSpans]]): which docs lose which token spans when
@@ -736,6 +777,7 @@ object TextQ {
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
     "q63_substring_removal" -> q63SubstringRemoval _,
+    "q66_substring_scrub" -> q66SubstringScrub _,
     "q54_pii_scrub" -> q54PiiScrub _,
     "q55_bpe_apply" -> q55BpeApply _,
   )
@@ -791,6 +833,62 @@ object TextQ {
          |    + len(regexp_extract_all(t, '$PhoneRe')) + len(regexp_extract_all(t, '$Ipv4Re')) > 0
          |ORDER BY doc_id""".stripMargin
     },
+    // q63's interval chain, then APPLIED: token positions anti-join the
+    // expanded removal ranges and re-aggregate in order; untouched docs
+    // take the source text verbatim (matching the Spark pass-through)
+    "q66_substring_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p0 AS (
+        |  SELECT doc_id, len(toks) AS n_toks, toks,
+        |    unnest(range(1, greatest(len(toks) - 11, 1) + 1)) AS i
+        |  FROM t
+        |), occ AS (
+        |  SELECT doc_id, n_toks, i - 1 AS pos,
+        |    substr(md5(array_to_string(list_slice(toks, i, i + 11), ' ')), 1, 16) AS gh
+        |  FROM p0
+        |  WHERE substr(md5(array_to_string(list_slice(toks, i, i + 11), ' ')), 32, 1)
+        |        IN ('0', '4', '8', 'c')
+        |), keep AS (
+        |  SELECT gh, min(doc_id * 4294967296 + pos) AS kkey
+        |  FROM occ GROUP BY gh HAVING count(*) >= 2
+        |), spans AS (
+        |  SELECT o.doc_id, o.pos AS s, least(o.pos + 12, o.n_toks) AS e
+        |  FROM occ o JOIN keep k ON k.gh = o.gh
+        |  WHERE o.doc_id * 4294967296 + o.pos <> k.kkey
+        |), m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM spans
+        |), isl AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m
+        |), agg AS (
+        |  SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+        |), rem AS (
+        |  SELECT doc_id, unnest(range(s, e)) AS pos FROM agg
+        |), allpos AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+        |), kept AS (
+        |  SELECT a.doc_id, a.i, a.toks[a.i] AS tok
+        |  FROM allpos a LEFT JOIN rem r ON r.doc_id = a.doc_id AND r.pos = a.i - 1
+        |  WHERE r.pos IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |), removed AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed_tokens
+        |  FROM agg GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN rm.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(rb.clean_text, '') END AS clean_text,
+        |  coalesce(rm.n_removed_tokens, 0) AS n_removed_tokens
+        |FROM documents d
+        |LEFT JOIN removed rm ON rm.doc_id = d.doc_id
+        |LEFT JOIN rebuilt rb ON rb.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // positional anchors from first principles (repeats kept), per-gram
     // keeper = min (doc_id, pos) encoded as doc_id*2^32+pos, non-keeper
     // occurrences -> [pos, pos+12) intervals, merged per doc with the

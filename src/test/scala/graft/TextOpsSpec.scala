@@ -344,6 +344,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.forall { case (_, nSpans, nToks) => nSpans == 1L && nToks == 20L })
   }
 
+  test("substring scrub: removal lists APPLIED — keeper keeps its span, others lose exactly it") {
+    val docs = plantedSpanDocs()
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = TextQ.substringScrub(docs, k = 12, p = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.keySet == rows.keySet) // every doc present
+    // brute expectation: drop tokens covered by brute removal intervals
+    val expected = bruteRemoval(rows.toSeq, k = 12, _ => true)
+    rows.foreach { case (id, text) =>
+      val (clean, nRemoved) = got(id)
+      expected.get(id) match {
+        case None =>
+          assert(clean == text && nRemoved == 0L, s"untouched doc $id must round-trip verbatim")
+        case Some((_, expRemoved)) =>
+          assert(nRemoved == expRemoved)
+          val toks = text.split(" ", -1)
+          assert(clean.split(" ", -1).length == toks.length - expRemoved,
+            s"doc $id token count after scrub")
+      }
+    }
+    // the planted spans specifically: doc 1 keeps its 40-token span, docs
+    // 2/3 lose every dupN token; doc 10 keeps, 11 loses every copyN
+    assert(got(1L)._1.contains("dup0") && got(1L)._1.contains("dup39"))
+    assert(!got(2L)._1.contains("dup") && !got(3L)._1.contains("dup"))
+    assert(got(10L)._1.contains("copy0") && !got(11L)._1.contains("copy"))
+  }
+
   test("pair mode never broadcasts the pair-derived table (shuffle-hash pinned)") {
     val docs = plantedSpanDocs()
     val plan = TextQ.substringDedupPairs(docs, k = 12, p = 4)
