@@ -490,6 +490,35 @@ object CfbNode {
     out
   }
 
+  /** Minimal .xls: a BIFF8 Workbook stream — BOF, BoundSheet8 (the sheet
+    * name), an SST carrying `strings` as UTF-16 entries (lossless for any
+    * Unicode; each must stay under the 32k-char BIFF string cap), EOF.
+    */
+  def writeXls(sheetName: String, strings: Seq[String]): Array[Byte] = {
+    require(strings.forall(_.length < 32000), "BIFF8 string cap")
+    val bout = new java.io.ByteArrayOutputStream()
+    def rec(id: Int, body: Array[Byte]): Unit = {
+      require(body.length < 8224, "record over BIFF8 cap needs Continue")
+      bout.write(id & 0xff); bout.write((id >> 8) & 0xff)
+      bout.write(body.length & 0xff); bout.write((body.length >> 8) & 0xff)
+      bout.write(body)
+    }
+    rec(0x0809, new Array[Byte](16)) // BOF (workbook globals)
+    val nm = sheetName.getBytes(StandardCharsets.UTF_16LE)
+    rec(0x0085, Array[Byte](0, 0, 0, 0, 0, 0, (sheetName.length & 0xff).toByte, 1) ++ nm)
+    val sst = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { sst.write(v & 0xff); sst.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    w32(strings.size); w32(strings.size)
+    strings.foreach { s =>
+      w16(s.length); sst.write(0x01) // fHighByte: UTF-16LE
+      sst.write(s.getBytes(StandardCharsets.UTF_16LE))
+    }
+    rec(0x00FC, sst.toByteArray)
+    rec(0x000A, Array.empty[Byte]) // EOF
+    write(Seq("Workbook" -> bout.toByteArray))
+  }
+
   /** Minimal .doc: a 1536-byte FIB + the text as ONE UTF-16LE piece, with
     * the piece table in `1Table` — lossless for arbitrary Unicode (the
     * q38-fixture posture, legacy-Word edition).

@@ -381,6 +381,30 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q67 — legacy Excel ingestion: every 25th document (offset 11) becomes
+    * a `.xls` whose BIFF8 SST holds the text ([[graft.doc.CfbNode
+    * .writeXls]]); the Node seam recovers sheet name + SST string as
+    * blocks (CFB walk → Workbook record chain). Lossless, any Unicode.
+    */
+  def q67XlsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q67")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 11)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"sheet_${r.getLong(0)}.xls",
+          graft.doc.CfbNode.writeXls("Data", Seq(r.getString(1))))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/sheet_$id.xls")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "xls_text")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
@@ -713,6 +737,7 @@ object EngineQ {
     "q37_pdf_extract" -> q37PdfExtract _,
     "q38_docx_extract" -> q38DocxExtract _,
     "q65_doc_extract" -> q65DocExtract _,
+    "q67_xls_extract" -> q67XlsExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -799,6 +824,9 @@ object EngineQ {
     "q65_doc_extract" ->
       """SELECT doc_id, text AS doc_text
         |FROM documents WHERE doc_id % 25 = 9 ORDER BY doc_id""".stripMargin,
+    "q67_xls_extract" ->
+      """SELECT doc_id, 'Data' || chr(10) || text AS xls_text
+        |FROM documents WHERE doc_id % 25 = 11 ORDER BY doc_id""".stripMargin,
     "q42_ann_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
