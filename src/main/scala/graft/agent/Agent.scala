@@ -283,14 +283,18 @@ object Agent {
         })
       }
 
-      // validation -> error path (reference Export.accept)
-      val validated = indexed.map { ob =>
-        if (env.conf.validation.accept(ob)) ob
-        else {
+      // validation -> error path (reference Export.accept). An observation
+      // that is ALREADY an error keeps its original cause — rewriting a
+      // robots-block or fetch failure into "validation failed" would
+      // destroy the information every downstream policy keys on (e.g. the
+      // best-first budget exempts robots blocks, not validation rejects).
+      val validated = indexed.map {
+        case er: DocError => er
+        case ob if env.conf.validation.accept(ob) => ob
+        case ob =>
           env.metrics.errors.add(1)
           errorDumpObs(ob, env, now)
           DocError(ob.uid, ob.uri, s"validation failed: ${env.conf.validation}", now)
-        }
       }
 
       // large-body offload BEFORE the cache write, so the caches store pointer

@@ -340,7 +340,14 @@ object ExploreExec {
       val keys = fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
       keys.persist(StorageLevel.MEMORY_AND_DISK)
       visitedKeyParts += keys
-      remaining -= fetched.count()
+      // robots-blocked rows made NO request (the gate refuses before any
+      // network or pagesFetched tick) — they must not consume the fetch
+      // budget either, or a heavily-disallowed frontier silently starves
+      // the crawl. Failed real attempts DO consume (the request happened).
+      remaining -= fetched.filter(r => !r.row.trajectory.observations.exists {
+        case e: graft.doc.DocError => e.message.startsWith("blocked by robots.txt")
+        case _ => false
+      }).count()
 
       val children: RDD[Scored] = fetched.flatMap { r =>
         if (r.depth + 1 >= maxDepth) Nil

@@ -401,6 +401,30 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(HttpSpec.robotsHits.get() == 1)
   }
 
+  test("best-first explore: robots-blocked pages burn NO budget; the real frontier still gets it") {
+    graft.agent.RobotsCache.clear()
+    HttpSpec.blockedHits.set(0)
+    val ctx = new GraftContext(spark, GraftConf(respectRobots = true, remoteRetries = 0))
+    import spark.implicits._
+    val b = base
+    // priority LOVES the blocked page: /blocked/c scores 100, /site/b 1 —
+    // best-first tries c first; the robots gate refuses without a request,
+    // and with budget 2 the crawl must still reach BOTH real pages (a, b).
+    // A budget that counted blocked rows would starve b.
+    val rows = ctx.create(Seq(s"$b/site/a.html"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        ExploreSpec.linkExpand,
+        priority = (t, _) => if (t.primaryUri.exists(_.contains("/blocked/"))) 100.0 else 1.0,
+        fetchBudget = 2, batchSize = 1)
+      .collect()
+    val titles = rows.flatMap(_.row.trajectory.texts("title")).toSet
+    assert(titles == Set("A", "B"), s"crawl reached $titles")
+    assert(rows.exists(_.row.trajectory.failed.exists(_.uri.contains("/blocked/"))),
+      "the blocked page surfaces as an error row")
+    assert(ctx.metrics.pagesFetched.value == 2, "exactly the budget in real fetches")
+    assert(HttpSpec.blockedHits.get() == 0, "the disallowed page must never be requested")
+  }
+
   test("robots gates browser Visit too: disallowed navigation fails the trace without loading") {
     graft.agent.RobotsCache.clear()
     HttpSpec.blockedHits.set(0)
