@@ -668,6 +668,67 @@ object TextQ {
           .as("n_removed_tokens"))
   }
 
+  /** Incremental span-granular removal lists — arrivals-only, the
+    * [[incrementalSubstringPairs]] discipline for the removal-list mode:
+    * only the NEW batch pays an anchor pass; its occurrences meet the
+    * PERSISTED per-gram summary (gh → keeper key + occurrence count)
+    * instead of the corpus. Keeper elections are MONOTONE under
+    * append-only ingest with increasing doc ids (the min (doc_id, pos)
+    * key of a gram can only be claimed by an older doc), so existing
+    * docs never gain or lose removals when a batch lands — the new
+    * removals are exactly the arrival occurrences of (a) grams already
+    * known to the index and (b) grams duplicated within the batch,
+    * minus each gram's global keeper. Per-batch cost tracks the batch,
+    * never the corpus.
+    *
+    * @param oldIndex persisted per-gram summary (gh, kkey, n_occ) of the
+    *                 pre-existing corpus — pass `null`/empty for the
+    *                 first batch; maintain by persisting `_1` of the
+    *                 return value between batches
+    * @param newDocs  the arrival batch (doc_ids strictly greater than
+    *                 every pre-existing doc_id)
+    * @return (updated per-gram summary — REPLACES the persisted index;
+    *         merged removal intervals (doc_id, m) for arrival docs only,
+    *         the [[substringRemovalIntervals]] shape)
+    */
+  def incrementalRemovalIntervals(oldIndex: DataFrame, newDocs: DataFrame,
+                                  k: Int = 12, p: Int = 4): (DataFrame, DataFrame) = {
+    val occ = newDocs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
+        explode(graft.functions.anchor_spans(col("text"), k, p)).as("a"))
+      .select(col("doc_id"), col("n_toks"), col("a.pos").as("pos"),
+        substring(md5(col("a.gram")), 1, 16).as("gh"))
+      .localCheckpoint() // batch-sized; read by summary + removal paths
+    val okey = col("doc_id") * lit(4294967296L) + col("pos")
+    val batchSum = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"), min(okey).as("kkey"))
+    val newIndex = Option(oldIndex).filter(!_.isEmpty)
+      .map { old =>
+        old.select(col("gh"), col("kkey"), col("n_occ"))
+          .union(batchSum.select(col("gh"), col("kkey"), col("n_occ")))
+          .groupBy(col("gh"))
+          .agg(sum(col("n_occ")).as("n_occ"), min(col("kkey")).as("kkey"))
+      }
+      .getOrElse(batchSum)
+      .select(col("gh"), col("kkey"), col("n_occ"))
+      .localCheckpoint()
+    val keep = newIndex.filter(col("n_occ") >= 2).select(col("gh"), col("kkey"))
+    val spans = occ.join(keep.hint("shuffle_hash"), Seq("gh"))
+      .filter(okey =!= col("kkey"))
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + lit(k), col("n_toks")).as("e"))
+    val intervals = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .select(col("doc_id"), expr(
+        """aggregate(slice(sp, 2, size(sp) - 1), array(sp[0]),
+          |  (acc, x) -> IF(x.s <= element_at(acc, -1).e,
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('s', element_at(acc, -1).s,
+          |        'e', greatest(element_at(acc, -1).e, x.e)))),
+          |    concat(acc, array(x))))""".stripMargin).as("m"))
+    (newIndex, intervals)
+  }
+
   /** q66 — the scrubbed corpus ([[substringScrub]]): q63's removal lists
     * APPLIED. The DuckDB oracle rebuilds each scrubbed doc by anti-joining
     * token positions against the expanded removal intervals and

@@ -371,6 +371,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(10L)._1.contains("copy0") && !got(11L)._1.contains("copy"))
   }
 
+  test("incremental removal lists: composed batches == full recompute; keepers monotone") {
+    val s = spark
+    import s.implicits._
+    // planted docs + a LATE arrival (doc 90) repeating doc 1's 40-token
+    // span — the cross-batch case: its removal must come from the
+    // PERSISTED index, not a corpus rescan
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 200).map(i => s"x$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val span40 = (0 until 40).map(i => s"dup$i")
+    val late = Seq((90L, (soup(12) ++ span40 ++ soup(9)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val all = plantedSpanDocs().union(late)
+    def ivMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getInt(1)))).toMap
+    val full = ivMap(TextQ.substringRemovalIntervals(all, k = 12, p = 1))
+    // arrival batches in doc_id order (keeper monotonicity's precondition)
+    val batches = Seq(all.filter(col("doc_id") < 10L),
+      all.filter(col("doc_id") >= 10L && col("doc_id") < 85L),
+      all.filter(col("doc_id") >= 85L))
+    var idx: org.apache.spark.sql.DataFrame = null
+    val composed = scala.collection.mutable.Map.empty[Long, Seq[(Int, Int)]]
+    batches.foreach { b =>
+      val (ni, iv) = TextQ.incrementalRemovalIntervals(idx, b, k = 12, p = 1)
+      idx = ni
+      composed ++= ivMap(iv)
+    }
+    assert(composed.toMap == full,
+      s"composed ${composed.toMap} != full $full")
+    // the late arrival was deduped against batch-0 history: keeper doc 1
+    // survives, doc 90 loses all 40 tokens
+    assert(full(90L).map(iv => iv._2 - iv._1).sum == 40)
+    assert(!full.contains(1L))
+    // the maintained index equals the full-corpus per-gram summary
+    val fullIdx = TextQ.incrementalRemovalIntervals(null, all, k = 12, p = 1)._1
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    assert(idx.collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet == fullIdx)
+  }
+
   test("pair mode never broadcasts the pair-derived table (shuffle-hash pinned)") {
     val docs = plantedSpanDocs()
     val plan = TextQ.substringDedupPairs(docs, k = 12, p = 4)
