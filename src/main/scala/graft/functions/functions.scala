@@ -94,6 +94,14 @@ object functions {
   def winnow_grams(text: Column, k: Int, w: Int): Column =
     native(graft.sql.WinnowGrams(ex(text), k, w))
 
+  /** Positional winnowing fingerprints `array<struct<pos,gram>>` — the
+    * [[anchor_spans]] of the winnowing family: selected window-min
+    * positions, carrying the SIGMOD'03 guarantee into span-granular
+    * removal lists.
+    */
+  def winnow_spans(text: Column, k: Int, w: Int): Column =
+    native(graft.sql.WinnowSpans(ex(text), k, w))
+
   /** BPE token sequence of a text column under a fixed merge table
     * (rank-ordered single left-to-right passes per word; `</w>` word
     * marker) — the apply stage of [[graft.llm.Bpe]].

@@ -616,10 +616,26 @@ object TextQ {
     * (doc_id, m: array<struct<s,e>>) for docs with ≥ 1 removal; feed to
     * [[substringScrub]] to materialize the deduplicated corpus.
     */
-  def substringRemovalIntervals(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame = {
+  def substringRemovalIntervals(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame =
+    intervalsFromSpans(docs, graft.functions.anchor_spans(col("text"), k, p), k)
+
+  /** [[substringRemovalIntervals]] under WINNOWING selection
+    * ([[graft.functions.winnow_spans]]): any span shared by ≥ 2 docs (or
+    * repeated in one) of ≥ w+k−1 tokens is GUARANTEED to lose at least
+    * one interval on every non-keeper occurrence — the SIGMOD'03
+    * guarantee carried into removal lists (mod-p sampling trades that
+    * certainty for an oracle-replayable selection rule; spec-pinned like
+    * the winnowed pair mode).
+    */
+  def substringRemovalIntervalsWinnowed(docs: DataFrame, k: Int = 12,
+                                        w: Int = 8): DataFrame =
+    intervalsFromSpans(docs, graft.functions.winnow_spans(col("text"), k, w), k)
+
+  private def intervalsFromSpans(docs: DataFrame, spansCol: Column,
+                                 k: Int): DataFrame = {
     val occ = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
-        explode(graft.functions.anchor_spans(col("text"), k, p)).as("a"))
+        explode(spansCol).as("a"))
       .select(col("doc_id"), col("n_toks"), col("a.pos").as("pos"),
         substring(md5(col("a.gram")), 1, 16).as("gh"))
       .localCheckpoint() // the anchor pass runs once; both sides of the

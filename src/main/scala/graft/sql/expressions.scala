@@ -770,6 +770,97 @@ final case class WinnowGrams(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Positional companion to [[WinnowGrams]] — the [[AnchorSpans]] of the
+  * winnowing family: the SELECTED POSITIONS (each window's rightmost-min
+  * gram index, deduped as positions, not as grams — a gram repeated at two
+  * selected positions yields two removable spans) as `array<struct<pos,
+  * gram>>`. Two documents sharing an exact span of ≥ w+k−1 tokens select
+  * at least one identical gram at corresponding positions, so span-
+  * granular removal under this selector inherits the SIGMOD'03 guarantee.
+  */
+final case class WinnowSpans(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(w >= 1, s"w must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val m = math.max(toks.length - k + 1, 1)
+    val grams = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    val md = AnchorGrams.threadMd5.get()
+    val memo = new java.util.HashMap[String, String]()
+    val hashes = grams.map { g =>
+      var h = memo.get(g)
+      if (h == null) {
+        md.reset()
+        h = WinnowGrams.hex(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        memo.put(g, h)
+      }
+      h
+    }
+    val selected = new java.util.LinkedHashSet[Integer]()
+    if (m <= w) {
+      var best = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      selected.add(best)
+    } else {
+      val dq = new java.util.ArrayDeque[Integer]()
+      i = 0
+      while (i < m) {
+        while (!dq.isEmpty && hashes(dq.peekLast()) >= hashes(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.pollFirst()
+        if (i >= w - 1) selected.add(dq.peekFirst())
+        i += 1
+      }
+    }
+    val sortedSel = new java.util.ArrayList[Integer](selected)
+    java.util.Collections.sort(sortedSel)
+    val out = new Array[AnyRef](sortedSel.size())
+    i = 0
+    while (i < sortedSel.size()) {
+      val pos = sortedSel.get(i).intValue()
+      val row = new GenericInternalRow(2)
+      row.setInt(0, pos)
+      row.update(1, UTF8String.fromString(grams(pos)))
+      out(i) = row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSpans =
+    copy(child = newChild)
+}
+
 object WinnowGrams {
   private[sql] val threadMd5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1122,6 +1213,10 @@ object GraftExtensions {
         c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("anchor_spans", new ExpressionInfo(classOf[AnchorSpans].getName, "anchor_spans"),
       (c: Seq[Expression]) => AnchorSpans(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    ("winnow_spans", new ExpressionInfo(classOf[WinnowSpans].getName, "winnow_spans"),
+      (c: Seq[Expression]) => WinnowSpans(s(c(0)),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
         c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("url_normalize", new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),

@@ -371,6 +371,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(10L)._1.contains("copy0") && !got(11L)._1.contains("copy"))
   }
 
+  test("winnowed removal lists: spans >= w+k-1 tokens ALWAYS lose an interval on the non-keeper") {
+    val s = spark
+    import s.implicits._
+    val k = 5; val w = 4
+    // many planted pairs at the guarantee threshold w+k-1 = 8 tokens,
+    // random surroundings — detection must hold for EVERY seed, not on
+    // average (the mod-p sampler would miss some of these short spans)
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 500).map(i => s"v$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (0 until 20).flatMap { g =>
+      val span = (0 until 8).map(i => s"g${g}s$i") // exactly w+k-1
+      Seq((2L * g, (soup(6) ++ (s"pre${2 * g}" +: span :+ s"post${2 * g}") ++ soup(5)).mkString(" ")),
+        (2L * g + 1, ((s"pre${2 * g + 1}" +: span :+ s"post${2 * g + 1}") ++ soup(9)).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val got = TextQ.substringRemovalIntervalsWinnowed(docs, k = k, w = w)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getInt(1)))).toMap
+    (0 until 20).foreach { g =>
+      // keeper = even doc (smaller id); the odd doc MUST lose something
+      assert(got.contains(2L * g + 1),
+        s"pair $g: guarantee violated — non-keeper doc has no removal")
+      assert(!got.contains(2L * g),
+        s"pair $g: keeper doc ${2 * g} lost an interval it should keep")
+    }
+  }
+
   test("incremental removal lists: composed batches == full recompute; keepers monotone") {
     val s = spark
     import s.implicits._
