@@ -252,6 +252,34 @@ class SqlExprSpec extends AnyFunSuite {
     assert(sqlGot == Seq((0, "a b a b"), (1, "b a b a"), (2, "a b a b")))
   }
 
+  test("winnow_spans: positions' grams == winnow_grams selection; positions sorted; SQL registered") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val docs = Seq(
+      "a b c d e f g h i j k l m n",
+      "a b a b a b a b",  // repeated grams: positions can outnumber distinct grams
+      "short",
+      ""
+    ).toDF("text")
+    val k = 3; val w = 4
+    docs.select(winnow_grams(col("text"), k, w).as("g"),
+        winnow_spans(col("text"), k, w).as("sp"))
+      .collect().foreach { r =>
+        val grams = r.getSeq[String](0)
+        val spans = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getString(1)))
+        // the positional form selects the same gram SET (it may select one
+        // gram at several positions — each a removable occurrence)
+        assert(spans.map(_._2).toSet == grams.toSet)
+        assert(spans.map(_._1) == spans.map(_._1).sorted)
+        assert(spans.map(_._1).distinct == spans.map(_._1))
+      }
+    val sqlGot = spark.sql("SELECT winnow_spans('a b c d e', 2, 2) AS s")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(sqlGot.nonEmpty)
+  }
+
   test("sim_hash: value-equivalent to the exploded conditional-sum formulation") {
     val spark0 = spark
     import spark0.implicits._
