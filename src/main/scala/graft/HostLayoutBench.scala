@@ -75,14 +75,42 @@ object HostLayoutBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // the explore path (r11 verdict #1): same skewed url population, but
+    // reached as a crawl — one seed per host expanding to that host's urls
+    // at depth 1 — so the frontier placement under test is ExploreExec's,
+    // not FetchExec's
+    val byHostUrls: Map[String, Seq[String]] =
+      urls.groupBy(u => java.net.URI.create(u).getHost)
+    def crawlExplore(layout: FetchLayout): Double = {
+      graft.agent.HostPoliteness.clear()
+      graft.cache.InMemoryDocCache.clear()
+      val ctx = new GraftContext(spark,
+        GraftConf(hostMinIntervalMillis = intervalMs, cacheEnabled = false))
+      import spark.implicits._
+      val expand = byHostUrls // local val: closure must not capture the bench object
+      val t0 = System.nanoTime()
+      val c = ctx.create(byHostUrls.keys.toSeq, numSlices = 32)
+        .explore(h => Trace.of(Wget(s"http://$h:$port/seed")))(
+          next = r =>
+            if (r.data.startsWith("#")) Nil
+            else expand(r.data).map(u => (Trace.of(Wget(u)), "#" + u)),
+          maxDepth = 2, layout = layout)
+        .count()
+      require(c == n + byHostUrls.size, s"expected ${n + byHostUrls.size} rows, got $c")
+      (System.nanoTime() - t0) / 1e9
+    }
+
     crawl(FetchLayout.ByKey) // warm-up (JIT, pools)
     val byKey = crawl(FetchLayout.ByKey)
     val byHost1 = crawl(FetchLayout.ByHost(1))
     val byHost4 = crawl(FetchLayout.ByHost(4))
+    val exByKey = crawlExplore(FetchLayout.ByKey)
+    val exByHost1 = crawlExplore(FetchLayout.ByHost(1))
     println(f"""{"bench":"host_layout","n":$n,"dominant":$nDominant,""" +
       f""""interval_ms":$intervalMs,"floor_sec":$floorSec%.2f,""" +
       f""""by_key_sec":$byKey%.2f,"by_host1_sec":$byHost1%.2f,""" +
-      f""""by_host4_sec":$byHost4%.2f}""")
+      f""""by_host4_sec":$byHost4%.2f,""" +
+      f""""explore_by_key_sec":$exByKey%.2f,"explore_by_host1_sec":$exByHost1%.2f}""")
     server.stop(0)
     spark.stop()
   }

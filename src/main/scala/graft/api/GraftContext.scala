@@ -265,11 +265,12 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
     */
   def explore(seed: D => Trace)(next: FetchedRow[D] => Seq[(Trace, D)],
               minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
-              epochInterval: Int = 0)(
+              epochInterval: Int = 0,
+              layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey)(
               implicit ord: Ordering[D] = null): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
-    val params = ExploreParams(minDepth, maxDepth, epochInterval)
+    val params = ExploreParams(minDepth, maxDepth, epochInterval, layout)
     new ExploredView(
       ExploreExec.explore(dataset.sparkSession, seeds, next, ctx.env, params,
         Option(ord)), ctx)
@@ -287,11 +288,12 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
       priority: (Trace, D) => Double,
       fetchBudget: Long,
       batchSize: Int = 64,
-      minDepth: Int = 0, maxDepth: Int = Int.MaxValue)(
+      minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
+      layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey)(
       implicit ord: Ordering[D] = null): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
-    val params = ExploreParams(minDepth, maxDepth)
+    val params = ExploreParams(minDepth, maxDepth, layout = layout)
     new ExploredView(
       ExploreExec.exploreBestFirst(dataset.sparkSession, seeds, next, ctx.env,
         priority, fetchBudget, batchSize, params, Option(ord)), ctx)

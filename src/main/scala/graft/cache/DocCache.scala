@@ -119,7 +119,11 @@ final class DfsDocCache(dir: String) extends DocCache with Serializable {
           // a concurrent CacheCompactor.compact deleted the loose file
           // between the listing and the read — the same observation now
           // lives in a segment, so degrade to a fresh packed-tier lookup
-          // (not an error; the reader just raced the compactor)
+          // (not an error; the reader just raced the compactor). The lookup
+          // memoizes per JVM: a reader in a different JVM than the compactor
+          // can hold a pre-compaction index that misses the just-packed
+          // entry, so drop it first — "fresh" must mean re-read from disk.
+          SegmentStore.invalidate(dir)
           SegmentStore.lookup(dir, key)
             .filter(e => inWindow(e.ts, conf, now))
             .sortBy(-_.ts).headOption

@@ -173,7 +173,12 @@ object CfbNode {
           secs.foreach { s =>
             val from = s * miniSize
             val n = math.min(miniSize, out.length - off)
-            if (n > 0 && from + n <= miniStream.length) {
+            if (n > 0) {
+              // a mini sector past the mini stream means a malformed miniFAT
+              // chain — fail loudly so parse()'s NonFatal catch degrades to
+              // CfbSalvage instead of silently misaligning the stream bytes
+              require(from + n <= miniStream.length,
+                s"mini sector $s out of range (miniStream ${miniStream.length} bytes)")
               System.arraycopy(miniStream, from, out, off, n); off += n
             }
           }
@@ -219,7 +224,7 @@ object CfbNode {
     if (p >= end || table(p) != 0x02) return None
     val lcb = u32(table, p + 1)
     val plc = p + 5
-    if (lcb < 4 + 12 || plc + lcb > end + 1) return None
+    if (lcb < 4 + 12 || plc + lcb > end) return None
     val n = (lcb - 4) / 12
     val sb = new java.lang.StringBuilder
     var k = 0
@@ -393,6 +398,11 @@ object CfbNode {
     val dataSecs = dirSecs + miniFatSecs + bigSecs.sum + miniContSecs
     var fatSecs = 1
     while (fatSecs * (S / 4) < fatSecs + dataSecs) fatSecs += 1
+    // the header's 109 DIFAT slots are the only ones this writer fills —
+    // past them (streams totaling ~7 MB+) a reader would see a silently
+    // truncated FAT and salvage garbled text; fail fixture synthesis loudly
+    require(fatSecs <= 109,
+      s"CfbNode.write does not emit DIFAT sectors (need $fatSecs FAT sectors > 109)")
 
     // sector layout: [FAT][dir][miniFAT][big...][mini container]
     val firstDirSec = fatSecs
@@ -493,12 +503,17 @@ object CfbNode {
   /** Minimal .xls: a BIFF8 Workbook stream — BOF, BoundSheet8 (the sheet
     * name), an SST carrying `strings` as UTF-16 entries (lossless for any
     * Unicode; each must stay under the 32k-char BIFF string cap), EOF.
+    * An SST body over the 8224-byte record cap spills into Continue
+    * (0x003C) records: splits happen only between characters, and character
+    * data crossing a record boundary re-declares its high-byte flag as the
+    * continuation's first byte — the BIFF8 rule [[sstStrings]] decodes.
     */
   def writeXls(sheetName: String, strings: Seq[String]): Array[Byte] = {
     require(strings.forall(_.length < 32000), "BIFF8 string cap")
+    val Cap = 8224
     val bout = new java.io.ByteArrayOutputStream()
     def rec(id: Int, body: Array[Byte]): Unit = {
-      require(body.length < 8224, "record over BIFF8 cap needs Continue")
+      require(body.length <= Cap, "record over BIFF8 cap needs Continue")
       bout.write(id & 0xff); bout.write((id >> 8) & 0xff)
       bout.write(body.length & 0xff); bout.write((body.length >> 8) & 0xff)
       bout.write(body)
@@ -506,15 +521,30 @@ object CfbNode {
     rec(0x0809, new Array[Byte](16)) // BOF (workbook globals)
     val nm = sheetName.getBytes(StandardCharsets.UTF_16LE)
     rec(0x0085, Array[Byte](0, 0, 0, 0, 0, 0, (sheetName.length & 0xff).toByte, 1) ++ nm)
-    val sst = new java.io.ByteArrayOutputStream()
-    def w16(v: Int): Unit = { sst.write(v & 0xff); sst.write((v >> 8) & 0xff) }
+
+    // SST split over [SST, Continue*]: `cur` is the record being filled
+    var recId = 0x00FC
+    val cur = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = { rec(recId, cur.toByteArray); recId = 0x003C; cur.reset() }
+    def w16(v: Int): Unit = { cur.write(v & 0xff); cur.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
     w32(strings.size); w32(strings.size)
     strings.foreach { s =>
-      w16(s.length); sst.write(0x01) // fHighByte: UTF-16LE
-      sst.write(s.getBytes(StandardCharsets.UTF_16LE))
+      if (cur.size() + 3 > Cap) flush() // never split the cch+grbit header
+      w16(s.length); cur.write(0x01)    // fHighByte: UTF-16LE
+      val bytes = s.getBytes(StandardCharsets.UTF_16LE)
+      var off = 0
+      while (off < bytes.length) {
+        if (cur.size() >= Cap - 1) { // no room for even one UTF-16 unit
+          flush()
+          cur.write(0x01) // continuation re-declares the high-byte flag
+        }
+        val take = math.min(bytes.length - off, (Cap - cur.size()) & ~1)
+        cur.write(bytes, off, take)
+        off += take
+      }
     }
-    rec(0x00FC, sst.toByteArray)
+    flush()
     rec(0x000A, Array.empty[Byte]) // EOF
     write(Seq("Workbook" -> bout.toByteArray))
   }

@@ -32,11 +32,23 @@ final case class ExploredRow[D](row: FetchedRow[D], depth: Int) extends Serializ
   *                      level-synchronous BFS levels per job, which keeps the
   *                      visited-set EXACT while still amortizing per-job
   *                      driver latency.
+  * @param layout PLACEMENT of frontier fetches (r11 verdict #1: the crawl is
+  *               the operator that actually hammers hosts). Default ByKey
+  *               keeps the frontier on the shared trace-key partitioner —
+  *               fetch stays narrow. [[FetchLayout.ByHost]] re-places each
+  *               frontier by host before fetching, the same placement
+  *               [[FetchExec.fetch]] honors, so the per-JVM
+  *               [[graft.agent.HostPoliteness]] min-interval guarantee holds
+  *               cluster-globally at <= salt x the configured per-host rate;
+  *               costs one frontier-sized shuffle per level (trace + payload,
+  *               never fetched content) plus a keys-only shuffle restoring
+  *               trace-key alignment for the visited-set difference.
   */
 final case class ExploreParams(
     minDepth: Int = 0,
     maxDepth: Int = Int.MaxValue,
-    epochInterval: Int = 0
+    epochInterval: Int = 0,
+    layout: FetchLayout = FetchLayout.ByKey
 )
 
 /** The flagship operator: bounded breadth-first traversal of the implicit
@@ -137,6 +149,7 @@ object ExploreExec {
     }
 
     val partitioner = new HashPartitioner(sc.defaultParallelism)
+    val layout = params.layout
 
     val win: ((Trace, D, Int), (Trace, D, Int)) => (Trace, D, Int) =
       winnerOrdering match {
@@ -153,16 +166,39 @@ object ExploreExec {
     // released on return
     val persistedFrontiers = scala.collection.mutable.Buffer.empty[RDD[OpenRow[D]]]
 
-    /** Fetch one deduped, unvisited frontier: narrow — one row per key. */
+    /** Fetch one deduped, unvisited frontier: one row per key. Under the
+      * default ByKey layout the frontier is already partitioner-aligned and
+      * the whole step is narrow. Under ByHost the frontier is re-placed by
+      * (host, salt) first — see [[ExploreParams.layout]] — and the keys-only
+      * projection is shuffled BACK to the shared trace-key partitioner so
+      * the visited-set zipPartitions difference stays co-partitioned.
+      */
     def fetchLevel(frontier: RDD[OpenRow[D]]): RDD[ExploredRow[D]] = {
-      val fetched = frontier.mapPartitions({ it =>
+      val placed = layout match {
+        case FetchLayout.ByKey => frontier
+        case _ =>
+          frontier
+            .map { case (k, v) =>
+              (FetchLayout.partitionOf(layout, k, v._1, partitioner.numPartitions), (k, v))
+            }
+            .partitionBy(new IndexPartitioner(partitioner.numPartitions))
+            .map(_._2)
+      }
+      val fetched = placed.mapPartitions({ it =>
         it.map { case (k, (t, d, depth)) =>
           ExploredRow(FetchedRow(d, k, t, Trajectory(Agent.execute(t, env))), depth)
         }
       }, preservesPartitioning = true)
       fetched.persist(StorageLevel.MEMORY_AND_DISK)
       visitedParts += fetched
-      val keys = fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
+      val keys = layout match {
+        case FetchLayout.ByKey =>
+          fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
+        case _ =>
+          fetched.map(r => (r.row.traceKey, ()))
+            .partitionBy(partitioner)
+            .mapPartitions(_.map(_._1), preservesPartitioning = true)
+      }
       keys.persist(StorageLevel.MEMORY_AND_DISK)
       visitedKeyParts += keys
       fetched
@@ -289,6 +325,7 @@ object ExploreExec {
     val sc = spark.sparkContext
     val down = conf.downSampling
     val partitioner = new HashPartitioner(sc.defaultParallelism)
+    val layout = params.layout
 
     type Scored = (String, (Trace, D, Int, Double))
     // higher score wins a key collision; equal scores fall to the payload
@@ -327,8 +364,22 @@ object ExploreExec {
         .takeOrdered(k)(selOrd)
         .map(_._2).toSet
       val bc = sc.broadcast(selected)
-      val batch = open.filter { case (key, _) => bc.value.contains(key) }
+      val batch0 = open.filter { case (key, _) => bc.value.contains(key) }
       val rest = open.filter { case (key, _) => !bc.value.contains(key) }
+
+      // host-keyed batch placement when configured — same politeness story
+      // as BFS fetchLevel (see ExploreParams.layout); a batch is at most
+      // batchSize rows, so the extra shuffle is tiny
+      val batch = layout match {
+        case FetchLayout.ByKey => batch0
+        case _ =>
+          batch0
+            .map { case (k, v) =>
+              (FetchLayout.partitionOf(layout, k, v._1, partitioner.numPartitions), (k, v))
+            }
+            .partitionBy(new IndexPartitioner(partitioner.numPartitions))
+            .map(_._2)
+      }
 
       val fetched = batch.mapPartitions({ it =>
         it.map { case (key, (t, d, depth, _)) =>
@@ -337,7 +388,14 @@ object ExploreExec {
       }, preservesPartitioning = true)
       fetched.persist(StorageLevel.MEMORY_AND_DISK)
       visitedParts += fetched
-      val keys = fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
+      val keys = layout match {
+        case FetchLayout.ByKey =>
+          fetched.mapPartitions(_.map(_.row.traceKey), preservesPartitioning = true)
+        case _ =>
+          fetched.map(r => (r.row.traceKey, ()))
+            .partitionBy(partitioner)
+            .mapPartitions(_.map(_._1), preservesPartitioning = true)
+      }
       keys.persist(StorageLevel.MEMORY_AND_DISK)
       visitedKeyParts += keys
       // robots-blocked rows made NO request (the gate refuses before any

@@ -58,6 +58,38 @@ object FetchLayout {
   final case class ByHost(salt: Int = 1) extends FetchLayout {
     require(salt >= 1, s"salt must be >= 1, got $salt")
   }
+
+  /** Partition index for one (dedup key, trace) pair under a layout — the
+    * ONE place placement is derived, shared by [[FetchExec.fetch]] and the
+    * explore frontier ([[ExploreExec]], r11 verdict #1: the crawl is the
+    * politeness consumer). ByKey hashes the dedup key (any group anywhere);
+    * ByHost hashes (host, key-salt) — two rows of one trace always share a
+    * salt index, so a key's group still lands whole in one partition, while
+    * one host spreads over at most `salt` partitions. Hostless traces
+    * (file:, Mock) place by their dedup key as usual.
+    */
+  private[graft] def partitionOf(layout: FetchLayout, k: String, t: Trace, parts: Int): Int =
+    layout match {
+      case ByKey => math.floorMod(k.hashCode, parts)
+      case ByHost(salt) =>
+        val host = t.primaryUri.flatMap(graft.agent.HostPoliteness.hostOf).getOrElse(k)
+        val saltIdx = if (salt <= 1) 0 else math.floorMod(k.hashCode, salt)
+        math.floorMod((host, saltIdx).hashCode, parts)
+    }
+}
+
+/** Routes pre-computed partition indices verbatim: keys are either the bare
+  * index (`Int`) or an (index, sortKey) pair whose first element is the
+  * index (the [[FetchExec]] Wide shape, where the String half makes equal
+  * dedup keys consecutive under repartitionAndSortWithinPartitions).
+  */
+private[graft] final class IndexPartitioner(parts: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int = key match {
+    case i: Int         => i
+    case (i: Int, _)    => i
+    case other          => throw new IllegalArgumentException(s"not an index key: $other")
+  }
 }
 
 /** The engine's one genuinely novel physical operator: common-subexpression
@@ -152,22 +184,11 @@ object FetchExec {
         val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val prepared = keyed.rdd.map { case (t, d) =>
           val k = keyBy(t)
-          val part = layout match {
-            case FetchLayout.ByKey => math.floorMod(k.hashCode, parts)
-            case FetchLayout.ByHost(salt) =>
-              val host = t.primaryUri.flatMap(graft.agent.HostPoliteness.hostOf).getOrElse(k)
-              val saltIdx = if (salt <= 1) 0 else math.floorMod(k.hashCode, salt)
-              math.floorMod((host, saltIdx).hashCode, parts)
-          }
-          ((part, k), (t, d))
-        }
-        val partitioner = new org.apache.spark.Partitioner {
-          override def numPartitions: Int = parts
-          override def getPartition(key: Any): Int = key.asInstanceOf[(Int, String)]._1
+          ((FetchLayout.partitionOf(layout, k, t, parts), k), (t, d))
         }
         implicit val keyOrd: Ordering[(Int, String)] =
           Ordering.Tuple2(Ordering.Int, Ordering.String)
-        val sorted = prepared.repartitionAndSortWithinPartitions(partitioner)
+        val sorted = prepared.repartitionAndSortWithinPartitions(new IndexPartitioner(parts))
         val rows = sorted.mapPartitions { it =>
           var curKey: String = null
           var curTraj: Trajectory = null

@@ -200,6 +200,78 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     assert(parts2.values.forall(_.size <= 2))
   }
 
+  test("explore under ByHost(1): each level's same-host fetches co-locate into one task slot; spacing holds") {
+    graft.agent.HostPoliteness.clear()
+    HttpSpec.hostArrivals.clear()
+    val ctx = new GraftContext(spark, GraftConf(hostMinIntervalMillis = 100))
+    import spark.implicits._
+    // 3 logical hosts; each seed (depth 0) links to 4 same-host pages
+    // (depth 1) — the host-skewed shape where trace-key placement would
+    // scatter one host's frontier over every task slot
+    val hosts = (2 to 4).map(h => s"127.0.0.$h")
+    val prt = port // local copy: the explore closures must not capture `this`
+    val url = (h: String, p: String) => s"http://$h:$prt/hosted?p=$p"
+    val view = ctx.create(hosts)
+      .explore(h => Trace.of(Wget(url(h, "seed"))))(
+        next = r =>
+          if (r.data.contains("#")) Nil
+          else (0 until 4).map(p => (Trace.of(Wget(url(r.data, p.toString))), s"${r.data}#$p")),
+        maxDepth = 2,
+        layout = graft.exec.FetchLayout.ByHost(1))
+    assert(view.count() == 15) // 3 seeds + 12 children
+    assert(ctx.metrics.pagesFetched.value == 15)
+    // co-location per level: the output union concatenates per-level fetch
+    // partitions verbatim, so each (host, depth) pair must occupy exactly
+    // one partition under salt = 1 — the property trace-key placement lacks
+    val hostParts = view.dataset.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.collect { case r if r.depth == 1 =>
+        (graft.agent.HostPoliteness.hostOf(r.row.trace.primaryUri.get).get, pid)
+      }
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(hostParts.keySet == hosts.toSet)
+    assert(hostParts.values.forall(_.size == 1),
+      s"a host's level-1 frontier spread past salt=1: $hostParts")
+    // politeness composes with placement: per host, 5 spaced arrivals
+    // (seed + 4 children) — arrival SPAN, never pairwise gaps
+    val byHost = HttpSpec.hostArrivals.asScala.toSeq.groupBy(_._1)
+    byHost.values.foreach { arr =>
+      val ts = arr.map(_._2).sorted
+      assert(ts.size == 5)
+      assert(ts.last - ts.head >= 4 * 100 - 20,
+        s"5 same-host fetches arrived within ${ts.last - ts.head} ms")
+    }
+  }
+
+  test("exploreBestFirst under ByHost(1): each round's same-host batch co-locates into one task slot") {
+    graft.agent.HostPoliteness.clear()
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val hosts = (2 to 4).map(h => s"127.0.0.$h")
+    val prt = port // local copy: the explore closures must not capture `this`
+    val url = (h: String, p: String) => s"http://$h:$prt/hosted?p=bf$p"
+    // batchSize >= frontier: round 1 = the 3 seeds, round 2 = all 12
+    // children, so each (host, depth) set is fetched in ONE round and the
+    // per-round co-location is observable as one partition per host
+    val view = ctx.create(hosts)
+      .exploreBestFirst(h => Trace.of(Wget(url(h, "seed"))))(
+        next = r =>
+          if (r.data.contains("#")) Nil
+          else (0 until 4).map(p => (Trace.of(Wget(url(r.data, p.toString))), s"${r.data}#$p")),
+        priority = (_, d) => d.length.toDouble,
+        fetchBudget = 15, batchSize = 15,
+        maxDepth = 2,
+        layout = graft.exec.FetchLayout.ByHost(1))
+    assert(view.count() == 15)
+    val hostParts = view.dataset.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.collect { case r if r.depth == 1 =>
+        (graft.agent.HostPoliteness.hostOf(r.row.trace.primaryUri.get).get, pid)
+      }
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(hostParts.keySet == hosts.toSet)
+    assert(hostParts.values.forall(_.size == 1),
+      s"a host's batch spread past salt=1: $hostParts")
+  }
+
   test("Narrow eviction pressure never re-executes a Wpost: non-idempotent memo entries are pinned") {
     // one partition streams > cap (4096) DISTINCT idempotent traces between
     // two occurrences of the SAME POST; the bounded LRU would have evicted
