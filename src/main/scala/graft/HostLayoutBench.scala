@@ -50,7 +50,8 @@ object HostLayoutBench {
       ex.getResponseBody.write(body)
       ex.close()
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(64))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(64)
+    server.setExecutor(pool)
     server.start()
     val port = server.getAddress.getPort
 
@@ -112,6 +113,7 @@ object HostLayoutBench {
       f""""by_host4_sec":$byHost4%.2f,""" +
       f""""explore_by_key_sec":$exByKey%.2f,"explore_by_host1_sec":$exByHost1%.2f}""")
     server.stop(0)
+    pool.shutdown() // non-daemon worker threads would keep the JVM alive
     spark.stop()
   }
 }

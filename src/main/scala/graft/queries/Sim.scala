@@ -641,9 +641,41 @@ object SimQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q69 — PageRank EARLY-EXIT convergence (tol > 0), the one
+    * [[graft.scale.PageRank]] path q62 (pure lineage, tol = 0) and q64
+    * (dangling scalars, tol = 0) leave spec-only: the run stops at the
+    * first iteration whose L1 delta Σ|pr' − pr| falls under tol, and the
+    * output pins BOTH the converged ranks and the iteration count. The
+    * DuckDB oracle unrolls 8 iterations with a delta scalar per step and
+    * selects the first one meeting the same stop — so a Spark run that
+    * stops an iteration early or late hash-mismatches on every row.
+    *
+    * The graph is a quadratic map (`id² + 1 mod n`, plus a second edge for
+    * id % 3 = 0 — variable outdeg, no dangling): lumpy inflow with measured
+    * per-node delta decay ≈ 0.44×/iteration at damping 0.5, so the
+    * tol = 0.02·n stop lands at iteration 5 at every SF with ≥ 35% margin
+    * on both sides — orders of magnitude beyond cross-engine float noise.
+    * (A linear map with odd multipliers degenerates: parity aligns inflow
+    * to exactly 1.0 everywhere and iteration 1 is already a fixed point.)
+    */
+  def q69PagerankConverge(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val n = ids.count()
+    val edges = ids.select(col("id").as("src"), ((col("id") * col("id") + 1) % n).as("dst"))
+      .union(ids.filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), ((col("id") * 13 + 5) % n).as("dst")))
+    val res = graft.scale.PageRank.run(ids, edges, damping = 0.5,
+      tol = 0.02 * n, maxIter = 8)
+    res.ranks
+      .select(col("id").as("doc_id"), round(col("pr"), 4).as("pr"),
+        lit(res.iterations.toLong).as("iters"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_pagerank"      -> q62Pagerank _,
     "q64_pagerank_dangling" -> q64PagerankDangling _,
+    "q69_pagerank_converge" -> q69PagerankConverge _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
     "q27_simhash"       -> q27Simhash _,
@@ -727,7 +759,45 @@ object SimQ {
   private val S45_VALUE = (1 to 60).map(b =>
     s"(CASE WHEN b$b > 0 THEN ${1L << (b - 1)} ELSE 0 END)").mkString(" + ")
 
+  // q69: 8 unrolled power iterations (damping 0.5) + a delta scalar per
+  // step; `sel` picks the first iteration whose Σ|pr'−pr| <= 0.02·n — the
+  // same stop PageRank.run's tol>0 early exit takes
+  private val PR_CONV_ITERS = 8
+  private val PR_CONV_STEPS = (1 to PR_CONV_ITERS).map { i =>
+    s"""r$i AS (SELECT ids.id, (1::DOUBLE - 0.5::DOUBLE) + 0.5 *
+       |    coalesce(sum(r${i - 1}.pr / deg.outdeg), 0) AS pr
+       |  FROM ids LEFT JOIN e ON e.dst = ids.id
+       |    LEFT JOIN r${i - 1} ON r${i - 1}.id = e.src LEFT JOIN deg ON deg.src = e.src
+       |  GROUP BY ids.id),
+       |d$i AS (SELECT sum(abs(r$i.pr - r${i - 1}.pr)) AS d
+       |  FROM r$i JOIN r${i - 1} ON r${i - 1}.id = r$i.id)""".stripMargin
+  }.mkString(",\n")
+  private val PR_CONV_SEL = (1 to PR_CONV_ITERS)
+    .map(i => s"($i, (SELECT d FROM d$i))").mkString(", ")
+  private val PR_CONV_PICK = (1 to PR_CONV_ITERS)
+    .map(i => s"WHEN $i THEN r$i.pr").mkString(" ")
+  private val PR_CONV_JOINS = (2 to PR_CONV_ITERS)
+    .map(i => s"JOIN r$i ON r$i.id = r1.id").mkString(" ")
+
   val oracles: Map[String, String] = Map(
+    "q69_pagerank_converge" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         |ids AS (SELECT doc_id AS id FROM documents),
+         |e AS (
+         |  SELECT id AS src, (id * id + 1) % (SELECT n FROM n) AS dst FROM ids
+         |  UNION ALL
+         |  SELECT id, (id * 13 + 5) % (SELECT n FROM n) FROM ids WHERE id % 3 = 0),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM ids),
+         |$PR_CONV_STEPS,
+         |sel AS (SELECT coalesce(min(i), $PR_CONV_ITERS) AS k
+         |  FROM (VALUES $PR_CONV_SEL) t(i, d)
+         |  WHERE d <= 0.02 * (SELECT n FROM n))
+         |SELECT r1.id AS doc_id,
+         |  round(CASE (SELECT k FROM sel) $PR_CONV_PICK END, 4) AS pr,
+         |  CAST((SELECT k FROM sel) AS BIGINT) AS iters
+         |FROM r1 $PR_CONV_JOINS
+         |ORDER BY doc_id""".stripMargin,
     // PQ: list_prepend(0)+list_reduce mirrors Spark's aggregate-with-0-init
     // left fold bit-for-bit, so the argmin code assignment matches exactly
     "q51_pq_ann" ->
