@@ -79,9 +79,48 @@ object CrawlBench {
       expectRemote.foreach(e => assert(fetched == e, s"expected $e remote fetches, got $fetched"))
     }
 
+    // best-first under fetchBudget >> batchSize (r11 verdict #2): 64 rounds
+    // at batch 32. The folded visited set keeps per-round cost flat; the
+    // pre-fold O(rounds × visited) rebuild would make secs/round grow
+    // ~linearly with the round count (≈2× when rounds double). Runs before
+    // the cold BFS crawl so its budget-bounded fetches warm nothing the
+    // cold gate depends on — it uses its own context but shares the DFS
+    // cache dir, hence the cold crawl's expectRemote stays exact only
+    // because it runs FIRST. So: cold first, then best-first on the warm
+    // cache (fetch cost ~0 — the visited-set bookkeeping dominates, which
+    // is exactly the signal).
+    def bestFirst(budget: Long, batch: Int): (Double, Long) = {
+      InMemoryDocCache.clear()
+      val ctx = new GraftContext(spark, conf)
+      val t0 = System.nanoTime()
+      val visited = ctx.create(Seq(s"file:$dir/p0.html"))
+        .exploreBestFirst(u => Trace.of(Wget(u)))(
+          expand,
+          priority = (t, _) => (t.cacheKey.hashCode & 0x7fffffff).toDouble,
+          fetchBudget = budget, batchSize = batch)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, visited)
+    }
+
     crawl("cold", expectRemote = Some(n.toLong))
     InMemoryDocCache.clear() // force the DFS tier
     crawl("warm-dfs", expectRemote = Some(0L))
+
+    val liveBefore = spark.sparkContext.getPersistentRDDs.size
+    val (tHalf, vHalf) = bestFirst(1024, 32)
+    val (tFull, vFull) = bestFirst(2048, 32)
+    val liveAfter = spark.sparkContext.getPersistentRDDs.size
+    val perHalf = tHalf / (1024 / 32)
+    val perFull = tFull / (2048 / 32)
+    println(f"[crawlbench] best-first 1024/32: $vHalf visited ${tHalf}%.1f s " +
+      f"(${perHalf}%.3f s/round); 2048/32: $vFull visited ${tFull}%.1f s " +
+      f"(${perFull}%.3f s/round); live RDDs $liveBefore -> $liveAfter")
+    assert(perFull < perHalf * 1.6,
+      f"per-round cost grew ${perFull / perHalf}%.2fx when rounds doubled — visited-set fold regressed")
+    // each run may leave its eager output checkpoint; everything else
+    // (frontiers, per-round keys, folded accumulator) must have released
+    assert(liveAfter - liveBefore <= 2,
+      s"best-first leaked persisted RDDs: $liveBefore -> $liveAfter")
     InMemoryDocCache.clear()
     // compact the cache to segment files and prove warm parity holds with
     // ZERO loose files left (the 100 TB small-file story end-to-end)

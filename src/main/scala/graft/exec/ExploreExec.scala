@@ -342,8 +342,30 @@ object ExploreExec {
       Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String)
 
     val visitedParts = scala.collection.mutable.Buffer.empty[RDD[ExploredRow[D]]]
-    val visitedKeyParts = scala.collection.mutable.Buffer.empty[RDD[String]]
     val persistedFrontiers = scala.collection.mutable.Buffer.empty[RDD[Scored]]
+
+    // Visited keys, FOLDED (r11 verdict #2): best-first rounds are many by
+    // design (fetchBudget / batchSize), so an ever-growing union of one
+    // keys RDD per round would cost O(rounds × parts) task setup per round
+    // — O(rounds²) over the crawl — and carry O(rounds) live handles.
+    // Instead: at most `FoldEvery` recent per-round key RDDs stay live;
+    // every FoldEvery rounds they merge into ONE localCheckpointed
+    // accumulator (a narrow PartitionerAwareUnion — everything shares
+    // `partitioner`) and the folded handles release. Per-round cost stays
+    // O(visited) with O(1) live handles; the fold's own materialization is
+    // a keys-only job amortized over FoldEvery rounds.
+    val FoldEvery = 8
+    var foldedKeys: RDD[String] = null
+    val recentKeys = scala.collection.mutable.Buffer.empty[RDD[String]]
+    def allVisitedKeys: Seq[RDD[String]] = Option(foldedKeys).toSeq ++ recentKeys
+    def foldVisited(): Unit = {
+      val merged = sc.union(allVisitedKeys)
+      merged.localCheckpoint()
+      merged.count()
+      allVisitedKeys.foreach(_.unpersist(blocking = false))
+      recentKeys.clear()
+      foldedKeys = merged
+    }
 
     def cut(rdd: RDD[Scored]): Long = {
       rdd.localCheckpoint()
@@ -356,8 +378,10 @@ object ExploreExec {
       .reduceByKey(partitioner, winS)
     var openCount = cut(open)
     var remaining = fetchBudget
+    var round = 0
 
     while (remaining > 0 && openCount > 0) {
+      round += 1
       val k = math.min(batchSize.toLong, remaining).toInt
       val selected = open
         .map { case (key, (_, _, _, s)) => (s, key) }
@@ -397,7 +421,7 @@ object ExploreExec {
             .mapPartitions(_.map(_._1), preservesPartitioning = true)
       }
       keys.persist(StorageLevel.MEMORY_AND_DISK)
-      visitedKeyParts += keys
+      recentKeys += keys
       // robots-blocked rows made NO request (the gate refuses before any
       // network or pagesFetched tick) — they must not consume the fetch
       // budget either, or a heavily-disallowed frontier silently starves
@@ -414,7 +438,7 @@ object ExploreExec {
         }
       }
       val merged = rest.union(children).reduceByKey(partitioner, winS)
-      val visited = sc.union(visitedKeyParts.toSeq)
+      val visited = sc.union(allVisitedKeys)
       val newOpen = merged.zipPartitions(visited, preservesPartitioning = true) { (it, vis) =>
         val set = new java.util.HashSet[String]()
         while (vis.hasNext) set.add(vis.next())
@@ -422,6 +446,7 @@ object ExploreExec {
       }
       openCount = cut(newOpen)
       open = newOpen
+      if (round % FoldEvery == 0) foldVisited()
     }
 
     val all =
@@ -429,7 +454,7 @@ object ExploreExec {
       else spark.createDataset(sc.union(visitedParts.toSeq))
     val out = all.filter(_.depth >= params.minDepth).localCheckpoint(true)
     visitedParts.foreach(_.unpersist(blocking = false))
-    visitedKeyParts.foreach(_.unpersist(blocking = false))
+    allVisitedKeys.foreach(_.unpersist(blocking = false))
     persistedFrontiers.foreach(_.unpersist(blocking = false))
     out
   }
