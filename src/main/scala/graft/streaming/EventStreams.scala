@@ -139,6 +139,58 @@ object EventStreams {
     }
   }
 
+  /** Streaming span-granular substring dedup — the ingest surface of
+    * [[graft.queries.TextQ.incrementalRemovalIntervals]] (r11 verdict #7).
+    * Each micro-batch of arriving documents pays ONLY its own anchor pass;
+    * its occurrences meet the running per-gram index instead of the corpus,
+    * and the batch's merged removal intervals go to `sink`. Because keeper
+    * elections are MONOTONE under append-only ingest with increasing doc
+    * ids (an older doc always holds a gram's minimum (doc_id, pos) key),
+    * emitted intervals are NEVER retracted and already-ingested documents
+    * never gain removals — exactly the append-only output contract
+    * Structured Streaming's foreachBatch expects. The near-dup pipeline's
+    * per-batch compaction pattern (see [[cleanIngest]]'s scaladoc) applies
+    * unchanged: persist the index `sink` hands you and pass it back as
+    * `initialIndex` on restart.
+    *
+    * This is foreachBatch rather than mapGroupsWithState by design: the
+    * per-gram election is a groupBy over the batch joined against the
+    * index — two shuffles of BATCH-sized data — whereas keyed state would
+    * shuffle every occurrence into the state store and pay a per-doc
+    * second stateful stage for interval merging. The index is
+    * batch-maintained, restartable state, like `bandIndex`.
+    *
+    * @param docs         streaming frame with (doc_id, text); doc_ids must
+    *                     be strictly greater than every previously-ingested
+    *                     doc_id (the monotone-keeper contract)
+    * @param initialIndex persisted per-gram summary from a previous run
+    *                     (null/empty for a fresh corpus)
+    * @param sink         called once per micro-batch with (updated index —
+    *                     REPLACES the persisted one, this batch's removal
+    *                     intervals (doc_id, m), batchId)
+    */
+  def removalIntervalIngest(docs: DataFrame,
+                            initialIndex: DataFrame = null,
+                            k: Int = 12, p: Int = 4)(
+                            sink: (DataFrame, DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "removalIntervalIngest needs a streaming frame; " +
+      "for batch corpora call incrementalRemovalIntervals directly")
+    // driver-side handle to the running index: foreachBatch bodies run on
+    // the driver, sequentially per micro-batch, so plain mutation is safe
+    var index: DataFrame = initialIndex
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (newIndex, intervals) =
+          graft.queries.TextQ.incrementalRemovalIntervals(index, batch, k, p)
+        index = newIndex
+        sink(newIndex, intervals, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

@@ -299,4 +299,60 @@ class StreamingSpec extends AnyFunSuite {
     // bursts are 19min-spans spaced 41min apart => multiple sessions per user
     assert(got.groupBy("user_id").count().collect().forall(_.getLong(1) > 1))
   }
+
+  test("streaming removal-interval ingest == batch incremental over the same arrivals (foreachBatch)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    type IvMap = Map[Long, Seq[(Int, Int)]]
+    def ivMap(df: org.apache.spark.sql.DataFrame): IvMap =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getInt(1)))).toMap
+    def idxSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("gh", "kkey", "n_occ").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // three arrival batches: a 30-token span planted in batch 1 (doc 1)
+    // recurs cross-batch (docs 10, 20) — those removals must come from the
+    // index threaded through foreachBatch, not a corpus rescan
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 150).map(i => s"w$i")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val span = (0 until 30).map(i => s"dup$i")
+    val b1 = Seq((1L, (soup(8) ++ span ++ soup(6)).mkString(" ")),
+                 (2L, soup(25).mkString(" ")))
+    val b2 = Seq((10L, (soup(5) ++ span ++ soup(4)).mkString(" ")),
+                 (11L, soup(30).mkString(" ")))
+    val b3 = Seq((20L, (span ++ soup(7)).mkString(" ")))
+    // batch reference: the incremental API composed over the same splits
+    var refIdx: org.apache.spark.sql.DataFrame = null
+    val expect = scala.collection.mutable.Map.empty[Long, Seq[(Int, Int)]]
+    Seq(b1, b2, b3).foreach { b =>
+      val (ni, iv) = graft.queries.TextQ.incrementalRemovalIntervals(
+        refIdx, b.toDF("doc_id", "text"), k = 12, p = 1)
+      refIdx = ni
+      expect ++= ivMap(iv)
+    }
+    // streaming: same arrivals as micro-batches through the ingest surface
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[(Int, Int)]]
+    var lastIdx: org.apache.spark.sql.DataFrame = null
+    val q = EventStreams.removalIntervalIngest(
+      input.toDF.toDF("doc_id", "text"), k = 12, p = 1) { (ni, iv, _) =>
+        lastIdx = ni
+        got ++= ivMap(iv)
+      }
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == expect.toMap, s"stream ${got.toMap} != batch ${expect.toMap}")
+    // the cross-batch copies lost the full span; the keeper never appears
+    // in ANY emission (monotone — nothing retracted, nothing gained)
+    assert(!got.contains(1L))
+    assert(got(10L).map(x => x._2 - x._1).sum == 30)
+    assert(got(20L).map(x => x._2 - x._1).sum == 30)
+    // the threaded index ends identical to the batch-composed one
+    assert(idxSet(lastIdx) == idxSet(refIdx))
+  }
 }
