@@ -203,6 +203,7 @@ object CfbNode {
         val c = new Container(content)
         c.stream("WordDocument").flatMap(wd => wordBlocks(wd, c))
           .orElse(c.stream("Workbook").orElse(c.stream("Book")).flatMap(xlsBlocks))
+          .orElse(c.stream("PowerPoint Document").flatMap(pptBlocks))
       } catch { case scala.util.control.NonFatal(_) => None }
     blocks.filter(_.nonEmpty).map(bs => new BlockRoot(bs): Node)
       .getOrElse(CfbSalvage.parse(content))
@@ -350,6 +351,57 @@ object CfbNode {
       }
       Some(out.result())
     } catch { case _: IllegalStateException | _: IndexOutOfBoundsException => None }
+  }
+
+  /** MS-PPT text: a PowerPoint Document stream is a tree of 8-byte-header
+    * records (verAndInstance u16 / recType u16 / recLen u32, little-endian;
+    * recVer 0xF marks a container whose body is child records — [MS-PPT]
+    * §2.3, the public record grammar). Text lives in leaf atoms:
+    * TextCharsAtom (0x0FA0, UTF-16LE), TextBytesAtom (0x0FA8, one byte per
+    * char, high byte implied 0 — decoded cp1252 like BIFF compressed
+    * strings), and CString (0x0FBA, UTF-16LE — titles/names). The walk
+    * visits every record in stream order, so text in superseded edits of an
+    * incrementally-saved deck also surfaces (the Tika-parity behavior for a
+    * text extractor; slide structure is not reconstructed). PowerPoint's
+    * paragraph separator is '\r' and its line break 0x0B — blocks split on
+    * the former, the latter maps to '\n' (the [[wordBlocks]] convention).
+    * A record whose declared length overruns its parent is malformed:
+    * the level stops there; if nothing was extracted the caller degrades
+    * to [[CfbSalvage]].
+    */
+  private def pptBlocks(pp: Array[Byte]): Option[Vector[String]] = {
+    val out = Vector.newBuilder[String]
+    var sawAny = false
+    def emit(s: String): Unit = {
+      sawAny = true
+      out ++= s.replace(11.toChar, '\n').split('\r').toVector.filter(_.nonEmpty)
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val verInst = u16(pp, pos)
+        val recType = u16(pp, pos + 2)
+        val len = u32(pp, pos + 4)
+        val body = pos + 8
+        if (len < 0 || body + len > end) ok = false // malformed: stop this level
+        else {
+          if ((verInst & 0xF) == 0xF) {
+            // container: recurse (depth cap guards pathological nesting)
+            if (depth < 16) walk(body, body + len, depth + 1)
+          } else recType match {
+            case 0x0FA0 | 0x0FBA => // TextCharsAtom / CString: UTF-16LE
+              emit(new String(pp, body, len & ~1, StandardCharsets.UTF_16LE))
+            case 0x0FA8 => // TextBytesAtom: compressed 8-bit chars
+              emit(new String(pp, body, len, Cp1252))
+            case _ => ()
+          }
+          pos = body + len
+        }
+      }
+    }
+    walk(0, pp.length, 0)
+    if (sawAny) Some(out.result()) else None
   }
 
   // ---------------------------------------------------------------------
@@ -573,5 +625,29 @@ object CfbNode {
     putU16(clx, 19, 0)                    // prm
     putU32(wd, 0x01A6, clx.length)        // lcbClx
     write(Seq("WordDocument" -> wd, "1Table" -> clx))
+  }
+
+  /** Minimal .ppt: a PowerPoint Document stream holding one Document
+    * container → one SlideListWithText container → one text atom per
+    * entry: ASCII text packs as TextBytesAtom (the compressed byte form),
+    * anything else as TextCharsAtom (UTF-16LE — lossless for arbitrary
+    * Unicode). The q65/q67 fixture posture, slideshow edition.
+    */
+  def writePpt(texts: Seq[String]): Array[Byte] = {
+    def rec(verInst: Int, typ: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length)
+      putU16(out, 0, verInst); putU16(out, 2, typ); putU32(out, 4, body.length)
+      System.arraycopy(body, 0, out, 8, body.length)
+      out
+    }
+    val atoms = texts.flatMap { t =>
+      if (t.nonEmpty && t.forall(_ < 0x80))
+        rec(0x0, 0x0FA8, t.getBytes(StandardCharsets.US_ASCII)) // TextBytesAtom
+      else
+        rec(0x0, 0x0FA0, t.getBytes(StandardCharsets.UTF_16LE)) // TextCharsAtom
+    }.toArray
+    val slwt = rec(0xF, 0x0FF0, atoms)      // SlideListWithText container
+    val doc = rec(0xF, 0x03E8, slwt)        // Document container
+    write(Seq("PowerPoint Document" -> doc))
   }
 }

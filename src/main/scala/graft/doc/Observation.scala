@@ -343,6 +343,7 @@ object Mime {
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
     "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel",
+    "ppt" -> "application/vnd.ms-powerpoint",
     "odt" -> "application/vnd.oasis.opendocument.text",
     "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
     "odp" -> "application/vnd.oasis.opendocument.presentation",

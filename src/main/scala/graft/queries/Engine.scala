@@ -405,6 +405,32 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q68 — legacy PowerPoint ingestion: every 25th document (offset 13)
+    * becomes a `.ppt` whose PowerPoint Document stream holds the text as a
+    * [MS-PPT] text atom inside Document → SlideListWithText containers
+    * ([[graft.doc.CfbNode.writePpt]]); the Node seam recovers it through
+    * the CFB walk → record-tree walk → TextCharsAtom/TextBytesAtom decode.
+    * Lossless, any Unicode; corrupt decks degrade to salvage (NodeSpec).
+    */
+  def q68PptExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q68")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 13)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"deck_${r.getLong(0)}.ppt",
+          graft.doc.CfbNode.writePpt(Seq(r.getString(1))))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/deck_$id.ppt")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "ppt_text")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
@@ -738,6 +764,7 @@ object EngineQ {
     "q38_docx_extract" -> q38DocxExtract _,
     "q65_doc_extract" -> q65DocExtract _,
     "q67_xls_extract" -> q67XlsExtract _,
+    "q68_ppt_extract" -> q68PptExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -827,6 +854,9 @@ object EngineQ {
     "q67_xls_extract" ->
       """SELECT doc_id, 'Data' || chr(10) || text AS xls_text
         |FROM documents WHERE doc_id % 25 = 11 ORDER BY doc_id""".stripMargin,
+    "q68_ppt_extract" ->
+      """SELECT doc_id, text AS ppt_text
+        |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
     "q42_ann_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
