@@ -204,6 +204,7 @@ object CfbNode {
         c.stream("WordDocument").flatMap(wd => wordBlocks(wd, c))
           .orElse(c.stream("Workbook").orElse(c.stream("Book")).flatMap(xlsBlocks))
           .orElse(c.stream("PowerPoint Document").flatMap(pptBlocks))
+          .orElse(msgBlocks(c))
       } catch { case scala.util.control.NonFatal(_) => None }
     blocks.filter(_.nonEmpty).map(bs => new BlockRoot(bs): Node)
       .getOrElse(CfbSalvage.parse(content))
@@ -402,6 +403,35 @@ object CfbNode {
     }
     walk(0, pp.length, 0)
     if (sawAny) Some(out.result()) else None
+  }
+
+  /** MS-OXMSG text: an Outlook .msg stores each string property as its own
+    * stream named `__substg1.0_PPPPTTTT` (PPPP = property id, TTTT = type:
+    * 001F = PT_UNICODE → UTF-16LE, 001E = PT_STRING8 → cp1252 — [MS-OXMSG]
+    * §2.1.3, the public property-stream grammar). The text-bearing
+    * properties surface in reading order: subject (0037), sender name
+    * (0C1A), displayed recipients (0E04), body (1000). Body paragraphs
+    * (CRLF per [MS-OXBODY]) split into blocks; other properties are single
+    * blocks. Attachment/recipient storages nest their own property streams
+    * (`__attach_…`/`__recip_…` prefixes on the STORAGE, stream names
+    * unchanged) — the flat entry walk picks those up too, which for a text
+    * extractor is the Tika-parity behavior. No known text property → None
+    * (caller salvages).
+    */
+  private def msgBlocks(c: Container): Option[Vector[String]] = {
+    val props = Seq("0037", "0C1A", "0E04", "1000")
+    val found = props.flatMap { pid =>
+      c.stream(s"__substg1.0_${pid}001F")
+        .map(b => new String(b, 0, b.length & ~1, StandardCharsets.UTF_16LE))
+        .orElse(c.stream(s"__substg1.0_${pid}001E")
+          .map(b => new String(b, Cp1252)))
+    }
+    val blocks = found.iterator
+      .flatMap(_.split("\r\n").iterator)
+      .map(_.replace('\r', '\n'))
+      .filter(_.nonEmpty)
+      .toVector
+    if (blocks.nonEmpty) Some(blocks) else None
   }
 
   // ---------------------------------------------------------------------
@@ -650,4 +680,12 @@ object CfbNode {
     val doc = rec(0xF, 0x03E8, slwt)        // Document container
     write(Seq("PowerPoint Document" -> doc))
   }
+
+  /** Minimal .msg: subject + body as PT_UNICODE property streams — lossless
+    * for arbitrary Unicode (the q65/q67/q68 fixture posture, mail edition).
+    */
+  def writeMsg(subject: String, body: String): Array[Byte] =
+    write(Seq(
+      "__substg1.0_0037001F" -> subject.getBytes(StandardCharsets.UTF_16LE),
+      "__substg1.0_1000001F" -> body.getBytes(StandardCharsets.UTF_16LE)))
 }

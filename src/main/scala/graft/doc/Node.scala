@@ -121,7 +121,7 @@ object Node {
       else if (m.contains("x-tar")) ArchiveNode.fromTar(content)
       else if (m.contains("rtf")) RtfNode.parse(rtfStr)
       else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
-        m.contains("vnd.ms-powerpoint")) {
+        m.contains("vnd.ms-powerpoint") || m.contains("vnd.ms-outlook")) {
         // "RTF saved as .doc" is a common real-world shape: the extension
         // says msword but the bytes are RTF — fall through to the RTF
         // interpreter when the CFB magic is absent. Real CFBs get the

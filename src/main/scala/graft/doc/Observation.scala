@@ -344,6 +344,7 @@ object Mime {
     "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
     "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel",
     "ppt" -> "application/vnd.ms-powerpoint",
+    "msg" -> "application/vnd.ms-outlook",
     "odt" -> "application/vnd.oasis.opendocument.text",
     "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
     "odp" -> "application/vnd.oasis.opendocument.presentation",

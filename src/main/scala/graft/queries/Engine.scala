@@ -431,6 +431,32 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q70 — Outlook .msg ingestion: every 25th document (offset 17) becomes
+    * a `.msg` whose PT_UNICODE property streams hold a synthetic subject
+    * (`msg<id>`) and the text as the body ([[graft.doc.CfbNode.writeMsg]]);
+    * the Node seam recovers subject + body in reading order through the
+    * CFB walk → [MS-OXMSG] property-stream decode. Lossless, any Unicode —
+    * the fourth legacy-Office leg (q65 .doc / q67 .xls / q68 .ppt).
+    */
+  def q70MsgExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q70")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 17)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"mail_${r.getLong(0)}.msg",
+          graft.doc.CfbNode.writeMsg(s"msg${r.getLong(0)}", r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/mail_$id.msg")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "msg_text")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q35 — multimodal: opaque binary column -> batched feature extraction
   // -------------------------------------------------------------------------
@@ -765,6 +791,7 @@ object EngineQ {
     "q65_doc_extract" -> q65DocExtract _,
     "q67_xls_extract" -> q67XlsExtract _,
     "q68_ppt_extract" -> q68PptExtract _,
+    "q70_msg_extract" -> q70MsgExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -857,6 +884,9 @@ object EngineQ {
     "q68_ppt_extract" ->
       """SELECT doc_id, text AS ppt_text
         |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
+    "q70_msg_extract" ->
+      """SELECT doc_id, 'msg' || doc_id || chr(10) || text AS msg_text
+        |FROM documents WHERE doc_id % 25 = 17 ORDER BY doc_id""".stripMargin,
     "q42_ann_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
