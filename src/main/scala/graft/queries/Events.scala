@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table (batch form).
   *
-  * The `events.ts` column is nanosecond parquet, which Spark reads as
-  * `bigint` nanos under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-  * Verify/Bench/tests). All time arithmetic below is exact integer math on
-  * nanos so the DuckDB oracle (epoch_ns) matches bit-for-bit — no float time.
+  * The `events.ts` column arrives via [[graft.Tables.events]], which
+  * normalizes whatever the parquet physical type is (nanosecond timestamps
+  * under `spark.sql.legacy.parquet.nanosAsLong=true`, or `timestamp[us]`)
+  * to a canonical epoch-nanos BIGINT. All time arithmetic below is exact
+  * integer math on nanos so the DuckDB oracle (epoch_us) matches
+  * bit-for-bit — no float time.
   *
   * Float sums: `value` is float32. A plain `round(sum(value), 2)` sums
   * doubles in engine-dependent order and diverges at `.xx5` boundaries, so

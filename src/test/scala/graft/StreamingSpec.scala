@@ -87,8 +87,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("transforms run on the real events table (nanosecond parquet -> timestamp)") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // the documented conversion
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // canonical nanos -> micros ts
     val total = ev.count()
     val hourly = EventStreams.hourlyCounts(ev)
     assert(hourly.agg(sum("n")).collect().head.getLong(0) == total) // partition of all events
