@@ -109,6 +109,53 @@ object ArchiveNode {
       if (es.isEmpty) Node.Unrecognisable else listing("zip", es, truncated)
     } catch { case scala.util.control.NonFatal(_) => Node.Unrecognisable }
 
+  /** 7z container walk (commons-compress SevenZFile over an in-memory
+    * channel — the LZMA2 decoder is the xz library, already on the Spark
+    * runtime classpath). Same listing convention and guards as tar/zip:
+    * entry cap with `"truncated":true`, per-member inflate cap (7z members
+    * ARE compressed, so the declared size can dwarf the archive — refusal,
+    * not truncation), nesting cap via [[memberText]]. Unrecognisable when
+    * the bytes are not a 7z or the header is corrupt.
+    */
+  def from7z(content: Array[Byte], maxMember: Int = MaxMemberBytes): Node =
+    try {
+      val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(content)
+      val sz = org.apache.commons.compress.archivers.sevenz.SevenZFile.builder()
+        .setSeekableByteChannel(ch).get()
+      try {
+        val entries = Vector.newBuilder[Entry]
+        var n = 0
+        var truncated = false
+        var e = sz.getNextEntry
+        while (e != null) {
+          if (n < MaxEntries) {
+            val isDir = e.isDirectory
+            if (isDir) entries += Entry(e.getName, 0L, isDir = true, "")
+            else {
+              // bounded read: cap + 1 probe byte detects overflow
+              val out = new java.io.ByteArrayOutputStream(
+                math.min(math.max(if (e.hasStream) e.getSize.toInt else 0, 1024), 1 << 20))
+              val buf = new Array[Byte](8192)
+              var over = false
+              var r = sz.read(buf)
+              while (r >= 0 && !over) {
+                out.write(buf, 0, r)
+                if (out.size > maxMember) over = true else r = sz.read(buf)
+              }
+              val bytes = out.toByteArray
+              val size = if (e.hasStream) e.getSize else bytes.length.toLong
+              val text = if (over) "" else memberText(e.getName, bytes)
+              entries += Entry(e.getName, size, isDir = false, text)
+            }
+          } else truncated = true
+          n += 1
+          e = sz.getNextEntry
+        }
+        val es = entries.result()
+        if (es.isEmpty) Node.Unrecognisable else listing("7z", es, truncated)
+      } finally sz.close()
+    } catch { case scala.util.control.NonFatal(_) => Node.Unrecognisable }
+
   /** Member text through the full Doc seam (sniff + charset + gzip unwrap),
     * nesting-capped. Failures and binary members extract as "".
     */

@@ -119,6 +119,7 @@ object Node {
         }
       }
       else if (m.contains("x-tar")) ArchiveNode.fromTar(content)
+      else if (m.contains("7z")) ArchiveNode.from7z(content)
       else if (m.contains("rtf")) RtfNode.parse(rtfStr)
       else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
         m.contains("vnd.ms-powerpoint") || m.contains("vnd.ms-outlook")) {

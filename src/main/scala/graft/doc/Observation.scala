@@ -86,38 +86,39 @@ final case class Doc(
       copy(content = Array.empty, contentPtr = Some(path))
     }
 
-  /** Transparent gzip unwrap (the commonest Tika-normalisation case in
-    * crawl data: `.html.gz` / `.json.gz` / gzip Content-Encoding): when the
-    * body carries the 1f 8b magic, everything CONTENT-DERIVED (mime sniff,
-    * charset, contentStr, the parsed tree) reads the inflated form, with
-    * the `.gz` suffix stripped from the sniffing uri — while `content`/
-    * `bytes`, equality, caching, and blob offload keep the raw compressed
-    * body (storage stays byte-faithful to the fetch). Inflation is capped
-    * ([[Gzip.MaxInflate]], a zip-bomb guard); over-cap or corrupt streams
-    * fall back to the opaque raw bytes.
+  /** Transparent compression unwrap (the commonest Tika-normalisation case
+    * in crawl data: `.html.gz` / `.json.gz` / gzip Content-Encoding, plus
+    * the dump-archive codecs bzip2/xz/zstd/lz4): when the body carries a
+    * known codec magic, everything CONTENT-DERIVED (mime sniff, charset,
+    * contentStr, the parsed tree) reads the inflated form, with the codec
+    * suffix stripped from the sniffing uri (so `.tar.zst` sniffs as tar) —
+    * while `content`/`bytes`, equality, caching, and blob offload keep the
+    * raw compressed body (storage stays byte-faithful to the fetch).
+    * Inflation is capped ([[Codecs.MaxInflate]], a bomb guard); over-cap or
+    * corrupt streams fall back to the opaque raw bytes.
     */
-  @transient private lazy val inflated: Option[Array[Byte]] =
-    if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
-      Gzip.inflate(bytes, Gzip.MaxInflate)
-    else None
+  @transient private lazy val inflated: Option[(Array[Byte], String)] =
+    Codecs.detect(bytes).flatMap { codec =>
+      Codecs.inflate(bytes, codec, Codecs.MaxInflate)
+        .map(b => (b, Codecs.stripSuffix(uri, codec)))
+    }
 
   /** The content-derived view: inflated body + sniffing uri. */
   @transient private lazy val view: (Array[Byte], String) = inflated match {
-    case Some(b) => (b, uri.stripSuffix(".gz"))
-    case None    => (bytes, uri)
+    case Some((b, u)) => (b, u)
+    case None         => (bytes, uri)
   }
 
   /** Effective mime: declared (parameters stripped) else sniffed from the uri
     * extension else from the content head (reference Doc.scala:70-144, minus
     * the Tika dependency — detection here is extension+magic heuristics).
-    * Gzip-declared bodies are treated like octet-stream: the unwrapped
-    * content decides.
+    * Codec-declared bodies (gzip/bzip2/xz/zstd/lz4) are treated like
+    * octet-stream: the unwrapped content decides.
     */
   lazy val mime: String =
     declaredMime.map(_.takeWhile(_ != ';').trim.toLowerCase)
       .filter(_.nonEmpty)
-      .filter(m => m != "application/octet-stream" &&
-        m != "application/gzip" && m != "application/x-gzip")
+      .filter(m => m != "application/octet-stream" && !Codecs.codecMimes(m))
       .getOrElse(Mime.sniff(view._2, view._1))
 
   /** Detected charset: Content-Type parameter > BOM > meta/XML-decl sniff >
@@ -297,23 +298,75 @@ object Charsets {
   }
 }
 
-/** Capped gzip inflation for [[Doc]]'s transparent unwrap. */
-private[graft] object Gzip {
+/** Capped stream-codec inflation for [[Doc]]'s transparent unwrap: gzip
+  * (JDK), bzip2/xz/zstd/lz4-frame (Apache commons-compress + its xz /
+  * zstd-jni backends, all on the Spark runtime classpath). Magic-sniffed —
+  * declared mimes and extensions only decide suffix stripping, never the
+  * codec.
+  */
+private[graft] object Codecs {
 
-  /** Zip-bomb guard: refuse to inflate past this (the doc then stays an
-    * opaque binary — refusal, not truncation, so extraction never sees a
-    * silently cut-off document).
+  /** Bomb guard: refuse to inflate past this (the doc then stays an opaque
+    * binary — refusal, not truncation, so extraction never sees a silently
+    * cut-off document).
     */
   val MaxInflate: Int = 64 << 20
 
-  /** Inflate fully (multi-member streams included) or not at all: None on
-    * corrupt input or when the output would exceed `cap`.
+  /** Declared mimes that mean "a codec wrapper, not the content type" —
+    * the unwrapped bytes decide the effective mime instead.
     */
-  def inflate(gz: Array[Byte], cap: Int): Option[Array[Byte]] = {
-    var in: java.util.zip.GZIPInputStream = null
+  val codecMimes: Set[String] = Set(
+    "application/gzip", "application/x-gzip", "application/x-bzip2",
+    "application/x-xz", "application/zstd", "application/x-lz4")
+
+  /** Codec by magic bytes; None when the head matches no known stream
+    * compressor (7z/zip are CONTAINERS, not stream codecs — they dispatch
+    * through the mime path to [[Node.parse]]).
+    */
+  def detect(b: Array[Byte]): Option[String] =
+    if (b.length < 6) None
+    else if (b(0) == 0x1f.toByte && b(1) == 0x8b.toByte) Some("gzip")
+    else if (b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
+      b(3) >= '1' && b(3) <= '9') Some("bzip2")
+    else if (b(0) == 0xfd.toByte && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0) Some("xz")
+    else if (b(0) == 0x28 && b(1) == 0xb5.toByte && b(2) == 0x2f &&
+      b(3) == 0xfd.toByte) Some("zstd")
+    else if (b(0) == 0x04 && b(1) == 0x22 && b(2) == 0x4d && b(3) == 0x18)
+      Some("lz4")
+    else None
+
+  /** Extensions each codec strips from the sniffing uri; `.tgz`-style fused
+    * forms are handled in [[Mime.byExt]] instead (the suffix stays, the
+    * mapping knows it is a tar).
+    */
+  private val suffixes = Map(
+    "gzip" -> Seq(".gz"), "bzip2" -> Seq(".bz2"), "xz" -> Seq(".xz"),
+    "zstd" -> Seq(".zst", ".zstd"), "lz4" -> Seq(".lz4"))
+
+  def stripSuffix(uri: String, codec: String): String =
+    suffixes.getOrElse(codec, Seq.empty)
+      .collectFirst { case s if uri.toLowerCase.endsWith(s) => uri.dropRight(s.length) }
+      .getOrElse(uri)
+
+  /** Inflate fully (multi-member/concatenated streams included) or not at
+    * all: None on corrupt input or when the output would exceed `cap`.
+    */
+  def inflate(raw: Array[Byte], codec: String, cap: Int): Option[Array[Byte]] = {
+    import org.apache.commons.compress.compressors
+    var in: java.io.InputStream = null
     try {
-      in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(gz))
-      val out = new ByteArrayOutputStream(math.min(math.max(gz.length * 4, 1024), 1 << 20))
+      val bin = new ByteArrayInputStream(raw)
+      in = codec match {
+        case "gzip"  => new java.util.zip.GZIPInputStream(bin)
+        case "bzip2" => new compressors.bzip2.BZip2CompressorInputStream(bin, true)
+        case "xz"    => compressors.xz.XZCompressorInputStream.builder()
+          .setInputStream(bin).setDecompressConcatenated(true).get()
+        case "zstd"  => new compressors.zstandard.ZstdCompressorInputStream(bin)
+        case "lz4"   => new compressors.lz4.FramedLZ4CompressorInputStream(bin, true)
+        case _       => return None
+      }
+      val out = new ByteArrayOutputStream(math.min(math.max(raw.length * 4, 1024), 1 << 20))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       var over = false
@@ -323,8 +376,8 @@ private[graft] object Gzip {
       }
       if (over) None else Some(out.toByteArray)
     } catch {
-      case _: java.io.IOException => None // corrupt stream: keep raw bytes
-    } finally if (in != null) in.close()
+      case scala.util.control.NonFatal(_) => None // corrupt stream: keep raw bytes
+    } finally if (in != null) try in.close() catch { case _: java.io.IOException => }
   }
 }
 
@@ -348,9 +401,13 @@ object Mime {
     "odt" -> "application/vnd.oasis.opendocument.text",
     "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
     "odp" -> "application/vnd.oasis.opendocument.presentation",
-    // .tar.gz/.tgz reach these through Doc's transparent gzip unwrap
-    // (which strips the .gz suffix before sniffing)
-    "tar" -> "application/x-tar", "tgz" -> "application/x-tar"
+    // .tar.gz/.tar.bz2/.tar.xz/.tar.zst/.tar.lz4 reach these through Doc's
+    // transparent codec unwrap (which strips the codec suffix before
+    // sniffing); the fused short forms map directly.
+    "tar" -> "application/x-tar", "tgz" -> "application/x-tar",
+    "tbz2" -> "application/x-tar", "txz" -> "application/x-tar",
+    "tzst" -> "application/x-tar",
+    "7z" -> "application/x-7z-compressed"
   )
 
   def sniff(uri: String, content: Array[Byte]): String = {
@@ -365,8 +422,18 @@ object Mime {
       else if (head.startsWith("{\\rtf")) "application/rtf" // before the JSON `{` guess
       else if (content.startsWith(Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte)))
         "application/msword" // CFB container (.doc/.xls — salvage path)
-      // only reached when Doc's transparent unwrap refused (corrupt/bomb)
+      // codec magics: only reached when Doc's transparent unwrap refused
+      // (corrupt stream / over-cap bomb) — the doc stays an opaque binary
       else if (content.startsWith(Array[Byte](0x1f, 0x8b.toByte))) "application/gzip"
+      else if (content.length > 3 && content(0) == 'B' && content(1) == 'Z' &&
+        content(2) == 'h' && content(3) >= '1' && content(3) <= '9') "application/x-bzip2"
+      else if (content.startsWith(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0)))
+        "application/x-xz"
+      else if (content.startsWith(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte)))
+        "application/zstd"
+      else if (content.startsWith(Array[Byte](0x04, 0x22, 0x4d, 0x18))) "application/x-lz4"
+      else if (content.startsWith(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c)))
+        "application/x-7z-compressed"
       else if (content.length > 262 && content(257) == 'u' && content(258) == 's' &&
         content(259) == 't' && content(260) == 'a' && content(261) == 'r')
         "application/x-tar" // ustar magic at 257 (extension-less tars)

@@ -779,6 +779,83 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q71 — dump-archive codec matrix: bzip2/xz/zstd/lz4 tars + 7z containers
+  // -------------------------------------------------------------------------
+
+  /** Fixture compressor for [[q71ArchiveCodecs]] (commons-compress output
+    * streams — same public backends the read path uses).
+    */
+  private def compressWith(codec: String, bytes: Array[Byte]): Array[Byte] = {
+    import org.apache.commons.compress.compressors
+    val bout = new java.io.ByteArrayOutputStream()
+    val out: java.io.OutputStream = codec match {
+      case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(bout)
+      case "xz"  => new compressors.xz.XZCompressorOutputStream(bout)
+      case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(bout)
+      case "lz4" => new compressors.lz4.FramedLZ4CompressorOutputStream(bout)
+    }
+    out.write(bytes); out.close()
+    bout.toByteArray
+  }
+
+  private def sevenZOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.sevenz._
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new SevenZOutputFile(ch)
+    entries.foreach { case (name, data) =>
+      val e = new SevenZArchiveEntry()
+      e.setName(name); e.setSize(data.length.toLong)
+      out.putArchiveEntry(e); out.write(data); out.closeArchiveEntry()
+    }
+    out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+
+  /** The q59 shape across the whole dump-codec matrix: every 10th document
+    * (offset 4) lands in a 20-id segment whose container cycles through
+    * `.tar.bz2` / `.tar.xz` / `.tar.zst` / `.tar.lz4` / `.7z` by
+    * `seg % 5`. Ingest is binaryFile → Doc seam: the transparent codec
+    * unwrap ([[graft.doc.Codecs]]) strips the suffix and the tar walker
+    * runs, or the 7z mime dispatches [[graft.doc.ArchiveNode.from7z]] —
+    * every codec leg is load-bearing for the oracle hash, which predicts
+    * member names, the codec (from the id arithmetic) and LOSSLESS text
+    * from the source table.
+    */
+  def q71ArchiveCodecs(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q71")
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / 20)
+      .mapGroups { (seg, it) =>
+        val members = it.toArray.sortBy(_._1).toSeq.map { case (id, text) =>
+          s"doc_$id.txt" -> text.getBytes(StandardCharsets.UTF_8)
+        }
+        val (name, bytes) = (seg % 5) match {
+          case 0 => f"bundle_$seg%05d.tar.bz2" -> compressWith("bz2", tarOf(members))
+          case 1 => f"bundle_$seg%05d.tar.xz" -> compressWith("xz", tarOf(members))
+          case 2 => f"bundle_$seg%05d.tar.zst" -> compressWith("zst", tarOf(members))
+          case 3 => f"bundle_$seg%05d.tar.lz4" -> compressWith("lz4", tarOf(members))
+          case _ => f"bundle_$seg%05d.7z" -> sevenZOf(members)
+        }
+        graft.agent.DocIO.writeBytes(fix, name, bytes)
+        seg
+      }.count()
+    spark.read.format("binaryFile").load(fix)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val codec = p.substring(p.lastIndexOf('.') + 1)
+        graft.doc.Doc(graft.doc.DocUID(p), p, bytes).root.findAll("entries").map { e =>
+          val name = e.attr("name").getOrElse("")
+          val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
+          (id, name, codec, e.attr("text").getOrElse(""))
+        }
+      }
+      .toDF("doc_id", "member", "codec", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -800,6 +877,7 @@ object EngineQ {
     "q57_url_normalize" -> q57UrlNormalize _,
     "q58_robots_gate"  -> q58RobotsGate _,
     "q59_tar_extract"  -> q59TarExtract _,
+    "q71_archive_codecs" -> q71ArchiveCodecs _,
   )
 
   private val DOT_SQL = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
@@ -944,6 +1022,17 @@ object EngineQ {
         |  'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
         |  text
         |FROM documents WHERE doc_id % 10 = 8 ORDER BY doc_id""".stripMargin,
+    // the codec is pure id arithmetic (seg = doc_id//20, cycling the five
+    // container legs); names and text are stated from the source table, so
+    // each of bzip2/xz/zstd/lz4/7z must round-trip losslessly to hash-match
+    "q71_archive_codecs" ->
+      """SELECT doc_id,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+        |  CASE CAST((doc_id // 20) % 5 AS INT)
+        |    WHEN 0 THEN 'bz2' WHEN 1 THEN 'xz' WHEN 2 THEN 'zst'
+        |    WHEN 3 THEN 'lz4' ELSE '7z' END AS codec,
+        |  text
+        |FROM documents WHERE doc_id % 10 = 4 ORDER BY doc_id""".stripMargin,
     // the raw url is built by the same formula on both engines; the
     // canonical form is stated closed-form — every rule is load-bearing
     "q57_url_normalize" ->

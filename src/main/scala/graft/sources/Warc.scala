@@ -24,7 +24,7 @@ import graft.doc.{Doc, DocUID}
   * the caller keeps the body column past a shuffle boundary (then Doc's
   * blob offload applies). Per-record gzip members (the Common Crawl layout)
   * and whole-file gzip both decode transparently: `GZIPInputStream` walks
-  * concatenated members, which is also what [[graft.doc.Gzip.inflate]]
+  * concatenated members, which is also what [[graft.doc.Codecs.inflate]]
   * relies on for `.gz` Doc bodies.
   */
 object Warc {
