@@ -839,8 +839,78 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** q72 — n-gram LM quality scoring, the CCNet/Gopher-style "LM filter" of
+    * training-data pipelines: train trigram/bigram/unigram counts on half
+    * the corpus (even doc_id), score EVERY document's tokens under stupid
+    * backoff (Brants et al. 2007 — highest-order seen n-gram, ×0.4 per
+    * backoff step), sum per document. Probabilities are integer-quantized
+    * (count-ratio in millionths, floor-divided) so the score is bit-exact
+    * across engines — a float log-prob sum would diverge in summation
+    * order; unseen-in-train unigrams floor at 0.
+    *
+    * Scale shape: token context (prev-1/prev-2) is array arithmetic BEFORE
+    * the explode — no window function, no per-token shuffle to build
+    * context. Count tables are map-side-combined groupBys keyed by the
+    * n-gram; scoring joins are shuffle-hash on n-gram keys (vocab tables
+    * grow with the corpus — never broadcast); the training-token total
+    * rides a broadcast crossJoin as a 1-row dim.
+    */
+  def q72LmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmQuality(Tables.documents(spark, dir))
+
+  /** Core of [[q72LmQuality]] over any (doc_id, text) frame — the spec runs
+    * it on a constructed corpus with hand-computed backoff scores.
+    */
+  def lmQuality(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")),
+        // ANSI-safe guarded array access: CaseWhen evaluates branches
+        // lazily, so ts[pos-1] never runs with a negative index
+        when(col("pos") >= 1, col("ts")(col("pos") - 1)).as("p1"),
+        when(col("pos") >= 2, col("ts")(col("pos") - 2)).as("p2"))
+
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val uni = train.groupBy(col("tok").as("u_tok"))
+      .agg(count(lit(1)).as("c1"))
+    val bi = train.filter(col("p1").isNotNull)
+      .groupBy(col("p1").as("b_p1"), col("tok").as("b_tok"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = train.filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("t_p2"), col("p1").as("t_p1"), col("tok").as("t_tok"))
+      .agg(count(lit(1)).as("c3"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+
+    val scored = toks
+      .join(tri.hint("shuffle_hash"),
+        col("t_p2") === col("p2") && col("t_p1") === col("p1") &&
+          col("t_tok") === col("tok"), "left")
+      .join(bi.as("bctx").hint("shuffle_hash"),
+        col("bctx.b_p1") === col("p2") && col("bctx.b_tok") === col("p1"), "left")
+      .join(bi.as("bcur").hint("shuffle_hash"),
+        col("bcur.b_p1") === col("p1") && col("bcur.b_tok") === col("tok"), "left")
+      .join(uni.as("up1").hint("shuffle_hash"), col("up1.u_tok") === col("p1"), "left")
+      .join(uni.as("ucur").hint("shuffle_hash"), col("ucur.u_tok") === col("tok"), "left")
+      .crossJoin(broadcast(nTrain))
+      .select(col("doc_id"),
+        when(col("p2").isNotNull && col("c3").isNotNull,
+          expr("(1000000L * c3) div `bctx`.c2"))
+          .when(col("p1").isNotNull && col("bcur.c2").isNotNull,
+            expr("((case when p2 is null then 1000000L else 400000L end) * `bcur`.c2) div `up1`.c1"))
+          .when(col("ucur.c1").isNotNull,
+            expr("((case when p1 is null then 1000000L when p2 is null then 400000L else 160000L end) * `ucur`.c1) div n_train"))
+          .otherwise(lit(0L)).as("s"))
+
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("lm_score"))
+      .select(col("doc_id"), col("n_toks"), col("lm_score"),
+        expr("lm_score div n_toks").as("score_per_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
+    "q72_lm_quality"  -> q72LmQuality _,
     "q21_quality"     -> q21Quality _,
     "q60_repetition"  -> q60Repetition _,
     "q61_length_percentiles" -> q61LengthPercentiles _,
@@ -860,6 +930,52 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // stupid-backoff LM scoring: the oracle builds the same count tables
+    // over the even-doc_id half (lag() context == Spark's pre-explode array
+    // arithmetic) and quantizes the count-ratio to integer millionths —
+    // every branch (trigram hit, penalized bigram/unigram backoff, unseen
+    // floor) is integer math, so the hash is bit-exact
+    "q72_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |ctx AS (
+        |  SELECT doc_id, pos, tok,
+        |    lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+        |    lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+        |  FROM toks),
+        |train AS (SELECT * FROM ctx WHERE doc_id % 2 = 0),
+        |uni AS (SELECT tok, count(*) AS c FROM train GROUP BY tok),
+        |bi  AS (SELECT p1, tok, count(*) AS c FROM train
+        |        WHERE p1 IS NOT NULL GROUP BY p1, tok),
+        |tri AS (SELECT p2, p1, tok, count(*) AS c FROM train
+        |        WHERE p2 IS NOT NULL GROUP BY p2, p1, tok),
+        |n AS (SELECT count(*) AS n_train FROM train),
+        |scored AS (
+        |  SELECT c.doc_id,
+        |    CASE
+        |      WHEN c.p2 IS NOT NULL AND t.c IS NOT NULL
+        |        THEN (1000000 * t.c) // bc.c
+        |      WHEN c.p1 IS NOT NULL AND b.c IS NOT NULL
+        |        THEN ((CASE WHEN c.p2 IS NULL THEN 1000000 ELSE 400000 END) * b.c) // u1.c
+        |      WHEN u.c IS NOT NULL
+        |        THEN ((CASE WHEN c.p1 IS NULL THEN 1000000
+        |                    WHEN c.p2 IS NULL THEN 400000
+        |                    ELSE 160000 END) * u.c) // n.n_train
+        |      ELSE 0 END AS s
+        |  FROM ctx c
+        |  LEFT JOIN tri t ON t.p2 = c.p2 AND t.p1 = c.p1 AND t.tok = c.tok
+        |  LEFT JOIN bi bc ON bc.p1 = c.p2 AND bc.tok = c.p1
+        |  LEFT JOIN bi b  ON b.p1 = c.p1 AND b.tok = c.tok
+        |  LEFT JOIN uni u1 ON u1.tok = c.p1
+        |  LEFT JOIN uni u  ON u.tok = c.tok
+        |  CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(s) AS BIGINT) AS lm_score,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS score_per_tok
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the frozen merge table as a rank-ordered literal-replace
     // chain over a symbol-guarded string: replace() makes exactly one
     // left-to-right non-overlapping pass — the BpeEncode per-merge

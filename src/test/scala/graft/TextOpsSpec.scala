@@ -497,6 +497,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(empty.weights.forall(_ == 0.0) && empty.bias == 0.0)
   }
 
+  // ---- n-gram LM quality (stupid backoff, q72 core) ------------------------
+
+  test("LM quality: every backoff branch fires with hand-computed integer scores") {
+    val s = spark
+    import s.implicits._
+    // train = even doc_ids only (here: doc 0, "a b c a b d", N=6):
+    //   uni a:2 b:2 c:1 d:1 | bi (a,b):2 (b,c):1 (c,a):1 (b,d):1
+    //   tri (a,b,c):1 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    val docs = Seq(
+      (0L, "a b c a b d"), // trigram hits + position-aware openers
+      (1L, "a b c x"),     // unseen-everywhere token floors at 0
+      (3L, "d a b"),       // bigram unseen at pos1 -> 0.4*uni; trigram unseen
+                           // at pos2 with bigram seen -> 0.4*bi
+      (5L, "x x c")        // double-unseen context -> 0.16*uni
+    ).toDF("doc_id", "text")
+    val got = TextQ.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: 1000000*2/6=333333 | bi(a,b)2/c1(a)2=1000000 | tri 1/2=500000 |
+    //        tri(b,c,a)1/1 | tri(c,a,b)1/1 | tri(a,b,d)1/bi(a,b)2=500000
+    assert(got(0L) == ((6L, 4333333L, 722222L)))
+    // doc 1: 333333 + 1000000 + 500000 + 0 (x unseen at every order)
+    assert(got(1L) == ((4L, 1833333L, 458333L)))
+    // doc 3: uni d 1000000*1/6=166666 | bi(d,a) unseen -> 400000*c1(a)2/6=133333
+    //        | tri(d,a,b) unseen, bi(a,b) seen -> 400000*2/c1(a)2=400000
+    assert(got(3L) == ((3L, 699999L, 233333L)))
+    // doc 5: x floors twice; c with both contexts unseen -> 160000*1/6=26666
+    assert(got(5L) == ((3L, 26666L, 8888L)))
+  }
+
   // ---- trained BPE (graft.llm.Bpe) -----------------------------------------
 
   test("BPE train: hand-computed merges on the classic fixture, incl. a lexicographic tie-break") {
