@@ -789,9 +789,12 @@ object EngineQ {
   private def compressWith(codec: String, bytes: Array[Byte]): Array[Byte] = {
     import org.apache.commons.compress.compressors
     val bout = new java.io.ByteArrayOutputStream()
+    // small presets: the segments are KB-sized, and xz preset 6 / bzip2
+    // block 9 pay an 8 MB dictionary / 900 KB block INIT per stream —
+    // hundreds of tiny fixture archives made that the dominant query cost
     val out: java.io.OutputStream = codec match {
-      case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(bout)
-      case "xz"  => new compressors.xz.XZCompressorOutputStream(bout)
+      case "bz2" => new compressors.bzip2.BZip2CompressorOutputStream(bout, 1)
+      case "xz"  => new compressors.xz.XZCompressorOutputStream(bout, 0)
       case "zst" => new compressors.zstandard.ZstdCompressorOutputStream(bout)
       case "lz4" => new compressors.lz4.FramedLZ4CompressorOutputStream(bout)
     }
