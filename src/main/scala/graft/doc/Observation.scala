@@ -317,14 +317,22 @@ private[graft] object Codecs {
     */
   val codecMimes: Set[String] = Set(
     "application/gzip", "application/x-gzip", "application/x-bzip2",
-    "application/x-xz", "application/zstd", "application/x-lz4")
+    "application/x-xz", "application/zstd", "application/x-lz4",
+    "application/zlib", "application/deflate", "application/x-deflate")
 
   /** Codec by magic bytes; None when the head matches no known stream
     * compressor (7z/zip are CONTAINERS, not stream codecs — they dispatch
     * through the mime path to [[Node.parse]]).
+    *
+    * zlib last and heuristically: its 2-byte header (CMF/FLG, `%31`
+    * checksum) can collide with text — e.g. `"x "` passes the check — so a
+    * false positive costs one failed inflate attempt and falls back to the
+    * raw view unchanged. RAW deflate (no zlib wrapper, some legacy
+    * `Content-Encoding: deflate` servers) has no magic at all and stays
+    * opaque by design.
     */
   def detect(b: Array[Byte]): Option[String] =
-    if (b.length < 6) None
+    if (b.length < 8) None
     else if (b(0) == 0x1f.toByte && b(1) == 0x8b.toByte) Some("gzip")
     else if (b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
       b(3) >= '1' && b(3) <= '9') Some("bzip2")
@@ -334,6 +342,8 @@ private[graft] object Codecs {
       b(3) == 0xfd.toByte) Some("zstd")
     else if (b(0) == 0x04 && b(1) == 0x22 && b(2) == 0x4d && b(3) == 0x18)
       Some("lz4")
+    else if ((b(0) & 0x0f) == 8 && ((b(0) & 0xff) >>> 4) <= 7 &&
+      (((b(0) & 0xff) << 8) | (b(1) & 0xff)) % 31 == 0) Some("zlib")
     else None
 
   /** Extensions each codec strips from the sniffing uri; `.tgz`-style fused
@@ -353,6 +363,7 @@ private[graft] object Codecs {
     * all: None on corrupt input or when the output would exceed `cap`.
     */
   def inflate(raw: Array[Byte], codec: String, cap: Int): Option[Array[Byte]] = {
+    if (codec == "zlib") return inflateZlib(raw, cap)
     import org.apache.commons.compress.compressors
     var in: java.io.InputStream = null
     try {
@@ -378,6 +389,33 @@ private[graft] object Codecs {
     } catch {
       case scala.util.control.NonFatal(_) => None // corrupt stream: keep raw bytes
     } finally if (in != null) try in.close() catch { case _: java.io.IOException => }
+  }
+
+  /** zlib needs stricter acceptance than the magic codecs: the JDK Inflater
+    * can report "finished" with ZERO output on plain text that passes the
+    * 2-byte header check (measured — `"x marks the spot"` inflates to 0
+    * bytes "successfully"), which would silently EMPTY a real document. A
+    * zlib body is accepted only when the inflater finishes, produced
+    * non-empty output, and consumed the whole input (true zlib bodies are
+    * exactly one stream + adler trailer); anything else keeps raw bytes.
+    */
+  private def inflateZlib(raw: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new ByteArrayOutputStream(math.min(math.max(raw.length * 4, 1024), 1 << 20))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size > cap) return None
+        } else if (!inf.finished()) return None // needs input/dict on a full buffer: corrupt
+      }
+      if (out.size == 0 || inf.getRemaining > 0) None else Some(out.toByteArray)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally inf.end()
   }
 }
 

@@ -908,9 +908,71 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q73 — DSIR-style importance resampling (Xie et al., NeurIPS 2023:
+    * hashed n-gram features, importance weight = target/raw feature-prob
+    * ratio, resample by weight): the data-SELECTION primitive that follows
+    * the data-SCORING of q72 in a real pipeline. This implementation is the
+    * deterministic integer surrogate of the paper's recipe, oracle-able by
+    * construction: features are token hash buckets (B=1024 via the q44
+    * Rabin hash — both engines hash code points identically), per-bucket
+    * importance is the add-1-smoothed target/raw probability ratio
+    * quantized to integer millionths in ONE floor division over exact
+    * decimal products (no logs, no floats — Gumbel noise is replaced by
+    * the (weight, doc_id) deterministic top-K, which is what makes a
+    * DuckDB gate possible at all).
+    *
+    * Scale shape: the bucket table is BOUNDED (B rows) by construction, so
+    * the scoring join broadcasts — deliberately the opposite regime from
+    * q72's unbounded n-gram tables, and the reason hashed features are the
+    * scalable selection recipe. Token bucketing is one codegen'd map pass;
+    * the two count tables are map-side-combined B-row aggregates; top-K is
+    * TakeOrdered (no global sort materialization).
+    */
+  def q73DsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResample(Tables.documents(spark, dir))
+
+  private val DSIR_B = 1024
+  private val DSIR_K = 100
+
+  /** Core of [[q73DsirResample]] over any (doc_id, lang, text) frame. */
+  def dsirResample(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket", pmod(graft.functions.rolling_hash(col("tok")), lit(DSIR_B)))
+    val rCounts = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tCounts = toks.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("n_r"),
+      count(when(col("lang") === "en", 1)).as("n_t"))
+
+    // integer millionths in one floor division: decimal(38,0) products stay
+    // exact where BIGINT would overflow at cluster scale (ANSI would throw)
+    val buckets = rCounts.join(tCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"""(cast(1000000 as decimal(38,0)) * (ct + 1) * (n_r + $DSIR_B))
+                | div (cast(cr + 1 as decimal(38,0)) * (n_t + $DSIR_B))""".stripMargin)
+          .as("s"))
+
+    val weighted = toks
+      .join(broadcast(buckets), Seq("bucket")) // B rows, bounded by construction
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DSIR_K)
+    weighted
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
+    "q73_dsir_resample" -> q73DsirResample _,
     "q21_quality"     -> q21Quality _,
     "q60_repetition"  -> q60Repetition _,
     "q61_length_percentiles" -> q61LengthPercentiles _,
@@ -930,6 +992,41 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // DSIR importance resampling: the oracle re-derives the bucket hash
+    // with the q44 list_reduce Rabin walk (code points on both engines),
+    // the same add-1 importance ratio in HUGEINT (exact, like Spark's
+    // decimal(38,0)), and the same deterministic (weight, doc_id) top-K
+    "q73_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(7::BIGINT,
+        |      list_transform(range(1, strlen(tok) + 1),
+        |        i -> ascii(substr(tok, i, 1))::BIGINT)),
+        |      (a, x) -> (a * 31 + x) % 2147483647) % 1024 AS bucket
+        |  FROM toks),
+        |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+        |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+        |tot AS (SELECT count(*) AS n_r,
+        |               count(*) FILTER (lang = 'en') AS n_t FROM b),
+        |sc AS (
+        |  SELECT rc.bucket,
+        |    (1000000::HUGEINT * (COALESCE(tc.ct, 0) + 1) * (tot.n_r + 1024))
+        |      // ((rc.cr + 1)::HUGEINT * (tot.n_t + 1024)) AS s
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, lang, count(*) AS n_toks,
+        |    CAST(sum(s) AS BIGINT) AS weight
+        |  FROM b JOIN sc USING (bucket)
+        |  GROUP BY doc_id, lang),
+        |top AS (
+        |  SELECT doc_id, lang, n_toks, weight,
+        |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+        |  FROM w)
+        |SELECT doc_id, lang, n_toks, weight, rank
+        |FROM top WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // stupid-backoff LM scoring: the oracle builds the same count tables
     // over the even-doc_id half (lag() context == Spark's pre-explode array
     // arithmetic) and quantizes the count-ratio to integer millionths —

@@ -526,6 +526,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 26666L, 8888L)))
   }
 
+  // ---- DSIR importance resampling (q73 core) -------------------------------
+
+  test("DSIR: target-distribution docs outrank OOD docs, including unlabeled impostors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocabA = (0 until 40).map(i => s"alpha$i")  // target ('en') distribution
+    val vocabB = (0 until 40).map(i => s"omega$i")  // OOD distribution
+    def doc(vocab: Seq[String]) = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = ((0 until 40).map(i => (i.toLong, "en", doc(vocabA))) ++
+      (100 until 140).map(i => (i.toLong, "xx", doc(vocabB))) ++
+      // impostors: labeled 'xx' but WRITTEN in the target distribution —
+      // importance weighting must rank them by content, not label
+      (200 until 205).map(i => (i.toLong, "xx", doc(vocabA)))).toDF("doc_id", "lang", "text")
+    val ranked = TextQ.dsirResample(docs).select(col("doc_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val worstTargetLike = (ranked.filter(_._1 < 40) ++ ranked.filter(_._1 >= 200)).values.max
+    val bestOod = ranked.filter(kv => kv._1 >= 100 && kv._1 < 140).values.min
+    assert(worstTargetLike < bestOod,
+      s"every target-distribution doc (incl. impostors) must outrank OOD: $worstTargetLike vs $bestOod")
+    assert(ranked.size == 85 && ranked.values.toSeq.sorted == (1L to 85L))
+  }
+
   // ---- trained BPE (graft.llm.Bpe) -----------------------------------------
 
   test("BPE train: hand-computed merges on the classic fixture, incl. a lexicographic tie-break") {
