@@ -934,11 +934,17 @@ object TextQ {
   private val DSIR_B = 1024
   private val DSIR_K = 100
 
-  /** Core of [[q73DsirResample]] over any (doc_id, lang, text) frame. */
-  def dsirResample(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("bucket", pmod(graft.functions.rolling_hash(col("tok")), lit(DSIR_B)))
+  private def dsirToks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    .withColumn("bucket", pmod(graft.functions.rolling_hash(col("tok")), lit(DSIR_B)))
+
+  /** Frozen per-bucket importance scores: one row for EVERY bucket 0..B-1
+    * (unseen buckets get the pure add-1 smoothing score), so a snapshot of
+    * this table can score future arrivals whose tokens hash anywhere —
+    * the streaming ingest surface depends on that totality.
+    */
+  def dsirBucketScores(docs: DataFrame): DataFrame = {
+    val toks = dsirToks(docs)
     val rCounts = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tCounts = toks.filter(col("lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
@@ -948,26 +954,32 @@ object TextQ {
 
     // integer millionths in one floor division: decimal(38,0) products stay
     // exact where BIGINT would overflow at cluster scale (ANSI would throw)
-    val buckets = rCounts.join(tCounts, Seq("bucket"), "left")
-      .na.fill(0L, Seq("ct"))
+    docs.sparkSession.range(DSIR_B).select(col("id").as("bucket"))
+      .join(rCounts, Seq("bucket"), "left").na.fill(0L, Seq("cr"))
+      .join(tCounts, Seq("bucket"), "left").na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         expr(s"""(cast(1000000 as decimal(38,0)) * (ct + 1) * (n_r + $DSIR_B))
                 | div (cast(cr + 1 as decimal(38,0)) * (n_t + $DSIR_B))""".stripMargin)
           .as("s"))
+  }
 
-    val weighted = toks
-      .join(broadcast(buckets), Seq("bucket")) // B rows, bounded by construction
+  /** Per-doc importance weights (pre-top-K): the streaming parity anchor. */
+  def dsirScores(docs: DataFrame): DataFrame =
+    dsirToks(docs)
+      .join(broadcast(dsirBucketScores(docs)), Seq("bucket")) // B rows, bounded
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("weight"))
+
+  /** Core of [[q73DsirResample]] over any (doc_id, lang, text) frame. */
+  def dsirResample(docs: DataFrame): DataFrame =
+    dsirScores(docs)
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(DSIR_K)
-    weighted
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
       .orderBy(col("rank"))
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q20TokenStats _,

@@ -191,6 +191,32 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming DSIR scoring — the ingest surface of
+    * [[graft.queries.TextQ.dsirScores]] (q73): arriving documents are
+    * importance-weighted against a FROZEN bucket-score snapshot (trained
+    * offline by [[graft.queries.TextQ.dsirBucketScores]], which emits ALL
+    * B buckets so any future token has a defined score). The whole scorer
+    * is one stateless column expression — `aggregate` over the token array
+    * with the B-long score table as a single array literal — so it is
+    * append-mode-clean with no watermark, no state store, no join: the
+    * shape you want when scoring an ingest firehose on 1000 executors.
+    * Exact parity with the batch scorer by construction: same hash, same
+    * integer scores, same per-doc sum (spec-pinned over MemoryStream).
+    *
+    * @param scores index = bucket, length = DSIR's B; collect it from
+    *               `dsirBucketScores(corpus)` — 1024 longs, bounded by
+    *               construction (the BPE frozen-merge-table pattern)
+    */
+  def dsirScoreIngest(docs: DataFrame, scores: Array[Long]): DataFrame = {
+    val table = typedLit(scores.toSeq)
+    docs
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("weight",
+        aggregate(split(col("text"), " "), lit(0L), (acc, t) =>
+          acc + element_at(table,
+            (pmod(graft.functions.rolling_hash(t), lit(scores.length)) + 1).cast("int"))))
+  }
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

@@ -50,4 +50,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readSchema.nonEmpty && !readSchema.contains("lang") && !readSchema.contains("url"),
       s"q20 reads more columns than it uses: $readSchema")
   }
+
+  test("q72/q73 join regimes pinned: unbounded n-gram tables never broadcast, bounded bucket table always does") {
+    // q72's count tables grow with corpus vocab — a BroadcastHashJoin there
+    // OOMs the driver at 100 TB. All five scoring joins must stay shuffled.
+    val s72 = graft.queries.TextQ.all("q72_lm_quality")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!s72.contains("BroadcastHashJoin"),
+      s"q72 broadcasts an unbounded count table:\n$s72")
+    assert(s72.contains("ShuffledHashJoin"), "q72 lost its shuffle-hash scoring joins")
+    // q73's bucket table is B=1024 rows by construction — shuffling the
+    // full token stream against it would be the opposite mistake.
+    val s73 = graft.queries.TextQ.all("q73_dsir_resample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s73.contains("BroadcastHashJoin"),
+      s"q73 stopped broadcasting the bounded bucket table:\n$s73")
+  }
 }

@@ -127,6 +127,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 1)
   }
 
+  test("streaming DSIR scoring over frozen bucket stats == batch dsirScores (append mode, stateless)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val vocabA = (0 until 30).map(i => s"tok$i")
+    val vocabB = (0 until 30).map(i => s"rot$i")
+    def doc(v: Seq[String]) = Seq.fill(20)(v(rnd.nextInt(v.size))).mkString(" ")
+    val corpus = ((0 until 30).map(i => (i.toLong, "en", doc(vocabA))) ++
+      (100 until 130).map(i => (i.toLong, "xx", doc(vocabB)))).toDF("doc_id", "lang", "text")
+
+    // freeze bucket stats offline (ALL 1024 buckets present — totality)
+    val bucketRows = graft.queries.TextQ.dsirBucketScores(corpus).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(bucketRows.size == 1024)
+    val scores = Array.tabulate(1024)(bucketRows)
+
+    // the parity anchor: batch weights over the SAME frozen stats' corpus
+    val batch = graft.queries.TextQ.dsirScores(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.dsirScoreIngest(input.toDF.toDF("doc_id", "lang", "text"), scores)
+      .selectExpr("doc_id", "n_toks", "weight")
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    try {
+      input.addData(rows.take(20).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(20).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "stream-scored arrivals must equal batch weights exactly")
+    // a NEVER-seen token still scores: its bucket is defined (totality)
+    val unseen = EventStreams.dsirScoreIngest(
+      Seq((999L, "xx", "zzz-completely-new")).toDF("doc_id", "lang", "text"), scores)
+      .selectExpr("weight").collect().head.getLong(0)
+    assert(unseen > 0L)
+  }
+
   test("incremental group maintenance across micro-batches == full CC (foreachBatch)") {
     val spark0 = spark
     import spark0.implicits._
