@@ -672,6 +672,21 @@ object SimQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q74 — SemDeDup semantic dedup (Abbas et al. 2023): integer-quantized
+    * k-means (k = 8, one Lloyd iteration from the first-8 init) + within-
+    * cluster domination dedup at cosine > 2/5. Every number the gate
+    * compares is exact integer arithmetic ([[graft.llm.SemDedup]]'s
+    * engine-replicable contract), so cluster ids AND dup verdicts
+    * hash-match DuckDB bit-for-bit. τ = 2/5 because the synthetic
+    * embeddings plant no true near-twins (max pairwise cosine ≈ 0.5) —
+    * the operator defaults are for real corpora; the gate pins semantics.
+    */
+  def q74SemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.SemDedup.semDedup(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 1, tauNum = 2, tauDen = 5)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_pagerank"      -> q62Pagerank _,
     "q64_pagerank_dangling" -> q64PagerankDangling _,
@@ -687,6 +702,7 @@ object SimQ {
     "q45_simhash_neardup" -> q45SimhashNearDup _,
     "q47_incremental_dedup" -> q47IncrementalDedup _,
     "q51_pq_ann" -> q51PqAnn _,
+    "q74_semdedup" -> q74SemDedup _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -996,5 +1012,53 @@ object SimQ {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(norm), 4) AS avg_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // q74: the full SemDeDup pipeline unrolled — quantize, first-8 init,
+    // one exact Lloyd iteration (integer dists, floor-division centroid
+    // update, empty clusters keep their centroid), final assignment, then
+    // the within-cluster domination rule with the cross-multiplied HUGEINT
+    // cosine test. Engine-exact by construction (see llm/SemDedup.scala).
+    "q74_semdedup" -> {
+      val dist = "list_sum(list_transform(list_zip(qv, cv), p -> (p[1]*1000 - p[2])*(p[1]*1000 - p[2])))"
+      val dotAB = "list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1]*p[2]))"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 100000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |init AS (
+         |  SELECT vec_id AS cid, list_transform(qv, x -> x * 1000) AS cv FROM q WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, qv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY $dist, cid) AS r
+         |  FROM q CROSS JOIN init),
+         |ex AS (
+         |  SELECT cid, pos, sum(qv[pos]) AS s, count(*) AS n
+         |  FROM (SELECT * FROM a1 WHERE r = 1) m
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+         |  GROUP BY cid, pos),
+         |c1 AS (
+         |  SELECT cid, list(CAST(floor((s * 1000)::DOUBLE / n) AS BIGINT) ORDER BY pos) AS cv
+         |  FROM ex GROUP BY cid),
+         |cen AS (
+         |  SELECT i.cid, coalesce(c1.cv, i.cv) AS cv FROM init i LEFT JOIN c1 ON c1.cid = i.cid),
+         |a2 AS (
+         |  SELECT vec_id, qv, cid, $dist AS d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY $dist, cid) AS r
+         |  FROM q CROSS JOIN cen),
+         |m2 AS (
+         |  SELECT vec_id, qv, cid AS cluster, d AS cdist,
+         |    list_sum(list_transform(qv, x -> x*x)) AS n2
+         |  FROM a2 WHERE r = 1),
+         |dup AS (
+         |  SELECT a.vec_id
+         |  FROM m2 a JOIN m2 b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+         |  WHERE (b.cdist < a.cdist OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))
+         |    AND $dotAB > 0
+         |    AND 25::HUGEINT * ($dotAB)::HUGEINT * ($dotAB)::HUGEINT
+         |      > 4::HUGEINT * a.n2::HUGEINT * b.n2::HUGEINT
+         |  GROUP BY a.vec_id)
+         |SELECT m2.vec_id, m2.cluster,
+         |  CAST(dup.vec_id IS NOT NULL AS BOOLEAN) AS is_dup
+         |FROM m2 LEFT JOIN dup ON dup.vec_id = m2.vec_id
+         |ORDER BY m2.vec_id""".stripMargin
+    },
   )
 }

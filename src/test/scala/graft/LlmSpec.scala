@@ -504,4 +504,97 @@ class LlmSpec extends AnyFunSuite {
       .head.getSeq[String](0)
     assert(names == Seq("n1", "n2"))
   }
+
+  // ---- SemDeDup (llm/SemDedup.scala) ----
+
+  test("semdedup: planted exact twins collapse to the lowest-id member; empty init cluster survives") {
+    val spark0 = spark
+    import spark0.implicits._
+    // ids 0,1,4 identical; 2,3 identical and orthogonal to them. k=2 init =
+    // vectors 0 and 1 — IDENTICAL, so every vector ties to cluster 0 and
+    // cluster 1 goes empty (exercising the keep-previous-centroid path).
+    // Within the one populated cluster: equal cdist → lowest id survives.
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val vecs = Seq(
+      (0L, e1.toSeq), (1L, e1.toSeq), (2L, e2.toSeq), (3L, e2.toSeq), (4L, e1.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.SemDedup
+      .semDedup(vecs, "vec_id", "embedding", k = 2, iters = 1, tauNum = 9, tauDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    // After the update, the empty cluster still carries the exact e1
+    // centroid, so the e1 twins snap back to it: {0,1,4} and {2,3} must
+    // land in two distinct clusters, and within each the lowest id wins.
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(Set(byId(0L), byId(1L), byId(4L)).size == 1)
+    assert(Set(byId(2L), byId(3L)).size == 1)
+    assert(byId(0L) != byId(2L))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("semdedup: cluster ids and dup verdicts match an independent driver-side replay (sf0.001, k=4)") {
+    val S = 100000L; val CQ = 1000L; val k = 4; val tauN = 2L; val tauD = 5L
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val qv = raw.map { case (id, v) =>
+      id -> v.map(x => Math.round(x.toDouble * S))
+    }.toMap
+    val d = qv.head._2.length
+    var cen: Map[Long, Array[Long]] =
+      raw.take(k).zipWithIndex.map { case ((id, _), i) => i.toLong -> qv(id).map(_ * CQ) }.toMap
+    def assignAll(): Map[Long, (Long, Long)] = qv.map { case (id, v) =>
+      val scored = (0L until k.toLong).map { c =>
+        val cv = cen(c)
+        var s = 0L; var i = 0
+        while (i < d) { val t = v(i) * CQ - cv(i); s += t * t; i += 1 }
+        (s, c)
+      }
+      id -> scored.min.swap
+    }
+    val a1 = assignAll()
+    cen = cen.map { case (c, prev) =>
+      val members = qv.keys.filter(a1(_)._1 == c).toSeq
+      if (members.isEmpty) c -> prev
+      else c -> Array.tabulate(d) { i =>
+        Math.floorDiv(members.map(qv(_)(i)).sum * CQ, members.size.toLong)
+      }
+    }
+    val a2 = assignAll()
+    def n2(v: Array[Long]) = v.map(x => x * x).sum
+    val expected = qv.keys.toSeq.sorted.map { id =>
+      val (ca, da) = a2(id)
+      val isDup = qv.keys.exists { ob =>
+        ob != id && a2(ob)._1 == ca && {
+          val (_, db) = a2(ob)
+          (db < da || (db == da && ob < id)) && {
+            val dot = qv(id).zip(qv(ob)).map { case (x, y) => x * y }.sum
+            dot > 0 &&
+              BigInt(tauD * tauD) * BigInt(dot) * BigInt(dot) >
+                BigInt(tauN * tauN) * BigInt(n2(qv(id))) * BigInt(n2(qv(ob)))
+          }
+        }
+      }
+      (id, ca, isDup)
+    }
+    assert(expected.count(_._3) > 0, "fixture must plant real semantic dups")
+    val got = graft.llm.SemDedup
+      .semDedup(spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+        k = k, iters = 1, tauNum = tauN, tauDen = tauD)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+
+  test("semdedup: a Lloyd iteration never increases total within-cluster distance (exact ints)") {
+    val q = graft.llm.SemDedup.quantize(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
+      .select(col("vec_id"), col("qv"))
+    val init = graft.llm.SemDedup.initCentroids(q, "vec_id", 8)
+    val before = graft.llm.SemDedup.assign(q, init)
+      .agg(sum(col("cdist"))).collect().head.getLong(0)
+    val cen1 = graft.llm.SemDedup.lloydUpdate(graft.llm.SemDedup.assign(q, init), init)
+    val after = graft.llm.SemDedup.assign(q, cen1)
+      .agg(sum(col("cdist"))).collect().head.getLong(0)
+    assert(after <= before)
+  }
 }
