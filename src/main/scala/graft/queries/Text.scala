@@ -160,6 +160,7 @@ object TextQ {
 
   private val TOKEN_BUDGET = 15000L
   private val PER_LANG_K = 30L
+  private val SEQ_LEN = 512L
 
   /** q48 — token-budget corpus sampling: the data-mixing primitive that cuts
     * a corpus to a token budget deterministically. Docs order by
@@ -196,6 +197,32 @@ object TextQ {
       .filter(col("cum") <= PER_LANG_K)
       .select(col("lang"), col("doc_id"), col("cum").as("rn"))
       .orderBy(col("lang"), col("rn"))
+  }
+
+  /** q75 — training-sequence packing ("concatenate and chunk"): the final
+    * tokens→fixed-length-sequences step of a pretraining pipeline. Docs
+    * concatenate in the deterministic md5(doc_id) permutation (the shuffle
+    * a sequence writer wants anyway) and the stream splits every
+    * [[SEQ_LEN]] tokens; each doc reports the first sequence it lands in
+    * and how many sequences it spans — exactly what a per-partition
+    * sequence writer needs to emit its slice without seeing neighbors.
+    * The running token offset is [[distributedRunningSum]] (bucketed
+    * prefix sums), so unlike the oracle's global-ORDER-BY window the plan
+    * never collapses to one partition; chunk ids are pure arithmetic on
+    * the offset (`DIV` — truncating == floor on the non-negative offsets,
+    * identically in both engines; no floats anywhere).
+    */
+  def q75PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("_").as("g"),
+        md5(col("doc_id").cast("string")).as("hkey"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    distributedRunningSum(docs, "g", "n_tokens")
+      .withColumn("prev", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prev DIV $SEQ_LEN").as("start_seq"),
+        expr(s"(cum - 1) DIV $SEQ_LEN - prev DIV $SEQ_LEN + 1").as("n_seqs"))
+      .orderBy(col("doc_id"))
   }
 
   /** TRAINED language identification — the production companion to q22's
@@ -995,6 +1022,7 @@ object TextQ {
     "q44_rolling_hash"   -> q44RollingHash _,
     "q48_token_budget"   -> q48TokenBudget _,
     "q49_mixture_sample" -> q49MixtureSample _,
+    "q75_pack_sequences" -> q75PackSequences _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
     "q63_substring_removal" -> q63SubstringRemoval _,
@@ -1281,6 +1309,21 @@ object TextQ {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+    "q75_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q49_mixture_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents

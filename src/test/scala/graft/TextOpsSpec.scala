@@ -714,4 +714,32 @@ class TextOpsSpec extends AnyFunSuite {
         s"p90 drifted: ${r.getDouble(3)} vs ${r.getDouble(4)} (${r.getString(0)})")
     }
   }
+
+  test("q75 packing == a sequential single-writer replay (every doc's chunk span exact)") {
+    val dir = "/root/testdata/sf0.001"
+    val L = 512L
+    // the single-writer ground truth: walk docs in the md5 permutation,
+    // accumulate a token offset, chunk every L tokens
+    val ordered = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hkey"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    var off = 0L
+    val expected = ordered.map { case (id, n) =>
+      val start = off / L
+      val end = (off + n - 1) / L
+      off += n
+      id -> ((n, start, end - start + 1))
+    }.toMap
+    val got = TextQ.all("q75_pack_sequences")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // seam property: consecutive docs' spans tile the sequence stream with
+    // no gaps — doc i+1 starts in the chunk doc i ended in, or the next one
+    val spans = ordered.map { case (id, _) => expected(id) }
+    spans.sliding(2).foreach { case Array((_, s1, k1), (_, s2, _)) =>
+      assert(s2 == s1 + k1 - 1 || s2 == s1 + k1)
+    case _ => }
+  }
 }
