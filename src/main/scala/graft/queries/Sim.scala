@@ -681,6 +681,44 @@ object SimQ {
     * embeddings plant no true near-twins (max pairwise cosine ≈ 0.5) —
     * the operator defaults are for real corpora; the gate pins semantics.
     */
+  /** q76 — fuzzy (edit-distance) near-dup: the q26 LSH band machinery
+    * generates candidates, but the verify stage is character-level
+    * Levenshtein over the docs' 256-char prefixes instead of shingle
+    * Jaccard — the fuzzy-match flavor of dedup (OCR noise, template
+    * drift) that set-similarity misses when word boundaries themselves
+    * are corrupted. The accept test is `5·lev ≤ max(len)` (rel ≤ 0.2) —
+    * pure integer compare, engine-exact. Scale shape: the O(len²) DP is
+    * bounded by the prefix cap (≤ 256² cells) and runs only on banded
+    * candidates, never all pairs; texts join to candidates via
+    * shuffle-hash, prefixes only (full text never rides the pair
+    * shuffle).
+    */
+  def q76FuzzyDedup(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNearDupPairs(Tables.documents(spark, dir))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The q76 operator over any (doc_id, text) frame. `prefixLen` caps the
+    * DP; `relNum/relDen` is the rational accept threshold
+    * (lev·relDen ≤ relNum·maxLen).
+    */
+  def fuzzyNearDupPairs(docs: DataFrame, prefixLen: Int = 256,
+                        relNum: Long = 1, relDen: Long = 5): DataFrame = {
+    // sig frame materialized once (eager localCheckpoint): both sides of
+    // the band self-join read executor-held blocks instead of recomputing
+    // the signature pass
+    val cand = saltedBandCandidates(bandsOf(sigOf(docs).localCheckpoint()), lit(true))
+    val pref = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    cand
+      .hint("shuffle_hash")
+      .join(pref.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(pref.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("lev", levenshtein(col("sa"), col("sb")).cast("long"))
+      .withColumn("mx", greatest(length(col("sa")), length(col("sb"))).cast("long"))
+      .filter(col("mx") > 0 && col("lev") * relDen <= col("mx") * relNum)
+      .select(col("id_a"), col("id_b"), col("lev"),
+        round(col("lev").cast("double") / col("mx"), 4).as("rel"))
+  }
+
   def q74SemDedup(spark: SparkSession, dir: String): DataFrame =
     graft.llm.SemDedup.semDedup(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -703,6 +741,7 @@ object SimQ {
     "q47_incremental_dedup" -> q47IncrementalDedup _,
     "q51_pq_ann" -> q51PqAnn _,
     "q74_semdedup" -> q74SemDedup _,
+    "q76_fuzzy_dedup" -> q76FuzzyDedup _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -725,7 +764,11 @@ object SimQ {
     * `pairs(id_a, id_b)` with unrounded jaccard available in `j`); shared by
     * the q26/q39/q40 oracles so all three gates pin the SAME pair semantics.
     */
-  private val PAIRS_CTES =
+  /** The LSH CANDIDATE stage alone (g → bands → cand) — shared by the
+    * Jaccard-verified chain below and the q76 edit-distance verify, so both
+    * gates pin the same candidate semantics.
+    */
+  private val CAND_CTES =
     s"""g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents),
        |s AS (SELECT doc_id, grams,
        |    $SIG_SQL
@@ -737,7 +780,10 @@ object SimQ {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
-       |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+
+  private val PAIRS_CTES =
+    s"""$CAND_CTES,
        |j AS (
        |  SELECT id_a, id_b,
        |    len(list_intersect(ga.grams, gb.grams)) * 1.0 /
@@ -1012,6 +1058,17 @@ object SimQ {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(norm), 4) AS avg_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    "q76_fuzzy_dedup" ->
+      s"""WITH $CAND_CTES,
+         |p AS (SELECT doc_id, substr(text, 1, 256) AS s FROM documents),
+         |v AS (
+         |  SELECT id_a, id_b, levenshtein(a.s, b.s) AS lev,
+         |    greatest(len(a.s), len(b.s)) AS mx
+         |  FROM cand JOIN p a ON a.doc_id = id_a JOIN p b ON b.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+         |  round(lev * 1.0 / mx, 4) AS rel
+         |FROM v WHERE mx > 0 AND lev * 5 <= mx
+         |ORDER BY id_a, id_b""".stripMargin,
     // q74: the full SemDeDup pipeline unrolled — quantize, first-8 init,
     // one exact Lloyd iteration (integer dists, floor-division centroid
     // update, empty clusters keep their centroid), final assignment, then

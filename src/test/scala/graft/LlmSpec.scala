@@ -505,6 +505,55 @@ class LlmSpec extends AnyFunSuite {
     assert(names == Seq("n1", "n2"))
   }
 
+  // ---- Fuzzy (edit-distance) near-dup (SimQ.fuzzyNearDupPairs) ----
+
+  /** Textbook DP Levenshtein — the spec's independent reference. */
+  private def levRef(a: String, b: String): Long = {
+    val prev = Array.tabulate(b.length + 1)(_.toLong)
+    val cur = new Array[Long](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i.toLong
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("fuzzy dedup: planted single-typo pair found with exact distance; unrelated pair absent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val words = (0 until 50).map(i => f"tok$i%02d")
+    val a = words.mkString(" ")
+    val b = words.updated(25, "tokXX").mkString(" ")     // one in-word corruption
+    val far = (0 until 50).map(i => f"zzz$i%02d").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, far)).toDF("doc_id", "text")
+    val out = SimQ.fuzzyNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, levRef(a.take(256), b.take(256)))))
+  }
+
+  test("fuzzy dedup verify stage == driver replay over the same candidates (sf0.001)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // candidates from the operator's own (spec-pinned-elsewhere) band stage;
+    // this test independently replays the VERIFY arithmetic
+    val got = SimQ.fuzzyNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty, "fixture corpus must contain fuzzy pairs")
+    got.foreach { case (ia, ib, lev, rel) =>
+      val sa = texts(ia).get.take(256); val sb = texts(ib).get.take(256)
+      val expect = levRef(sa, sb)
+      val mx = math.max(sa.length, sb.length).toLong
+      assert(lev == expect, s"pair ($ia,$ib)")
+      assert(lev * 5 <= mx && mx > 0)
+      assert(math.abs(rel - lev.toDouble / mx) < 1e-3)
+    }
+  }
+
   // ---- SemDeDup (llm/SemDedup.scala) ----
 
   test("semdedup: planted exact twins collapse to the lowest-id member; empty init cluster survives") {
