@@ -84,6 +84,29 @@ object SemDedup {
        |  (a * CAST($CENTROID_SCALE AS BIGINT) - b) * (a * CAST($CENTROID_SCALE AS BIGINT) - b)),
        |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
 
+  /** The argmin fold over a `cells` column (sorted array of (cid, cv)
+    * structs): strict `<` keeps the earliest best, so ties resolve to the
+    * lowest centroid id. Shared by the batch [[assign]] (broadcast-packed
+    * cells) and the streaming frozen-snapshot path
+    * ([[graft.streaming.EventStreams.semClusterIngest]]'s literal cells)
+    * so the two can never diverge.
+    */
+  private[graft] val bestCellFold: String =
+    s"""aggregate(cells,
+       |  struct(CAST(-1 AS BIGINT) AS id, CAST(${Long.MaxValue} AS BIGINT) AS d),
+       |  (acc, c) -> CASE WHEN $DIST < acc.d
+       |                   THEN struct(c.cid AS id, $DIST AS d)
+       |                   ELSE acc END)""".stripMargin
+
+  /** A frozen-centroid `cells` literal in the [[bestCellFold]] shape — the
+    * streaming/broadcast-free alternative to [[assign]]'s packed row.
+    * Bounded by construction (k·d longs in the plan); use [[assign]] when
+    * k is index-build-sized.
+    */
+  def cellsLiteral(centroids: Centroids): Column =
+    typedLit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) })
+      .cast("array<struct<cid:bigint,cv:array<bigint>>>")
+
   /** Tags every vector with `cluster` (argmin distance, ties to the lowest
     * centroid id) and `cdist` (the winning squared distance). Entirely
     * map-side: centroids pack into ONE broadcast row, the argmin is an
@@ -97,12 +120,7 @@ object SemDedup {
       .toDF("cid", "cv")
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cells"))
     q.crossJoin(broadcast(packed))
-      .withColumn("best", expr(
-        s"""aggregate(cells,
-           |  struct(CAST(-1 AS BIGINT) AS id, CAST(${Long.MaxValue} AS BIGINT) AS d),
-           |  (acc, c) -> CASE WHEN $DIST < acc.d
-           |                   THEN struct(c.cid AS id, $DIST AS d)
-           |                   ELSE acc END)""".stripMargin))
+      .withColumn("best", expr(bestCellFold))
       .withColumn("cluster", col("best.id"))
       .withColumn("cdist", col("best.d"))
       .drop("cells", "best")

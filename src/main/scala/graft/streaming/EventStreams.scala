@@ -217,6 +217,30 @@ object EventStreams {
             (pmod(graft.functions.rolling_hash(t), lit(scores.length)) + 1).cast("int"))))
   }
 
+  /** Streaming semantic-cluster assignment — the SemDeDup ingest surface
+    * (the [[dsirScoreIngest]] pattern): arrivals score against a FROZEN
+    * centroid snapshot from a batch [[graft.llm.SemDedup.fit]]. The k·d
+    * centroid table is ONE array literal in the plan and assignment is the
+    * same integer argmin fold as the batch path
+    * ([[graft.llm.SemDedup.bestCellFold]] — shared, so they cannot
+    * diverge): no state store, no watermark, no join — append-mode-clean
+    * firehose tagging. Batch-vs-stream parity is exact because every
+    * number is quantized-integer arithmetic.
+    *
+    * Downstream, a periodic batch [[graft.llm.SemDedup.semDedup]] pass
+    * over each cluster's accumulated members is the compaction half —
+    * the same split as [[removalIntervalIngest]] vs the batch scrub.
+    */
+  def semClusterIngest(vectors: DataFrame,
+                       centroids: graft.llm.SemDedup.Centroids,
+                       vecCol: String = "embedding"): DataFrame =
+    graft.llm.SemDedup.quantize(vectors, vecCol)
+      .withColumn("cells", graft.llm.SemDedup.cellsLiteral(centroids))
+      .withColumn("best", expr(graft.llm.SemDedup.bestCellFold))
+      .withColumn("cluster", col("best.id"))
+      .withColumn("cdist", col("best.d"))
+      .drop("cells", "best", "qv")
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

@@ -167,6 +167,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(unseen > 0L)
   }
 
+  test("streaming semantic-cluster assignment over frozen centroids == batch assign (append, stateless)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // freeze centroids offline (one batch Lloyd pass, k = 4)
+    val q0 = graft.llm.SemDedup.quantize(corpus, "embedding").select("vec_id", "qv")
+    val cen = graft.llm.SemDedup.fit(q0, "vec_id", k = 4, iters = 1)
+    val batch = graft.llm.SemDedup.assign(q0, cen).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.semClusterIngest(
+        input.toDF.toDF("vec_id", "embedding"), cen)
+      .selectExpr("vec_id", "cluster", "cdist")
+      .writeStream.format("memory").queryName("semclu").outputMode("append").start()
+    try {
+      input.addData(rows.take(100).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(100).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("semclu").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "stream-assigned arrivals must equal batch clusters exactly")
+  }
+
   test("incremental group maintenance across micro-batches == full CC (foreachBatch)") {
     val spark0 = spark
     import spark0.implicits._
