@@ -32,6 +32,30 @@ object RtfNode {
     "latentstyles", "datastore", "xmlnstbl", "filetbl", "revtbl",
     "generator", "wgrffmtfilter", "listtable", "listoverridetable")
 
+  /** Fixture/export writer: minimal RTF whose [[parse]] round-trips `text`
+    * losslessly for content without leading/trailing whitespace per
+    * paragraph (parse trims blocks; `\n` becomes a `\par` paragraph break
+    * and blocks re-join with `\n`). Escaping: the three control chars,
+    * 7-bit printable passthrough, and `\uN?` (with `\uc1`) for every other
+    * UTF-16 code unit — surrogate halves emit as two `\uN`, which [[parse]]
+    * reassembles, so any Unicode round-trips.
+    */
+  def write(text: String): String = {
+    val sb = new StringBuilder("{\\rtf1\\ansi\\uc1 ")
+    text.foreach {
+      case '\\' => sb.append("\\\\")
+      case '{'  => sb.append("\\{")
+      case '}'  => sb.append("\\}")
+      case '\n' => sb.append("\\par ")
+      case '\t' => sb.append("\\tab ")
+      case c if c >= 0x20 && c < 0x7f => sb.append(c)
+      case c =>
+        val n = c.toInt
+        sb.append("\\u").append(if (n > 32767) n - 65536 else n).append('?')
+    }
+    sb.append('}').toString
+  }
+
   def parse(content: String): Node = {
     if (!content.startsWith("{\\rtf")) return Node.Unrecognisable
     val blocks = ArrayBuffer.empty[String]

@@ -381,6 +381,32 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q77 — RTF ingestion: every 25th document (offset 19 — disjoint from
+    * the other fixture families) becomes an `.rtf` on disk
+    * ([[graft.doc.RtfNode.write]] — control-char escapes + `\uN` unicode)
+    * and the engine recovers the text purely through the Node seam
+    * (mime/magic sniff → the RTF control-word interpreter). The oracle
+    * reads the source table: extraction must be LOSSLESS.
+    */
+  def q77RtfExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q77")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 19)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.rtf",
+          graft.doc.RtfNode.write(r.getString(1)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.rtf")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "rtf_text")
+      .orderBy(col("doc_id"))
+  }
+
   /** q67 — legacy Excel ingestion: every 25th document (offset 11) becomes
     * a `.xls` whose BIFF8 SST holds the text ([[graft.doc.CfbNode
     * .writeXls]]); the Node seam recovers sheet name + SST string as
@@ -872,6 +898,7 @@ object EngineQ {
     "q67_xls_extract" -> q67XlsExtract _,
     "q68_ppt_extract" -> q68PptExtract _,
     "q70_msg_extract" -> q70MsgExtract _,
+    "q77_rtf_extract" -> q77RtfExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -962,6 +989,9 @@ object EngineQ {
     "q67_xls_extract" ->
       """SELECT doc_id, 'Data' || chr(10) || text AS xls_text
         |FROM documents WHERE doc_id % 25 = 11 ORDER BY doc_id""".stripMargin,
+    "q77_rtf_extract" ->
+      """SELECT doc_id, text AS rtf_text
+        |FROM documents WHERE doc_id % 25 = 19 ORDER BY doc_id""".stripMargin,
     "q68_ppt_extract" ->
       """SELECT doc_id, text AS ppt_text
         |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
