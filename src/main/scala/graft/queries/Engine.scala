@@ -327,6 +327,51 @@ object EngineQ {
     bout.toByteArray
   }
 
+  /** Minimal EPUB: the OCF `mimetype` entry (STORED first, per spec) plus
+    * one XHTML chapter holding `text` — enough for [[graft.doc.EpubNode]]'s
+    * chapter walk (and for real readers to identify the container).
+    */
+  private def minimalEpub(text: String): Array[Byte] = {
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bout)
+    val mt = "application/epub+zip".getBytes(StandardCharsets.US_ASCII)
+    val e = new java.util.zip.ZipEntry("mimetype")
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(mt.length); e.setCompressedSize(mt.length)
+    val crc = new java.util.zip.CRC32(); crc.update(mt); e.setCrc(crc.getValue)
+    z.putNextEntry(e); z.write(mt); z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("OEBPS/chapter1.xhtml"))
+    z.write(("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<html xmlns=\"http://www.w3.org/1999/xhtml\"><body><p>" +
+      xmlEscape(text) + "</p></body></html>").getBytes(StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    bout.toByteArray
+  }
+
+  /** q78 — EPUB ingestion: every 25th document (offset 21) becomes an
+    * `.epub` (OCF zip, [[minimalEpub]]); the engine recovers the chapter
+    * text purely through the Node seam (extension mime sniff → EpubNode
+    * zip walk → XHTML body text). Lossless through XML escaping.
+    */
+  def q78EpubExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q78")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 21)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"book_${r.getLong(0)}.epub",
+          minimalEpub(r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/book_$id.epub")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "epub_text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Every 25th document (offset 7 — disjoint from q37's PDFs) becomes a
     * .docx on disk; the engine Wgets each one and recovers the text purely
     * through the Node seam (extension mime sniff → OfficeNode zip walk →
@@ -899,6 +944,7 @@ object EngineQ {
     "q68_ppt_extract" -> q68PptExtract _,
     "q70_msg_extract" -> q70MsgExtract _,
     "q77_rtf_extract" -> q77RtfExtract _,
+    "q78_epub_extract" -> q78EpubExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -992,6 +1038,9 @@ object EngineQ {
     "q77_rtf_extract" ->
       """SELECT doc_id, text AS rtf_text
         |FROM documents WHERE doc_id % 25 = 19 ORDER BY doc_id""".stripMargin,
+    "q78_epub_extract" ->
+      """SELECT doc_id, text AS epub_text
+        |FROM documents WHERE doc_id % 25 = 21 ORDER BY doc_id""".stripMargin,
     "q68_ppt_extract" ->
       """SELECT doc_id, text AS ppt_text
         |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
