@@ -1,0 +1,107 @@
+package graft
+
+import graft.llm.SemDedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SemDeDup scale-stress — the empirical twin of LlmSpec's driver-replay
+  * parity, in the SubstringBench mold. The doctrine under test is the
+  * CLUSTER SIZING RULE the operator documents: k must scale with the
+  * corpus (SemDeDup's ~100k clusters at web scale) so per-cluster
+  * population — and with it the within-cluster pairwise stage — stays
+  * bounded. Two legs:
+  *
+  *   - scaled-k (k = n/500): doubling n doubles the work linearly — the
+  *     pairwise stage sees the SAME ~500-member cells, just twice as many.
+  *   - fixed-k (k = 64, deliberately undersized, small n): doubling n
+  *     quadruples the pairwise pair count — the quadratic cliff the sizing
+  *     rule exists to avoid (reported, not asserted: wall-clock at small n
+  *     is mostly fixed cost; the PAIR COUNT is the honest quadratic
+  *     signal).
+  *
+  * Vectors are formula-generated (deterministic, no driver data): k planted
+  * group centers (hash-mixed uniform components) + per-vector jitter wide
+  * enough that ordinary same-group members stay well below the τ = 49/50
+  * accept threshold, plus an EXACT twin planted every 100 ids — so the
+  * expected dup count is known by construction (the twin, tying on
+  * centroid distance, loses to its lower-id original).
+  *
+  * `GRAFT_SEMDEDUP_N=200000 sbt "runMain graft.SemDedupBench"`
+  */
+object SemDedupBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_SEMDEDUP_N", "50000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val D = 64
+    // center: uniform[-0.5, 0.5] per component from the group id; jitter:
+    // uniform[-0.7, 0.7] from the vector id — E[cos] between same-group
+    // members ≈ 0.34 with d = 64 concentration, so τ = 0.98 is a >7σ event; exact twins (every 100th id
+    // copies its predecessor) are the only cos = 1 pairs.
+    def vectors(count: Long, k: Long): DataFrame =
+      spark.range(count).select(col("id").as("vec_id"), expr(
+        s"""transform(sequence(0, ${D - 1}), j ->
+           |  (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END % $k) * 131 + j), 1000) / 1000.0 - 0.5)
+           |  + (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END) * 31 + j), 1000) / 1000.0 - 0.5) * 1.4)"""
+          .stripMargin).as("embedding"))
+
+    def run(count: Long, k: Int): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val out = SemDedup.semDedup(vectors(count, k), "vec_id", "embedding",
+        k = k, iters = 1, tauNum = 49, tauDen = 50)
+      val dups = out.filter(col("is_dup")).count()
+      val maxCell = out.groupBy(col("cluster")).count()
+        .agg(max(col("count"))).collect().head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, dups, maxCell)
+    }
+
+    // candidate-pair volume of the pairwise stage — the quantity the sizing
+    // rule bounds: Σ_cells m·(m−1)
+    def pairCount(count: Long, k: Int): Long = {
+      val q = SemDedup.quantize(vectors(count, k), "embedding")
+        .select(col("vec_id"), col("qv"))
+      SemDedup.assign(q, SemDedup.fit(q, "vec_id", k, 1))
+        .groupBy(col("cluster")).count()
+        .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    }
+
+    run(n / 4, (n / 4 / 500).toInt.max(4)) // warm-up, untimed
+
+    // scaled-k leg: cells stay ~500 members at both sizes
+    val (tHalf, dupsHalf, cellHalf) = run(n / 2, (n / 2 / 500).toInt)
+    val (tFull, dupsFull, cellFull) = run(n, (n / 500).toInt)
+
+    // fixed-k contrast leg (small n): pair count must ~quadruple
+    val pairsSmall = pairCount(8000, 64)
+    val pairsDouble = pairCount(16000, 64)
+
+    val ratio = tFull / tHalf
+    val pairRatio = pairsDouble.toDouble / pairsSmall
+    println(
+      f"""{"bench":"semdedup","n":$n,"half_sec":$tHalf%.2f,"full_sec":$tFull%.2f,""" +
+        f""""ratio":$ratio%.2f,"dups_half":$dupsHalf,"dups_full":$dupsFull,""" +
+        f""""max_cell_half":$cellHalf,"max_cell_full":$cellFull,""" +
+        f""""fixedk_pairs_8k":$pairsSmall,"fixedk_pairs_16k":$pairsDouble,""" +
+        f""""fixedk_pair_ratio":$pairRatio%.2f}""")
+    // noise-free assertions: planted twins found (and only ~them); scaled-k
+    // cells stay bounded as n doubles; fixed-k pair volume goes quadratic.
+    // Wall-clock ratios are reported, not asserted.
+    assert(dupsFull >= n / 100 * 9 / 10 && dupsFull <= n / 100 * 3 / 2,
+      s"dup count off the planted ~${n / 100}: $dupsFull")
+    assert(cellFull <= cellHalf * 2 && cellFull < 2000,
+      s"scaled-k cells must stay bounded: $cellHalf -> $cellFull")
+    assert(pairRatio > 3.0 && pairRatio < 5.0,
+      s"fixed-k pair volume must ~quadruple: $pairRatio")
+    spark.stop()
+  }
+}

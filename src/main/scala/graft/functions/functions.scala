@@ -46,6 +46,12 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     native(graft.sql.VecDot(ex(a), ex(b)))
 
+  /** Integer dot product of two array<bigint> columns, long accumulation
+    * (native codegen — the quantized-embedding exact-arithmetic loop).
+    */
+  def vec_dot_long(a: Column, b: Column): Column =
+    native(graft.sql.VecDotLong(ex(a), ex(b)))
+
   /** Intersection cardinality of two sorted-distinct int64 array columns
     * (native codegen two-pointer merge — the set-similarity verify loop).
     */

@@ -76,13 +76,17 @@ object SemDedup {
       .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
 
   /** Squared integer distance from `qv` (component units) to lambda-bound
-    * centroid struct `c` (centroid units): Σ (qvᵢ·CQ − cvᵢ)². Fits long for
-    * |component| ≤ ~9·10⁴ at d = 64.
+    * centroid struct `c` (centroid units), via the exact expansion
+    * Σ(qvᵢ·CQ − cvᵢ)² = CQ²·Σqvᵢ² + Σcvᵢ² − 2·CQ·Σ(qvᵢ·cvᵢ): the row term
+    * `n2q` is computed once per row, `c.n2` once per centroid, and the
+    * cross term is ONE native codegen dot ([[graft.sql.VecDotLong]]) —
+    * identical int64 value to the naive fold (every term exact), k× less
+    * work and no interpreted lambda. Fits long for |component| ≤ ~9·10⁴ at
+    * d = 64.
     */
   private val DIST =
-    s"""aggregate(zip_with(qv, c.cv, (a, b) ->
-       |  (a * CAST($CENTROID_SCALE AS BIGINT) - b) * (a * CAST($CENTROID_SCALE AS BIGINT) - b)),
-       |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+    s"n2q * CAST(${CENTROID_SCALE * CENTROID_SCALE} AS BIGINT) + c.n2" +
+      s" - CAST(${2 * CENTROID_SCALE} AS BIGINT) * vec_dot_long(qv, c.cv)"
 
   /** The argmin fold over a `cells` column (sorted array of (cid, cv)
     * structs): strict `<` keeps the earliest best, so ties resolve to the
@@ -101,11 +105,13 @@ object SemDedup {
   /** A frozen-centroid `cells` literal in the [[bestCellFold]] shape — the
     * streaming/broadcast-free alternative to [[assign]]'s packed row.
     * Bounded by construction (k·d longs in the plan); use [[assign]] when
-    * k is index-build-sized.
+    * k is index-build-sized. Each cell carries its precomputed Σcv² so the
+    * fold's distance is one native dot.
     */
   def cellsLiteral(centroids: Centroids): Column =
-    typedLit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) })
-      .cast("array<struct<cid:bigint,cv:array<bigint>>>")
+    typedLit(centroids.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum)
+    }).cast("array<struct<cid:bigint,cv:array<bigint>,n2:bigint>>")
 
   /** Tags every vector with `cluster` (argmin distance, ties to the lowest
     * centroid id) and `cdist` (the winning squared distance). Entirely
@@ -116,14 +122,18 @@ object SemDedup {
   def assign(q: DataFrame, centroids: Centroids): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
-    val packed = centroids.map { case (cid, cv) => (cid, cv.toSeq) }
-      .toDF("cid", "cv")
-      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cells"))
-    q.crossJoin(broadcast(packed))
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val packed = centroids.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum)
+    }.toDF("cid", "cv", "n2")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("n2"))))
+        .as("cells"))
+    q.withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
+      .crossJoin(broadcast(packed))
       .withColumn("best", expr(bestCellFold))
       .withColumn("cluster", col("best.id"))
       .withColumn("cdist", col("best.d"))
-      .drop("cells", "best")
+      .drop("cells", "best", "n2q")
   }
 
   /** One Lloyd update: per-cluster exact component sums (one partial-agged
@@ -160,9 +170,11 @@ object SemDedup {
     cen
   }
 
-  /** Exact integer dot product of two quantized vectors. */
-  private def qdot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+  /** Exact integer dot product of two quantized vectors (native codegen —
+    * the pairwise stage's O(within-cluster pairs) loop).
+    */
+  private def qdot(a: String, b: String): Column =
+    graft.functions.vec_dot_long(col(a), col(b))
 
   /** The full operator: quantize → k-means (`iters` Lloyd iterations) →
     * within-cluster domination dedup. A vector is a duplicate iff some

@@ -199,6 +199,75 @@ final case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two array<bigint> columns, long accumulation —
+  * the exact-arithmetic twin of [[VecDot]] for the quantized-integer
+  * embedding paths (SemDeDup's distances and cosine tests), where every
+  * value must stay a bit-exact int64 so verdicts hash-match the DuckDB
+  * oracle. Numerically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` but a
+  * primitive codegen loop with no zipped intermediate or boxed lambda
+  * dispatch — the SemDeDup pairwise stage runs it O(within-cluster pairs)
+  * times and the assignment fold O(k) times per row. Null semantics match
+  * the HOF: null array, length mismatch, or null element → null. Callers
+  * own overflow bounds (documented per call site; quantized components keep
+  * every product far inside int64).
+  */
+final case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two SORTED (ascending, distinct) long
   * arrays, by linear two-pointer merge — the exact-verify primitive of
   * set-similarity dedup. `size(array_intersect(a, b))` over string shingles
@@ -1194,6 +1263,8 @@ object GraftExtensions {
     // arrays pass through un-coerced: these type-check their own inputs
     ("vec_dot", new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (c: Seq[Expression]) => VecDot(c(0), c(1))),
+    ("vec_dot_long", new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (c: Seq[Expression]) => VecDotLong(c(0), c(1))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),

@@ -233,13 +233,16 @@ object EventStreams {
     */
   def semClusterIngest(vectors: DataFrame,
                        centroids: graft.llm.SemDedup.Centroids,
-                       vecCol: String = "embedding"): DataFrame =
+                       vecCol: String = "embedding"): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
     graft.llm.SemDedup.quantize(vectors, vecCol)
+      .withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
       .withColumn("cells", graft.llm.SemDedup.cellsLiteral(centroids))
       .withColumn("best", expr(graft.llm.SemDedup.bestCellFold))
       .withColumn("cluster", col("best.id"))
       .withColumn("cdist", col("best.d"))
-      .drop("cells", "best", "qv")
+      .drop("cells", "best", "qv", "n2q")
+  }
 
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics

@@ -89,6 +89,37 @@ class SqlExprSpec extends AnyFunSuite {
     assert(er.forall(_.isNullAt(0)))
   }
 
+  test("vec_dot_long: HOF-equivalent int64 values, null/mismatch semantics, codegen") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    val df = Seq(
+      (Seq(100000L, -200000L, 300000L), Seq(7L, 11L, -13L)),
+      (Seq(0L, 1L, Long.MaxValue / 8), Seq(4L, 4L, 4L))
+    ).toDF("a", "b")
+    df.select(
+      vec_dot_long(col("a"), col("b")).as("n"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+        "(acc, v) -> acc + v)").as("hof")
+    ).collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "vec_dot_long != HOF aggregate")
+    }
+    // length mismatch and null element -> null (the HOF contract)
+    val edge = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(vec_dot_long(col("a"), col("b")).as("n")).collect()
+    assert(edge.head.isNullAt(0))
+    val nul = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+      .select(vec_dot_long(col("a"), col("b")).as("n")).collect()
+    assert(nul.head.isNullAt(0))
+    val plan = spark.range(4)
+      .select(array(col("id"), lit(2L)).as("v"))
+      .select(vec_dot_long(col("v"), col("v")).as("n2"))
+    assert(plan.queryExecution.executedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    assert(plan.collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L, 8L, 13L))
+  }
+
   test("vec_dot runs inside WholeStageCodegen") {
     val spark0 = spark
     import spark0.implicits._
