@@ -225,6 +225,37 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q79 — packed-sequence EMIT, the materialization half of q75: the same
+    * concat-and-chunk layout, but actually producing each fixed-length
+    * training sequence's text (every sequence exactly [[SEQ_LEN]] tokens
+    * except the final remainder). Tokens get their global position from the
+    * doc-level prefix offset + in-doc position (array arithmetic before the
+    * explode — no token-level window anywhere), shuffle ONCE keyed by their
+    * target seq_id, and each sequence reassembles order-exactly via
+    * sort_array(collect_list(struct(pos, tok))) — per-group state is
+    * bounded by [[SEQ_LEN]], so reducers never see more than one
+    * sequence's tokens per key. This is the job a sequence-writer sink
+    * runs at 100 TB: one token-scale shuffle, which is the actual work of
+    * re-laying a corpus into training order.
+    */
+  def q79PackEmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("_").as("g"),
+        md5(col("doc_id").cast("string")).as("hkey"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    distributedRunningSum(docs, "g", "n_tokens")
+      .withColumn("prev", col("cum") - col("n_tokens"))
+      .select(col("prev"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .withColumn("pos", col("prev") + col("i"))
+      .select(expr(s"pos DIV $SEQ_LEN").as("seq_id"), col("pos"), col("tok"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, tok))), p -> p.tok)"))
+          .as("seq_text"))
+      .orderBy(col("seq_id"))
+  }
+
   /** TRAINED language identification — the production companion to q22's
     * fixed marker heuristic: character-trigram profiles learned from a
     * labeled corpus (the standard n-gram LID construction, e.g. textcat /
@@ -1023,6 +1054,7 @@ object TextQ {
     "q48_token_budget"   -> q48TokenBudget _,
     "q49_mixture_sample" -> q49MixtureSample _,
     "q75_pack_sequences" -> q75PackSequences _,
+    "q79_pack_emit"      -> q79PackEmit _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
     "q63_substring_removal" -> q63SubstringRemoval _,
@@ -1324,6 +1356,26 @@ object TextQ {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS start_seq,
         |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q79_pack_emit" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        |  FROM t
+        |), tok AS (
+        |  SELECT prev + unnest(range(1, n_tokens + 1)) - 1 AS pos,
+        |    unnest(toks) AS tok
+        |  FROM c
+        |)
+        |SELECT CAST(pos // 512 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  string_agg(tok, ' ' ORDER BY pos) AS seq_text
+        |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "q49_mixture_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents

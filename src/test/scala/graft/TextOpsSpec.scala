@@ -742,4 +742,21 @@ class TextOpsSpec extends AnyFunSuite {
       assert(s2 == s1 + k1 - 1 || s2 == s1 + k1)
     case _ => }
   }
+
+  test("q79 emit: every sequence exactly 512 tokens (except remainder); concat reconstructs the permuted corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val seqs = TextQ.all("q79_pack_emit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    seqs.init.foreach { case (id, n, t) =>
+      assert(n == 512L && t.split(" ").length == 512, s"seq $id not full")
+    }
+    assert(seqs.last._2 <= 512L)
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong), "seq ids dense from 0")
+    // the single-writer ground truth: docs concatenated in the md5 permutation
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hkey"), col("text"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .collect().map(_.getString(2)).mkString(" ")
+    assert(seqs.map(_._3).mkString(" ") == corpus, "chunk concat must reconstruct the corpus")
+  }
 }
