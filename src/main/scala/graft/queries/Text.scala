@@ -256,6 +256,41 @@ object TextQ {
       .orderBy(col("seq_id"))
   }
 
+  /** q80 — corpus duplication profile: per language, the fraction of word
+    * 8-gram OCCURRENCES that are duplicated (appear more than once in the
+    * corpus) — the corpus-level duplication metric the dedup literature
+    * reports (Lee et al. ACL'22 measure web corpora this way) and the
+    * observability dial for "should I run q53/q63 here, and did it work".
+    * Shape at 100 TB: grams hash to fixed 32-hex keys map-side BEFORE any
+    * shuffle (text never moves), the (lang, gram) count is one
+    * partial-agged groupBy, and the profile is a second tiny aggregate —
+    * no distinct-on-raw-text anywhere.
+    */
+  def q80DupProfile(spark: SparkSession, dir: String): DataFrame =
+    dupProfile(Tables.documents(spark, dir))
+
+  /** The q80 operator over any (lang, text) frame. */
+  def dupProfile(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(toks) >= 8
+          |THEN transform(sequence(1, size(toks) - 7),
+          |  i -> md5(concat_ws(' ', slice(toks, i, 8))))
+          |ELSE array() END""".stripMargin)).as("gram"))
+    docs.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+      .select(col("lang"), col("n_occurrences"), col("n_distinct"),
+        col("dup_occurrences"),
+        round(col("dup_occurrences").cast("double") / col("n_occurrences"), 4)
+          .as("dup_fraction"))
+      .orderBy(col("lang"))
+  }
+
   /** TRAINED language identification — the production companion to q22's
     * fixed marker heuristic: character-trigram profiles learned from a
     * labeled corpus (the standard n-gram LID construction, e.g. textcat /
@@ -1055,6 +1090,7 @@ object TextQ {
     "q49_mixture_sample" -> q49MixtureSample _,
     "q75_pack_sequences" -> q75PackSequences _,
     "q79_pack_emit"      -> q79PackEmit _,
+    "q80_dup_profile"    -> q80DupProfile _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
     "q63_substring_removal" -> q63SubstringRemoval _,
@@ -1376,6 +1412,23 @@ object TextQ {
         |  CAST(count(*) AS BIGINT) AS n_toks,
         |  string_agg(tok, ' ' ORDER BY pos) AS seq_text
         |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "q80_dup_profile" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |      i -> md5(array_to_string(toks[i:i+7], ' ')))) AS gram
+        |  FROM d
+        |), c AS (
+        |  SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |)
+        |SELECT lang,
+        |  CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4) AS dup_fraction
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q49_mixture_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents

@@ -759,4 +759,21 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).mkString(" ")
     assert(seqs.map(_._3).mkString(" ") == corpus, "chunk concat must reconstruct the corpus")
   }
+
+  test("q80 dup profile: planted shared 8-gram counted exactly; short docs and clean langs inert") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("en", "w1 w2 w3 w4 w5 w6 w7 w8 a1 a2"),   // grams: [w1..w8], [w2..a1], [w3..a2]
+      ("en", "b1 b2 w1 w2 w3 w4 w5 w6 w7 w8"),   // grams: [b1..w6], [b2..w7], [w1..w8] (dup!)
+      ("en", "too short to gram"),                // < 8 tokens: contributes nothing
+      ("fr", "f1 f2 f3 f4 f5 f6 f7 f8 f9")        // 2 distinct grams, no dups
+    ).toDF("lang", "text")
+    val got = TextQ.dupProfile(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("en", 6L, 5L, 2L, 0.3333),
+      ("fr", 2L, 2L, 0L, 0.0)))
+  }
 }
