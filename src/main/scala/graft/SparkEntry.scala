@@ -35,12 +35,14 @@ object SparkEntry {
       graft.queries.EventsQ.all ++
       graft.queries.TextQ.all ++
       graft.queries.SimQ.all ++
-      graft.queries.EngineQ.all
+      graft.queries.EngineQ.all ++
+      graft.queries.CorpusQ.all
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.EventsQ.oracles ++
       graft.queries.TextQ.oracles ++
       graft.queries.SimQ.oracles ++
-      graft.queries.EngineQ.oracles
+      graft.queries.EngineQ.oracles ++
+      graft.queries.CorpusQ.oracles
 }

@@ -52,6 +52,18 @@ object functions {
   def vec_dot_long(a: Column, b: Column): Column =
     native(graft.sql.VecDotLong(ex(a), ex(b)))
 
+  /** Z-order (Morton) interleave of two bigint dimensions' low 16 bits
+    * (native codegen — the multi-dimensional clustering/layout key).
+    */
+  def zorder2(x: Column, y: Column): Column =
+    native(graft.sql.ZOrder2(ex(x), ex(y)))
+
+  /** Bloom membership: all positions (array<bigint>) set in the binary
+    * mask (native codegen — the map-side decontamination probe).
+    */
+  def bloom_contains(mask: Column, positions: Column): Column =
+    native(graft.sql.BloomContains(ex(mask), ex(positions)))
+
   /** Intersection cardinality of two sorted-distinct int64 array columns
     * (native codegen two-pointer merge — the set-similarity verify loop).
     */

@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Bloom filter over string keys — the approximate-membership
+  * scale path for decontamination-style probes (reference semantics:
+  * module/core corpus-clean's eval-set exclusion; q50 is the exact
+  * broadcast-join flavor). When the reference set is too big to broadcast
+  * as exact strings (billions of eval n-grams at 100 TB), a bits-only
+  * filter keeps the probe map-side: ~128 KiB here (m = 2^20) vs the gram
+  * strings themselves, and the probe never shuffles the corpus.
+  *
+  * The hash schedule is deliberately oracle-replicable: h1/h2 are the
+  * first/second 15 hex chars of md5(key) (both engines print identical
+  * md5 hex; 15 hex chars < 2^60 so `h1 + 2*h2` stays far inside int64),
+  * h2 is forced odd, and the k=3 probe positions are the classic
+  * Kirsch–Mitzenmacher double hash `(h1 + i*h2) mod m`. A DuckDB oracle
+  * recomputes the positions with the same arithmetic and tests
+  * position-subset membership — so even FALSE POSITIVES reproduce
+  * bit-for-bit across engines, making the filter itself gateable, not
+  * just its lossless subset.
+  *
+  * Scale shape: the build is one map-side pass over the reference keys —
+  * each partition folds its positions into a local 128 KiB byte mask,
+  * `treeAggregate` ORs them up the tree (no row ever leaves its
+  * partition), and only the mask travels. The probe side is pure
+  * whole-stage codegen: md5/conv position columns feed the native
+  * [[graft.sql.BloomContains]] expression, with the mask riding the plan
+  * as ONE foldable binary literal — no ScalaUDF boundary, no per-row
+  * boxing, zero shuffle, zero driver loop.
+  */
+object Bloom {
+
+  /** Filter size in bits (2^20) — sized so the build-side position count
+    * at test SF (~thousands) keeps the false-positive rate negligible
+    * while still exercising the full build/probe machinery. At real scale
+    * pick m ≈ 10–15 bits per key (1 GiB mask ≈ 7e8 keys at 1% FP) — the
+    * plumbing below is size-agnostic.
+    */
+  val M_BITS: Long = 1L << 20
+
+  /** The three probe positions of a string key column, as plain Catalyst
+    * columns (md5/conv/substring are all codegen'd builtins — the hash
+    * runs inside whole-stage codegen on both the build and probe side).
+    */
+  def positions(key: Column): Seq[Column] = {
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    // force odd so the double-hash stride never degenerates to 0
+    val h2 = conv(substring(md5(key), 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
+    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(M_BITS))
+  }
+
+  /** Fold a position column (bigint in [0, M_BITS)) into a byte mask,
+    * map-side per partition + tree-OR merge. Bit layout: byte `p >>> 3`,
+    * bit `p & 7` — the same convention [[graft.sql.BloomContains]] reads.
+    */
+  def build(positions: DataFrame, posCol: String): Array[Byte] = {
+    val bytes = (M_BITS / 8).toInt
+    positions
+      .select(col(posCol).cast("long"))
+      .rdd
+      .map(_.getLong(0))
+      .treeAggregate(new Array[Byte](bytes))(
+        (bs, p) => {
+          bs((p >>> 3).toInt) = (bs((p >>> 3).toInt) | (1 << (p & 7).toInt)).toByte; bs
+        },
+        (a, b) => {
+          var i = 0
+          while (i < bytes) { a(i) = (a(i) | b(i)).toByte; i += 1 }; a
+        })
+  }
+
+  /** Probe column: true iff all three positions are set in the mask —
+    * the native codegen [[graft.sql.BloomContains]] over the mask as a
+    * foldable binary literal.
+    */
+  def mightContain(mask: Array[Byte])(p0: Column, p1: Column, p2: Column): Column =
+    graft.functions.bloom_contains(lit(mask), array(p0, p1, p2))
+}

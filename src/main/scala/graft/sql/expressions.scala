@@ -268,6 +268,132 @@ final case class VecDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Z-order (Morton) interleave of the low 16 bits of two non-negative
+  * bigint dimensions — the multi-dimensional data-layout key: sorting or
+  * range-bucketing by `zorder2(x, y)` co-locates rows that are close in
+  * BOTH dimensions, so per-bucket min/max column stats become tight and a
+  * scan with predicates on either dimension can prune most buckets (the
+  * clustering trick behind Delta/Iceberg Z-ORDER, public since Morton
+  * 1966). Pure bit-twiddle (4 spread steps per dimension + merge), fully
+  * inside whole-stage codegen; the same arithmetic unrolls to `& | <<` in
+  * ANSI SQL, so layouts are oracle-replicable bit-for-bit. Inputs beyond
+  * 16 bits are masked (callers bucket their dimensions first); null in →
+  * null out.
+  */
+final case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("zx")
+      val y = ctx.freshName("zy")
+      def spread(v: String): String =
+        s"""$v = ($v | ($v << 8)) & 0x00FF00FFL;
+           |$v = ($v | ($v << 4)) & 0x0F0F0F0FL;
+           |$v = ($v | ($v << 2)) & 0x33333333L;
+           |$v = ($v | ($v << 1)) & 0x55555555L;""".stripMargin
+      s"""long $x = $a & 0xFFFFL;
+         |long $y = $b & 0xFFFFL;
+         |${spread(x)}
+         |${spread(y)}
+         |${ev.value} = $x | ($y << 1);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  private def spread(v0: Long): Long = {
+    var v = v0
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+  def interleave(x: Long, y: Long): Long =
+    spread(x & 0xFFFFL) | (spread(y & 0xFFFFL) << 1)
+}
+
+/** Bloom-filter membership test against a BINARY mask: true iff every
+  * bit position in the array<bigint> argument is set in the mask (byte
+  * `p >>> 3`, bit `p & 7`). The mask rides as a foldable binary literal
+  * (~128 KiB at the q83 sizing — one object reference in the generated
+  * class, NOT per-row state), so the probe side of
+  * [[graft.llm.Bloom]] stays inside whole-stage codegen end-to-end: md5
+  * position columns feed straight into three array reads per row with no
+  * ScalaUDF boxing boundary. Null mask/array/element → null; positions
+  * are trusted in-range (the callers compute them `mod 8·mask_len`).
+  */
+final case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // nullable even over non-null children: a null ELEMENT inside the
+  // positions array yields null (and guarantees ev.isNull is a real
+  // variable in generated code, never the false-literal)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, array<bigint>), " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  protected override def nullSafeEval(m: Any, ps: Any): Any = {
+    val mask = m.asInstanceOf[Array[Byte]]
+    val arr = ps.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val p = arr.getLong(i)
+      if ((mask((p >>> 3).toInt) & (1 << (p & 7).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, ps) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val hit = ctx.freshName("hit")
+      s"""int $n = $ps.numElements();
+         |boolean $hit = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($ps.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $p = $ps.getLong($i);
+         |  if (($m[(int)($p >>> 3)] & (1 << (int)($p & 7))) == 0) { $hit = false; break; }
+         |}
+         |${ev.value} = $hit;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two SORTED (ascending, distinct) long
   * arrays, by linear two-pointer merge — the exact-verify primitive of
   * set-similarity dedup. `size(array_intersect(a, b))` over string shingles
@@ -1265,6 +1391,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => VecDot(c(0), c(1))),
     ("vec_dot_long", new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
       (c: Seq[Expression]) => VecDotLong(c(0), c(1))),
+    ("zorder2", new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (c: Seq[Expression]) => ZOrder2(Cast(c(0), LongType), Cast(c(1), LongType))),
+    ("bloom_contains", new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (c: Seq[Expression]) => BloomContains(c(0), c(1))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (c: Seq[Expression]) => SortedIntersectCount(c(0), c(1))),

@@ -217,6 +217,35 @@ object EventStreams {
             (pmod(graft.functions.rolling_hash(t), lit(scores.length)) + 1).cast("int"))))
   }
 
+  /** Streaming Bloom decontamination — the q83 ingest surface (the
+    * [[dsirScoreIngest]] pattern): arrivals probe a FROZEN Bloom mask from
+    * a batch [[graft.llm.Bloom.build]] over the eval set. The 128 KiB mask
+    * rides the plan as ONE binary literal feeding the native
+    * `bloom_contains` codegen expression, and the per-doc tally is a
+    * higher-order `aggregate` over the doc's distinct 5-gram array — no
+    * explode, no groupBy, no state store, no watermark, no join:
+    * append-mode-clean firehose flagging on any number of executors.
+    * Gram construction and the position/double-hash schedule are the SAME
+    * column expressions as the batch probe ([[graft.llm.Bloom.positions]]
+    * — shared, so they cannot diverge); parity is spec-pinned over
+    * MemoryStream.
+    */
+  def bloomProbeIngest(docs: DataFrame, mask: Array[Byte]): DataFrame = {
+    val grams = expr(
+      """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+        |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)
+    docs
+      .withColumn("gs", grams)
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .withColumn("n_hits",
+        aggregate(col("gs"), lit(0L), (acc, g) => {
+          val Seq(p0, p1, p2) = graft.llm.Bloom.positions(g)
+          acc + when(graft.llm.Bloom.mightContain(mask)(p0, p1, p2), 1L).otherwise(0L)
+        }))
+      .withColumn("flagged", col("n_hits") > 0)
+      .drop("gs")
+  }
+
   /** Streaming semantic-cluster assignment — the SemDeDup ingest surface
     * (the [[dsirScoreIngest]] pattern): arrivals score against a FROZEN
     * centroid snapshot from a batch [[graft.llm.SemDedup.fit]]. The k·d

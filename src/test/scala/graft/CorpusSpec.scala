@@ -1,0 +1,256 @@
+package graft
+
+import graft.llm.Bloom
+import graft.queries.CorpusQ
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 third-wave corpus operators: BM25 retrieval, paragraph-granular
+  * dedup, Bloom decontamination, and the bucketed interval join. Each spec
+  * pins behavior the oracle gate can't see alone: hand-replayed arithmetic,
+  * planted duplicates, the no-false-negative guarantee, boundary-exact
+  * range semantics, and plan shape.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  import SparkFixture._
+
+  // ------------------------------------------------------------- bm25
+
+  test("bm25: driver BigInt replay matches the distributed rational arithmetic exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "spark join spark filter scan"), // len 5, spark x2
+      (2L, "join join join scan scan scan scan scan"), // len 8
+      (3L, "vector"), // len 1
+      (4L, "filter scan table row agg") // len 5, no query terms
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "vector")
+    val got = CorpusQ.bm25(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // independent replay in BigInt
+    val corpus = Map(1L -> "spark join spark filter scan",
+      2L -> "join join join scan scan scan scan scan",
+      3L -> "vector", 4L -> "filter scan table row agg")
+    val tokss = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = BigInt(corpus.size)
+    val a = BigInt(tokss.values.map(_.size).sum)
+    def score(id: Long): BigInt = terms.map { term =>
+      val tf = BigInt(tokss(id).count(_ == term))
+      if (tf == 0) BigInt(0)
+      else {
+        val df = BigInt(tokss.values.count(_.contains(term)))
+        val len = BigInt(tokss(id).size)
+        val idf = (BigInt(1000000) * (n - df + 1)) / (df + 1)
+        val tfq = (BigInt(1000000) * 22 * a * tf) /
+          (BigInt(10) * a * tf + 3 * a + 9 * len * n)
+        idf * tfq
+      }
+    }.sum
+    val expect = corpus.keys.toSeq.map(id => (id, score(id)))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, s.toLong, i + 1) }
+    assert(got.toSeq == expect)
+    // sanity: doc 1 has the corpus's only 'spark' hits plus a 'join' — top
+    assert(got.head._1 == 1L)
+  }
+
+  // -------------------------------------------------- paragraph dedup
+
+  test("paragraph dedup: planted shared chunk drops from the later doc; others round-trip") {
+    val spark0 = spark
+    import spark0.implicits._
+    val chunkA = (1 to 20).map(i => s"a$i").mkString(" ") // one exact chunk
+    val tailA = (1 to 20).map(i => s"t$i").mkString(" ")
+    val uniqB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val shortC = "just a few tokens" // sub-chunk-size doc
+    val docs = Seq(
+      (10L, s"$chunkA $tailA"), // owns chunkA (smaller doc_id)
+      (20L, s"$chunkA $uniqB"), // loses chunk 0, keeps chunk 1
+      (30L, shortC)
+    ).toDF("doc_id", "text")
+    val got = CorpusQ.paragraphDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, s"$chunkA $tailA"), // byte-identical round-trip
+      (20L, 2L, 1L, uniqB),
+      (30L, 1L, 1L, shortC)))
+  }
+
+  test("paragraph dedup: duplicate chunk within ONE doc keeps only the first occurrence") {
+    val spark0 = spark
+    import spark0.implicits._
+    val c = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, s"$c $c")).toDF("doc_id", "text")
+    val got = CorpusQ.paragraphDedup(docs).collect()
+    assert(got.head.getLong(1) == 2L && got.head.getLong(2) == 1L)
+    assert(got.head.getString(3) == c)
+  }
+
+  // ------------------------------------------------------------ bloom
+
+  test("bloom: no false negatives, and probe parity with the exact position-subset predicate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val build = (1 to 500).map(i => s"member gram number $i")
+    val probesIn = build.take(100)
+    val probesOut = (1 to 2000).map(i => s"outside gram number $i")
+
+    val buildDf = build.toDF("gram")
+    val Seq(b0, b1, b2) = Bloom.positions(col("gram"))
+    val pos = buildDf.select(explode(array(b0, b1, b2)).as("p"))
+    val mask = Bloom.build(pos, "p")
+
+    def probe(keys: Seq[String]): Map[String, Boolean] = {
+      val df = keys.toDF("gram")
+      val Seq(p0, p1, p2) = Bloom.positions(col("gram"))
+      df.select(col("gram"), Bloom.mightContain(mask)(p0, p1, p2).as("hit"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    }
+    // Bloom guarantee: every member probes positive
+    assert(probe(probesIn).values.forall(identity))
+
+    // parity: the probe result equals the exact position-subset predicate
+    // (the oracle's definition), computed driver-side from the same md5
+    def positionsOf(key: String): Seq[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16) | 1L
+      (0 until 3).map(i => (h1 + i * h2) % Bloom.M_BITS)
+    }
+    val setBits: Set[Long] = build.flatMap(positionsOf).toSet
+    val expected = probesOut.map(k => k -> positionsOf(k).forall(setBits)).toMap
+    assert(probe(probesOut) == expected)
+
+    // probe is native codegen end-to-end — no ScalaUDF boundary
+    // (non-foldable range source so the projection must run at exec time)
+    val Seq(q0, q1, q2) = Bloom.positions(col("gram"))
+    val probeDf = spark.range(100)
+      .select(concat(lit("outside gram number "), col("id")).as("gram"))
+      .select(Bloom.mightContain(mask)(q0, q1, q2).as("hit"))
+    val plan = probeDf.queryExecution.executedPlan
+    assert(!plan.toString.contains("ScalaUDF"))
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+  }
+
+  // ------------------------------------------------------- domain cap
+
+  test("domain cap: oversized source keeps exactly k, small source keeps all, deterministic") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = ((1 to 25).map(i => (i.toLong, "big")) ++
+      (100 to 104).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val got = CorpusQ.domainCap(docs, 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val bySource = got.groupBy(_._2)
+    assert(bySource("big").count(_._3) == 20 && bySource("big").size == 25)
+    assert(bySource("small").forall(_._3) && bySource("small").size == 5)
+    // deterministic: a second run keeps the same doc set
+    val again = CorpusQ.domainCap(docs, 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  // ------------------------------------------------------- classifier
+
+  test("classifier: separable vocab classifies perfectly; ties break to the first class") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two classes with disjoint vocab; even ids train, odd ids test
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 4 < 2) "aa" else "bb"
+      val word = if (lang == "aa") "apple" else "banana"
+      (i.toLong, lang, Seq.fill(6)(word).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = CorpusQ.classify(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(4)))
+    assert(got.nonEmpty && got.forall(_._4), "disjoint vocab must classify perfectly")
+
+    // tie: a test doc whose only token is equally likely in both classes
+    val tied = (Seq((0L, "aa", "zz"), (2L, "bb", "zz")) ++ Seq((1L, "aa", "zz")))
+      .toDF("doc_id", "lang", "text")
+    val pred = CorpusQ.classify(tied).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(pred.toSeq == Seq((1L, "aa")), "equal scores must break to the lexicographically first class")
+  }
+
+  // --------------------------------------------------- corpus overlap
+
+  test("corpus overlap: near-identical sources estimate high, disjoint estimate zero") {
+    val spark0 = spark
+    import spark0.implicits._
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "mirror_a", shared),
+      (2L, "mirror_b", shared), // identical gram set → every component agrees
+      (3L, "other", (1 to 40).map(i => s"o$i").mkString(" "))
+    ).toDF("doc_id", "source", "text").select("source", "text")
+    val got = CorpusQ.corpusOverlap(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got(("mirror_a", "mirror_b")) == 32L, "identical sets agree on all 32 components")
+    assert(got(("mirror_a", "other")) == 0L && got(("mirror_b", "other")) == 0L)
+  }
+
+  // ---------------------------------------------------- interval join
+
+  test("interval join: bucketed rewrite == naive inequality join incl. boundary cases") {
+    val spark0 = spark
+    import spark0.implicits._
+    val W = 21600000000L // the q84 window (6 h in micros)
+    // (user, event_id, type, tus) — planted: exact w_start hit (inclusive),
+    // exact w_end miss (exclusive), a click caught by TWO windows (distinct
+    // collapses it), a window crossing a bin boundary, other-user isolation
+    val ev = Seq(
+      (1L, 100L, "error", 1000000L),
+      (1L, 101L, "click", 1000000L), // == w_start → in
+      (1L, 102L, "click", 1000000L + W), // == w_end → out
+      (1L, 103L, "click", 1000000L + W - 1), // last micro → in
+      (1L, 110L, "error", 500000L), // overlaps the first window (ends before 102)
+      (1L, 104L, "click", 1500000L), // inside both windows → ONE hit
+      (2L, 200L, "error", W - 1000L), // window crosses the bin seam
+      (2L, 201L, "click", W + 5L), // just past the seam → in
+      (2L, 202L, "click", 3 * W), // far away → out
+      (3L, 300L, "click", 1000001L), // user with no windows → no row
+      (4L, 400L, "error", 50L) // window with no clicks → 0 hits
+    ).toDF("user_id", "event_id", "event_type", "tus")
+
+    val got = CorpusQ.intervalJoin(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 1L, 1L), (4L, 1L, 0L)))
+
+    // no quadratic operator in the physical plan
+    val plan = CorpusQ.intervalJoin(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("interval join: random fixture parity with naive inequality join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val W = 21600000000L
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 800).map { i =>
+      val u = rnd.nextInt(5).toLong
+      val t = if (rnd.nextBoolean()) "error" else "click"
+      (u, i.toLong, t, math.abs(rnd.nextLong()) % (10 * W))
+    }
+    val ev = rows.toDF("user_id", "event_id", "event_type", "tus")
+    val got = CorpusQ.intervalJoin(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // naive driver replay
+    val wins = rows.filter(_._3 == "error").groupBy(_._1)
+      .view.mapValues(_.map(_._4)).toMap
+    val clicks = rows.filter(_._3 == "click")
+    val expect = wins.toSeq.map { case (u, ws) =>
+      val hits = clicks.filter(c => c._1 == u &&
+        ws.exists(w => c._4 >= w && c._4 < w + W)).map(_._2).distinct.size
+      (u, ws.size.toLong, hits.toLong)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+}

@@ -22,7 +22,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private def declarative: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
     graft.queries.Relational.all ++ graft.queries.EventsQ.all ++
-      graft.queries.TextQ.all ++ graft.queries.SimQ.all
+      graft.queries.TextQ.all ++ graft.queries.SimQ.all ++
+      // q83 runs its Bloom build (one treeAggregate over ~200 eval grams at
+      // sf0.001 — milliseconds) during construction; the audited plan pins
+      // the map-side probe shape
+      graft.queries.CorpusQ.all
 
   test("no accidental CartesianProduct and no SortMergeJoin in any declarative plan") {
     declarative.foreach { case (name, f) =>

@@ -460,6 +460,42 @@ class SqlExprSpec extends AnyFunSuite {
     assert(viaSql == 2L)
   }
 
+  test("zorder2: known interleaves, 16-bit mask, null semantics, codegen, SQL registration") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions._
+    // reference values: x occupies even bits, y odd bits
+    val df = Seq(
+      (3L, 1L), // 0b11 ⨉ 0b01 → 0b0111 = 7
+      (0xFFFFL, 0L), // all-x → 0x55555555
+      (0L, 0xFFFFL), // all-y → 0xAAAAAAAA
+      (0x10000L, 0L) // 17th bit masked away → 0
+    ).toDF("x", "y")
+    val got = df.select(zorder2(col("x"), col("y"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 0x55555555L, 0xAAAAAAAAL, 0L))
+
+    // null in → null out
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(zorder2(col("x"), col("y"))).collect()
+    assert(n.head.isNullAt(0))
+
+    // locality: any two points in one 64x64 tile share zkey >> 12
+    val pts = for (x <- 192L to 255L; y <- 64L to 127L) yield (x, y)
+    val tiles = pts.toDF("x", "y").select((zorder2(col("x"), col("y")) / 4096).cast("long"))
+      .distinct().collect()
+    assert(tiles.length == 1)
+
+    // codegen participation (non-foldable input) + no UDF in the plan
+    val cg = spark.range(8).select(zorder2(col("id"), col("id") + 1L).as("z"))
+    val plan = cg.queryExecution.executedPlan
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    assert(!plan.toString.contains("ScalaUDF"))
+    assert(cg.collect().map(_.getLong(0)).head == graft.sql.ZOrder2.interleave(0L, 1L))
+
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder2(3, 1) AS z").collect().head.getLong(0) == 7L)
+  }
+
   test("per-thread parse cache: repeated extraction over one doc is cheap and correct") {
     val spark0 = spark
     import spark0.implicits._

@@ -194,6 +194,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-assigned arrivals must equal batch clusters exactly")
   }
 
+  test("streaming Bloom probe over a frozen mask == batch decontaminate (append, stateless)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+
+    // batch anchor: full q83 semantics (build over doc_id % 50 == 0, probe
+    // the rest)
+    val batch = graft.queries.CorpusQ.bloomDecontaminate(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    // freeze the mask offline from the same eval split
+    val grams5 = org.apache.spark.sql.functions.expr(
+      """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
+        |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)
+    val evalG = corpus.filter($"doc_id" % 50 === 0)
+      .select(org.apache.spark.sql.functions.explode(grams5).as("gram"))
+    val Seq(b0, b1, b2) = graft.llm.Bloom.positions($"gram")
+    val pos = evalG.select(org.apache.spark.sql.functions
+      .explode(org.apache.spark.sql.functions.array(b0, b1, b2)).as("p"))
+    val mask = graft.llm.Bloom.build(pos, "p")
+
+    val rows = corpus.filter($"doc_id" % 50 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.bloomProbeIngest(input.toDF.toDF("doc_id", "text"), mask)
+      .selectExpr("doc_id", "n_grams", "n_hits", "flagged")
+      .writeStream.format("memory").queryName("bloomp").outputMode("append").start()
+    try {
+      input.addData(rows.take(30).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(30).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bloomp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed == batch, "stream-probed arrivals must equal the batch probe exactly")
+  }
+
   test("incremental group maintenance across micro-batches == full CC (foreachBatch)") {
     val spark0 = spark
     import spark0.implicits._
