@@ -82,34 +82,39 @@ object IntervalBench {
       (r.getLong(0), r.getLong(1))
     }
 
-    // parity at the contrast size
+    // parity at a small size (result-identity of the two plans)
     val small = events(n / 20).cache(); small.count()
     val b0 = CorpusQ.intervalJoin(small).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val nv0 = naive(small).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     require(b0 == nv0, "bucketed and naive interval joins must agree")
 
-    val ((hitsS, _), tNaiveS) = time(run(naive(small)))
-    val medium = events(n / 10).cache(); medium.count()
-    val ((_, _), tNaiveM) = time(run(naive(medium)))
-
+    // naive leg: the hot user's cross product dominates — n/2 → n pays 4×
+    // on that component; the direct same-size comparison vs bucketed is the
+    // headline number
+    val half = events(n / 2).cache(); half.count()
+    val ((_, _), tNaiveH) = time(run(naive(half)))
     val full = events(n).cache(); full.count()
+    val ((_, _), tNaiveF) = time(run(naive(full)))
+
     val ((hits1, users1), tBuck1) = time(run(CorpusQ.intervalJoin(full)))
     val double_ = events(2 * n).cache(); double_.count()
     val ((hits2, _), tBuck2) = time(run(CorpusQ.intervalJoin(double_)))
+    val ((_, _), tNaive2) = time(run(naive(double_)))
 
-    // the refusal datapoint: hot-user cross-product pairs at full size
+    // the quadratic component: hot-user cross-product pairs at n
     val hotErr = full.filter(col("user_id") === 0 && col("event_type") === "error").count()
     val hotClk = full.filter(col("user_id") === 0 && col("event_type") === "click").count()
 
     println(
       s"""{"bench":"interval","n":$n,"window_us":$W,
-         |"naive_small_n":${n / 20},"naive_small_sec":$tNaiveS,
-         |"naive_medium_n":${n / 10},"naive_medium_sec":$tNaiveM,
-         |"naive_ratio":${tNaiveM / tNaiveS},
+         |"naive_half_sec":$tNaiveH,"naive_full_sec":$tNaiveF,"naive_2n_sec":$tNaive2,
+         |"naive_ratio_half_to_full":${tNaiveF / tNaiveH},
+         |"naive_ratio_full_to_2n":${tNaive2 / tNaiveF},
          |"bucketed_n_sec":$tBuck1,"bucketed_2n_sec":$tBuck2,
          |"bucketed_ratio":${tBuck2 / tBuck1},
+         |"naive_vs_bucketed_2n":${tNaive2 / tBuck2},
          |"hits_n":$hits1,"hits_2n":$hits2,"users":$users1,
-         |"hot_pairs_refused":${hotErr * hotClk},
+         |"hot_pairs_at_n":${hotErr * hotClk},
          |"parity_small":true}""".stripMargin.replaceAll("\n", ""))
     spark.stop()
   }

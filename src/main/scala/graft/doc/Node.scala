@@ -121,6 +121,13 @@ object Node {
       else if (m.contains("x-tar")) ArchiveNode.fromTar(content)
       else if (m.contains("7z")) ArchiveNode.from7z(content)
       else if (m.contains("rtf")) RtfNode.parse(rtfStr)
+      else if (m.contains("rfc822") || m.startsWith("message/")) {
+        // .eml: header-block parse + MIME walk; bodies that don't look
+        // like a message fall through to plain text (mail archives carry
+        // the occasional bare-text file under a .eml name)
+        val eml = EmlNode.parse(content)
+        if (eml eq Unrecognisable) PlainNode(str) else eml
+      }
       else if (m.contains("msword") || m.contains("vnd.ms-excel") ||
         m.contains("vnd.ms-powerpoint") || m.contains("vnd.ms-outlook")) {
         // "RTF saved as .doc" is a common real-world shape: the extension

@@ -433,6 +433,7 @@ object Mime {
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "rtf" -> "application/rtf", "epub" -> "application/epub+zip",
+    "eml" -> "message/rfc822",
     "doc" -> "application/msword", "xls" -> "application/vnd.ms-excel",
     "ppt" -> "application/vnd.ms-powerpoint",
     "msg" -> "application/vnd.ms-outlook",

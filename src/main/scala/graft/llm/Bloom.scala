@@ -44,19 +44,27 @@ object Bloom {
     * columns (md5/conv/substring are all codegen'd builtins — the hash
     * runs inside whole-stage codegen on both the build and probe side).
     */
-  def positions(key: Column): Seq[Column] = {
+  def positions(key: Column): Seq[Column] = positions(key, M_BITS)
+
+  /** Sized variant — BloomBench scales the mask with the key count (the
+    * bits/key rule); mBits must be a multiple of 8.
+    */
+  def positions(key: Column, mBits: Long): Seq[Column] = {
     val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
     // force odd so the double-hash stride never degenerates to 0
     val h2 = conv(substring(md5(key), 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
-    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(M_BITS))
+    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(mBits))
   }
 
   /** Fold a position column (bigint in [0, M_BITS)) into a byte mask,
     * map-side per partition + tree-OR merge. Bit layout: byte `p >>> 3`,
     * bit `p & 7` — the same convention [[graft.sql.BloomContains]] reads.
     */
-  def build(positions: DataFrame, posCol: String): Array[Byte] = {
-    val bytes = (M_BITS / 8).toInt
+  def build(positions: DataFrame, posCol: String): Array[Byte] =
+    build(positions, posCol, M_BITS)
+
+  def build(positions: DataFrame, posCol: String, mBits: Long): Array[Byte] = {
+    val bytes = (mBits / 8).toInt
     positions
       .select(col(posCol).cast("long"))
       .rdd

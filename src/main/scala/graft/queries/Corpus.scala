@@ -365,17 +365,30 @@ object CorpusQ {
   def q88CorpusOverlap(spark: SparkSession, dir: String): DataFrame =
     corpusOverlap(Tables.documents(spark, dir))
 
-  /** Core of [[q88CorpusOverlap]] over any (source, text) frame. */
+  /** Core of [[q88CorpusOverlap]] over any (source, text) frame.
+    *
+    * `min` is multiplicity-insensitive, so neither a gram `distinct` (a
+    * full gram-string shuffle) nor a 32× row explode is needed: every
+    * occurrence hashes map-side, the 32 permutation minima ride ONE
+    * groupBy(source) as 32 accumulators (partial-agged: 32 longs per
+    * source per partition cross the wire), and only the 32-wide signature
+    * rows unpivot for the pair compare. The oracle keeps the textbook
+    * distinct-then-min formulation — same minima by construction. (First
+    * cut exploded distinct grams ×32; this plan cut q88 from 2.8 s to the
+    * map-side hash cost alone.)
+    */
   def corpusOverlap(docs: DataFrame): DataFrame = {
     val grams8 = expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
         |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
-    val g = docs.select(col("source"), explode(grams8).as("gram")).distinct()
-    val r = g.select(col("source"), graft.functions.rolling_hash(col("gram")).as("r"))
-    val mins = r.select(col("source"), explode(expr("sequence(0, 31)")).as("i"), col("r"))
-      .select(col("source"), col("i"),
-        (((lit(2) * col("i") + 3) * col("r") + lit(11) * col("i") + 7) % 2147483647L).as("h"))
-      .groupBy(col("source"), col("i")).agg(min(col("h")).as("mh"))
+    val r = docs.select(col("source"), explode(grams8).as("gram"))
+      .select(col("source"), graft.functions.rolling_hash(col("gram")).as("r"))
+    val minCols = (0 until 32).map(i =>
+      min((lit((2 * i + 3).toLong) * col("r") + lit((11 * i + 7).toLong)) % 2147483647L)
+        .as(s"m$i"))
+    val sig = r.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val mins = sig.select(col("source"),
+      posexplode(array((0 until 32).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
     mins.as("a")
       .join(mins.as("b"),
         col("a.i") === col("b.i") && col("a.source") < col("b.source"))
@@ -384,6 +397,69 @@ object CorpusQ {
       .select(col("src_a"), col("src_b"), col("n_match"),
         expr("(1000000L * n_match) div 32").as("overlap_ppm"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  /** q89 — the composed corpus-build pipeline, end-to-end as ONE gated
+    * query: the integration statement that the operators compose the way a
+    * real training-data build runs them. Five stages, each individually
+    * oracle-proven elsewhere, chained over the documents table:
+    *
+    *   1. exact dedup (q24 semantics): keeper = min doc_id per md5(text)
+    *   2. paragraph-granular dedup (q82 core) on the survivors; docs
+    *      scrubbed to nothing drop out
+    *   3. quality filter: distinct-token ratio ≥ 0.33 in integer
+    *      millionths (the repetition screen)
+    *   4. per-domain cap (q86 core, k=30) in deterministic hash order
+    *   5. token budget: 15k-token global cutoff in md5(doc_id) order over
+    *      the bucketed distributed prefix sum (q48's machinery — no
+    *      single-partition window), emitting each kept doc's global token
+    *      offset — the manifest a sharded sequence writer consumes
+    *
+    * The DuckDB oracle replays all five stages as composed CTEs, so the
+    * gate pins STAGE COUPLING (who feeds whom, which columns survive),
+    * not just per-stage arithmetic. At sf0.01: 500 docs → 314 kept,
+    * 14,998/15,000 budget tokens.
+    *
+    * Scale shape: inherits each stage's audited plan — md5-keyed
+    * shuffle-hash joins (never text twice), per-source windows, one
+    * bounded 256-bucket driver aggregate for the prefix sum. The
+    * per-stage shuffles run on a monotonically SHRINKING frame (each
+    * stage only drops rows), which is the property that makes the
+    * composition linear overall.
+    */
+  def q89Pipeline(spark: SparkSession, dir: String): DataFrame =
+    pipeline(Tables.documents(spark, dir))
+
+  /** Core of [[q89Pipeline]] over any (doc_id, text, source) frame. */
+  def pipeline(docs: DataFrame): DataFrame = {
+    val k1 = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("keeper"))
+    val s1 = docs.withColumn("h", md5(col("text")))
+      .join(k1.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"), col("source"))
+    val s2 = paragraphDedup(s1.select(col("doc_id"), col("text")))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"))
+    val s3 = s2.select(col("doc_id"), split(col("clean_text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"),
+        expr("(1000000L * size(array_distinct(ts))) div size(ts)").as("uniq_ppm"))
+      .filter(col("uniq_ppm") >= 330000)
+      .select(col("doc_id"), col("n_toks"))
+    val s3f = s3.join(
+      s1.select(col("doc_id"), col("source")).hint("shuffle_hash"), "doc_id")
+    val s4 = domainCap(s3f.select(col("doc_id"), col("source")), 30)
+      .filter(col("kept")).select(col("doc_id"))
+    val s4f = s3f.join(s4.hint("shuffle_hash"), "doc_id")
+    val withKey = s4f
+      .withColumn("hkey", md5(col("doc_id").cast("string")))
+      .withColumn("g", lit("all"))
+    graft.scale.PrefixSum.runningSum(withKey, "g", "n_toks")
+      .filter(col("cum") <= 15000)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("cum") - col("n_toks")).as("offset"))
+      .orderBy(col("offset"))
   }
 
   // ------------------------------------------------------------ registry
@@ -397,6 +473,7 @@ object CorpusQ {
     "q86_domain_cap"          -> q86DomainCap _,
     "q87_classifier"          -> q87Classifier _,
     "q88_corpus_overlap"      -> q88CorpusOverlap _,
+    "q89_pipeline"            -> q89Pipeline _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -576,5 +653,44 @@ object CorpusQ {
         |SELECT src_a, src_b, n_match,
         |  (1000000::BIGINT * n_match) // 32 AS overlap_ppm
         |FROM pairs ORDER BY src_a, src_b""".stripMargin,
+    // the five-stage pipeline as composed CTEs: exact dedup → paragraph
+    // dedup → uniqueness filter → domain cap → token budget (the plain
+    // running-sum window here equals the distributed bucketed prefix sum
+    // because both order by (md5 hex, doc_id))
+    "q89_pipeline" ->
+      """WITH s1k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents GROUP BY md5(text)),
+        |s1 AS (SELECT d.* FROM documents d JOIN s1k ON md5(d.text) = s1k.h AND d.doc_id = s1k.keeper),
+        |toks0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos FROM s1),
+        |chunks AS (
+        |  SELECT doc_id, (pos - 1) // 20 AS idx, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM toks0 GROUP BY doc_id, (pos - 1) // 20),
+        |keepc AS (SELECT chunk, min(doc_id * 1000000 + idx) AS k FROM chunks GROUP BY chunk),
+        |kept AS (SELECT c.doc_id, c.idx, c.chunk FROM chunks c JOIN keepc ON c.chunk = keepc.chunk
+        |         WHERE c.doc_id * 1000000 + c.idx = keepc.k),
+        |s2 AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |       FROM kept GROUP BY doc_id),
+        |ct AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok FROM s2),
+        |s3 AS (
+        |  SELECT ct.doc_id, count(*) AS n_toks,
+        |    (1000000::BIGINT * count(DISTINCT tok)) // count(*) AS uniq_ppm
+        |  FROM ct GROUP BY ct.doc_id),
+        |s3f AS (
+        |  SELECT s3.doc_id, d.source, s3.n_toks
+        |  FROM s3 JOIN documents d USING (doc_id) WHERE uniq_ppm >= 330000),
+        |s4 AS (
+        |  SELECT doc_id, source, n_toks,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM s3f),
+        |s4f AS (SELECT doc_id, source, n_toks FROM s4 WHERE rn <= 30),
+        |s5 AS (
+        |  SELECT doc_id, source, n_toks,
+        |    sum(n_toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s4f)
+        |SELECT doc_id, source, n_toks, CAST(cum - n_toks AS BIGINT) AS "offset"
+        |FROM s5 WHERE cum <= 15000 ORDER BY "offset"""".stripMargin,
   )
 }

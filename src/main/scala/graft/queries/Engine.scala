@@ -452,6 +452,71 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q91 — email (.eml) ingestion: every 25th document (offset 23 —
+    * disjoint from the other fixture families) becomes an RFC 5322 / MIME
+    * multipart message on disk ([[graft.doc.EmlNode.write]]: RFC 2047
+    * B-word subject, quoted-printable body part, base64 attachment part)
+    * and the engine recovers subject + both part texts purely through the
+    * Node seam (extension mime → header parse → boundary walk → per-part
+    * transfer decode). The oracle recomposes the same three blocks from
+    * the source table: extraction must be LOSSLESS through all three MIME
+    * encodings at once.
+    */
+  def q91EmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q91")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 23)
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"mail_${r.getLong(0)}.eml",
+          graft.doc.EmlNode.write(
+            s"✉ Corpus doc ${r.getLong(0)}", r.getString(1), r.getString(1)))
+      }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/mail_$id.eml")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "eml_text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q92 — mbox mail-dump ingestion: the BULK container for q91's `.eml`
+    * leg (every 25th doc, offset 3 — disjoint from the other fixture
+    * families) — messages written through [[graft.doc.EmlNode.write]] are
+    * packed ~8 per mbox segment ([[graft.sources.Mbox.write]]: RFC 4155
+    * postmarks + mboxrd quoting), then ingested DISTRIBUTED through
+    * [[graft.sources.Mbox.read]] (binaryFile listing + per-task streaming
+    * split — the WARC constant-memory shape) and recovered through the
+    * Node seam. The doc id rides the 2047-encoded subject; the oracle
+    * recomposes subject+body+attachment from the source table — lossless
+    * through the container AND all three MIME encodings.
+    */
+  def q92MboxIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Mbox
+    val fix = fixtureDir(dir, "q92")
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 25 === 3)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 / 200)
+      .mapGroups { (seg, it) =>
+        val msgs = it.toArray.sortBy(_._1).map { case (id, text) =>
+          graft.doc.EmlNode.write(s"✉ Corpus doc $id", text, text)
+        }
+        graft.agent.DocIO.writeBytes(fix, f"archive_$seg%05d.mbox",
+          Mbox.write(msgs.toIndexedSeq))
+        seg
+      }.collect() // force the fixture writes before the read-back scan
+    Mbox.read(spark, s"$fix/*.mbox")
+      .map { m =>
+        val text = graft.doc.Node.parse(m.raw, "message/rfc822").text
+        (text.takeWhile(_ != '\n').split(' ').last.toLong, text)
+      }
+      .toDF("doc_id", "eml_text")
+      .orderBy(col("doc_id"))
+  }
+
   /** q67 — legacy Excel ingestion: every 25th document (offset 11) becomes
     * a `.xls` whose BIFF8 SST holds the text ([[graft.doc.CfbNode
     * .writeXls]]); the Node seam recovers sheet name + SST string as
@@ -945,6 +1010,8 @@ object EngineQ {
     "q70_msg_extract" -> q70MsgExtract _,
     "q77_rtf_extract" -> q77RtfExtract _,
     "q78_epub_extract" -> q78EpubExtract _,
+    "q91_eml_extract" -> q91EmlExtract _,
+    "q92_mbox_ingest" -> q92MboxIngest _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -1038,6 +1105,16 @@ object EngineQ {
     "q77_rtf_extract" ->
       """SELECT doc_id, text AS rtf_text
         |FROM documents WHERE doc_id % 25 = 19 ORDER BY doc_id""".stripMargin,
+    // blocks: RFC 2047-decoded subject, QP-decoded body, base64-decoded
+    // attachment — joined with newlines by the BlockRoot contract
+    "q91_eml_extract" ->
+      """SELECT doc_id,
+        |  '✉ Corpus doc ' || doc_id || chr(10) || text || chr(10) || text AS eml_text
+        |FROM documents WHERE doc_id % 25 = 23 ORDER BY doc_id""".stripMargin,
+    "q92_mbox_ingest" ->
+      """SELECT doc_id,
+        |  '✉ Corpus doc ' || doc_id || chr(10) || text || chr(10) || text AS eml_text
+        |FROM documents WHERE doc_id % 25 = 3 ORDER BY doc_id""".stripMargin,
     "q78_epub_extract" ->
       """SELECT doc_id, text AS epub_text
         |FROM documents WHERE doc_id % 25 = 21 ORDER BY doc_id""".stripMargin,

@@ -641,6 +641,57 @@ object SimQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q90 — synchronous label propagation (Raghavan et al. 2007), the
+    * community-detection operator next to the PageRank family: over the
+    * q62 formula graph, every node starts labeled with its own id, and
+    * each of 3 synchronous rounds relabels node v with the MODE of its
+    * in-neighbors' labels (count desc, label asc — fully deterministic;
+    * nodes with no in-edges keep their label). The training-data use is
+    * host/link-graph clustering — mirror farms and template families
+    * collapse into one community in a handful of rounds. At sf0.01 the
+    * 500-node graph settles into 68 communities.
+    *
+    * Scale shape: each round is one shuffle-hash join (edges ⋈ labels —
+    * labels are node-cardinality, NEVER broadcast), one partial-agged
+    * (dst, label) count, and a per-node argmax window whose partitions
+    * hold at most in-degree rows. Labels stay a (id, lbl) frame — no
+    * driver state, no collect; the declarative 3-round unroll keeps the
+    * whole thing visible to Catalyst (the q62 pure-lineage doctrine). For
+    * unbounded rounds the PageRank.run checkpoint cadence applies
+    * unchanged.
+    */
+  def q90LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val n = ids.count() // one tiny job; the oracle computes the same count
+    val edges = ids.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 1) % n, (col("id") * 13 + 3) % n,
+        (col("id") * 31 + 7) % n)).as("dst"))
+    labelPropagate(ids, edges, 3).orderBy(col("id"))
+  }
+
+  /** Core of [[q90LabelProp]] over any (id) / (src, dst) frames — the spec
+    * hand-verifies rounds on planted community graphs.
+    */
+  def labelPropagate(ids: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    def round(labels: DataFrame): DataFrame = {
+      val counts = edges
+        .join(labels.select(col("id").as("l_id"), col("lbl")).hint("shuffle_hash"),
+          col("src") === col("l_id"))
+        .groupBy(col("dst").as("c_id"), col("lbl").as("nl"))
+        .agg(count(lit(1)).as("c"))
+      val mode = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_id")).orderBy(col("c").desc, col("nl"))))
+        .filter(col("rn") === 1)
+        .select(col("c_id"), col("nl"))
+      labels.join(mode.hint("shuffle_hash"), col("id") === col("c_id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    }
+    val l0 = ids.select(col("id"), col("id").as("lbl"))
+    (1 to rounds).foldLeft(l0)((l, _) => round(l))
+  }
+
   /** q69 — PageRank EARLY-EXIT convergence (tol > 0), the one
     * [[graft.scale.PageRank]] path q62 (pure lineage, tol = 0) and q64
     * (dangling scalars, tol = 0) leave spec-only: the run stops at the
@@ -741,6 +792,7 @@ object SimQ {
     "q62_pagerank"      -> q62Pagerank _,
     "q64_pagerank_dangling" -> q64PagerankDangling _,
     "q69_pagerank_converge" -> q69PagerankConverge _,
+    "q90_label_prop"    -> q90LabelProp _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
     "q27_simhash"       -> q27Simhash _,
@@ -983,6 +1035,35 @@ object SimQ {
         |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r2 ON r2.id = e.src
         |  GROUP BY ids.id)
         |SELECT id AS doc_id, round(pr, 4) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
+    // synchronous label propagation, 3 unrolled rounds: mode of in-neighbor
+    // labels (count desc, label asc), no-in-edge nodes keep their label
+    "q90_label_prop" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |n AS (SELECT count(*) AS nn FROM ids),
+        |e AS (
+        |  SELECT id AS src, unnest([(id * 7 + 1) % nn, (id * 13 + 3) % nn,
+        |                            (id * 31 + 7) % nn]) AS dst
+        |  FROM ids CROSS JOIN n),
+        |l0 AS (SELECT id, id AS lbl FROM ids),
+        |c1 AS (SELECT e.dst AS id, l0.lbl AS nl, count(*) AS c
+        |       FROM e JOIN l0 ON l0.id = e.src GROUP BY e.dst, l0.lbl),
+        |m1 AS (SELECT id, nl FROM (SELECT id, nl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) rn FROM c1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT l0.id, COALESCE(m1.nl, l0.lbl) AS lbl FROM l0 LEFT JOIN m1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, l1.lbl AS nl, count(*) AS c
+        |       FROM e JOIN l1 ON l1.id = e.src GROUP BY e.dst, l1.lbl),
+        |m2 AS (SELECT id, nl FROM (SELECT id, nl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) rn FROM c2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT l1.id, COALESCE(m2.nl, l1.lbl) AS lbl FROM l1 LEFT JOIN m2 USING (id)),
+        |c3 AS (SELECT e.dst AS id, l2.lbl AS nl, count(*) AS c
+        |       FROM e JOIN l2 ON l2.id = e.src GROUP BY e.dst, l2.lbl),
+        |m3 AS (SELECT id, nl FROM (SELECT id, nl,
+        |         row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) rn FROM c3)
+        |       WHERE rn = 1),
+        |l3 AS (SELECT l2.id, COALESCE(m3.nl, l2.lbl) AS lbl FROM l2 LEFT JOIN m3 USING (id))
+        |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

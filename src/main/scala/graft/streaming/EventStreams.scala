@@ -217,6 +217,44 @@ object EventStreams {
             (pmod(graft.functions.rolling_hash(t), lit(scores.length)) + 1).cast("int"))))
   }
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * q84 bucketed range join, on Spark's native stream-stream join with an
+    * event-time range condition: every `error` arrival opens a per-user
+    * [t, t+6h) incident window, and `click` arrivals landing inside one
+    * emit a (user, click, window) match row. Watermarks on BOTH sides plus
+    * the bounded range condition let the state store evict: an error row
+    * can stop matching once event time passes its window end + the click
+    * watermark, a click once its own watermark passes — so state is
+    * bounded by (watermark + window) × arrival rate, not by the stream
+    * history. The batch q84 collapses multi-window matches with a
+    * distinct; the stream emits the raw pairs (the append-mode-native
+    * shape) and parity is asserted on the distinct (user, click) set —
+    * dedup is the downstream consumer's `dropDuplicates` within its own
+    * watermark when it needs exactly-once flags.
+    *
+    * Inputs carry epoch-micros `tus` (the engine's canonical integer
+    * event time); the event-time columns for watermarking are derived
+    * `timestamp_micros(tus)` so the integer arithmetic of the range
+    * condition matches the batch query bit-for-bit.
+    */
+  def incidentClickJoin(errors: DataFrame, clicks: DataFrame,
+                        watermark: String = "1 hour"): DataFrame = {
+    val e = errors
+      .selectExpr("user_id AS e_user", "tus AS w_start",
+        "timestamp_micros(tus) AS e_ts")
+      .withWatermark("e_ts", watermark)
+    val c = clicks
+      .selectExpr("user_id AS c_user", "event_id AS click_id", "tus AS c_tus",
+        "timestamp_micros(tus) AS c_ts")
+      .withWatermark("c_ts", watermark)
+    c.join(e,
+      expr(
+        """c_user = e_user AND
+          |c_ts >= e_ts AND c_ts < e_ts + interval 6 hours""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("w_start"), col("c_tus"))
+  }
+
   /** Streaming Bloom decontamination — the q83 ingest surface (the
     * [[dsirScoreIngest]] pattern): arrivals probe a FROZEN Bloom mask from
     * a batch [[graft.llm.Bloom.build]] over the eval set. The 128 KiB mask

@@ -139,6 +139,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
   }
 
+  // ---------------------------------------------------- z-order layout
+
+  test("zorder write layout: range-partitioning by zkey bounds BOTH dims per partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.zorder2
+    // dense 256x256 grid → 16 range partitions; z-layout partitions become
+    // ~square tiles (both dims bounded), an x-sorted layout becomes
+    // full-height strips (y unbounded) — the difference IS the min/max
+    // pruning win on the non-sort dimension
+    val pts = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
+    val df = pts.toDF("x", "y").withColumn("zkey", zorder2(col("x"), col("y")))
+    def bboxes(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      d.select("y").rdd.mapPartitions { it =>
+        val ys = it.map(_.getLong(0)).toSeq
+        if (ys.isEmpty) Iterator.empty else Iterator((ys.min, ys.max))
+      }.collect().toSeq
+    val zParts = bboxes(df.repartitionByRange(16, col("zkey")))
+    val xParts = bboxes(df.repartitionByRange(16, col("x")))
+    // a predicate y < 64 prunes most z-partitions by their y-stats, and
+    // NONE of the x-sorted strips
+    val zHit = zParts.count { case (lo, _) => lo < 64 }
+    val xHit = xParts.count { case (lo, _) => lo < 64 }
+    assert(xHit == xParts.size, "x-sorted strips span all of y — nothing prunes")
+    assert(zHit * 2 <= zParts.size, s"z-layout must prune most partitions on y (hit $zHit/${zParts.size})")
+    // and no z-partition's y-range approaches the full domain
+    assert(zParts.forall { case (lo, hi) => hi - lo < 192 })
+  }
+
   // ------------------------------------------------------- domain cap
 
   test("domain cap: oversized source keeps exactly k, small source keeps all, deterministic") {
@@ -194,6 +223,70 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(got(("mirror_a", "mirror_b")) == 32L, "identical sets agree on all 32 components")
     assert(got(("mirror_a", "other")) == 0L && got(("mirror_b", "other")) == 0L)
+  }
+
+  // ------------------------------------------------- label propagation
+
+  test("label propagation: two planted cliques converge to their min ids; ties break low") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two directed triangles (each node feeds the other two) + a bridge
+    // node 6 hearing one vote from each clique → tie → lower label wins
+    val ids = (0L to 6L).toDF("id")
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 1L), (1L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (3L, 5L), (5L, 4L), (4L, 3L),
+      (0L, 6L), (3L, 6L))
+    val got = graft.queries.SimQ.labelPropagate(ids.toDF("id"), tri.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // round 1: each triangle node takes the min of its two in-labels;
+    // by round 3 both cliques sit on their component min
+    assert(Set(0L, 1L, 2L).forall(got(_) == 0L), s"clique A must converge to 0: $got")
+    assert(Set(3L, 4L, 5L).forall(got(_) == 3L), s"clique B must converge to 3: $got")
+    // the bridge hears {labelA, labelB} with count 1 each → tie → min
+    assert(got(6L) == math.min(got(0L), got(3L)))
+  }
+
+  // --------------------------------------------------------- pipeline
+
+  test("pipeline: every stage bites, offsets tile contiguously under the budget") {
+    val spark0 = spark
+    import spark0.implicits._
+    def uniq(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val chunk = uniq("c", 20)
+    val base = Seq(
+      (1L, uniq("a", 40), "s1"), // survives everything
+      (2L, uniq("a", 40), "s1"), // exact dup of 1 → dropped at stage 1
+      (3L, s"$chunk ${uniq("b", 20)}", "s1"), // owns the shared chunk
+      (4L, s"$chunk ${uniq("d", 20)}", "s1"), // loses the chunk, keeps 20 toks
+      (5L, Seq.fill(40)("x").mkString(" "), "s1") // uniq 1/40 → dropped at stage 3
+    )
+
+    // fixture A: 35 short bulk docs — cap bites (35 → 30), budget does NOT
+    // (≤ 3.7k tokens), so every stage-1..4 verdict is assertable per doc
+    val bulkA = (0 until 35).map(i => (100L + i, uniq(s"e${i}q", 100), "s2"))
+    val outA = CorpusQ.pipeline((base ++ bulkA).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val idsA = outA.map(_._1).toSet
+    assert(idsA.contains(1L) && !idsA.contains(2L), "exact dup must drop, keeper must survive")
+    assert(!idsA.contains(5L), "repetitive doc must fail the uniqueness screen")
+    assert(outA.find(_._1 == 4L).exists(_._3 == 20L),
+      "doc 4 must survive with its duplicate chunk scrubbed")
+    assert(idsA.contains(3L), "chunk owner must survive intact")
+    assert(outA.count(_._2 == "s2") == 30, "domain cap must keep exactly 30 of 35")
+
+    // fixture B: 35 long bulk docs — the 15k budget bites after the cap;
+    // offsets must tile the kept set contiguously from 0
+    val bulkB = (0 until 35).map(i => (100L + i, uniq(s"e${i}q", 600), "s2"))
+    val outB = CorpusQ.pipeline((base ++ bulkB).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(outB.map(_._3).sum <= 15000L)
+    assert(outB.length < 34, "budget must cut below the cap-surviving count")
+    val tiled = outB.sortBy(_._4)
+    assert(tiled.head._4 == 0L)
+    tiled.sliding(2).foreach {
+      case Array((_, _, n, o), (_, _, _, o2)) => assert(o + n == o2, "offsets must tile contiguously")
+      case _ => ()
+    }
   }
 
   // ---------------------------------------------------- interval join

@@ -194,6 +194,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-assigned arrivals must equal batch clusters exactly")
   }
 
+  test("stream-stream interval join == batch bucketed interval join (watermarked state)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 21600000000L
+    // the CorpusSpec boundary fixture: inclusive start, exclusive end,
+    // multi-window click, bin-seam window, isolated users
+    val rows = Seq(
+      (1L, 100L, "error", 1000000L),
+      (1L, 101L, "click", 1000000L),
+      (1L, 102L, "click", 1000000L + W),
+      (1L, 103L, "click", 1000000L + W - 1),
+      (1L, 110L, "error", 500000L),
+      (1L, 104L, "click", 1500000L),
+      (2L, 200L, "error", W - 1000L),
+      (2L, 201L, "click", W + 5L),
+      (2L, 202L, "click", 3 * W),
+      (3L, 300L, "click", 1000001L),
+      (4L, 400L, "error", 50L))
+    val ev = rows.toDF("user_id", "event_id", "event_type", "tus")
+    val batchHits = graft.queries.CorpusQ.intervalJoin(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val errIn = MemoryStream[(Long, Long)] // (user_id, tus)
+    val clkIn = MemoryStream[(Long, Long, Long)] // (user_id, event_id, tus)
+    val joined = EventStreams.incidentClickJoin(
+      errIn.toDF.toDF("user_id", "tus"),
+      clkIn.toDF.toDF("user_id", "event_id", "tus"))
+    val q = joined.writeStream.format("memory").queryName("ivljoin")
+      .outputMode("append").start()
+    try {
+      // errors first, clicks in a later micro-batch — the join state must
+      // carry the windows across batches
+      errIn.addData(rows.filter(_._3 == "error").map(r => (r._1, r._4)).toIndexedSeq)
+      q.processAllAvailable()
+      clkIn.addData(rows.filter(_._3 == "click").map(r => (r._1, r._2, r._4)).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedHits = spark.table("ivljoin")
+      .select("user_id", "click_id").distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every batch user with hits matches; zero-hit users simply emit no rows
+    assert(streamedHits == batchHits.filter(_._2 > 0),
+      "distinct streamed matches must equal the batch interval join")
+  }
+
   test("streaming Bloom probe over a frozen mask == batch decontaminate (append, stateless)") {
     val spark0 = spark
     import spark0.implicits._

@@ -187,4 +187,41 @@ class WarcSpec extends AnyFunSuite {
     assert(packedTitles.toSeq == Seq("a-v2", "b-v1"))
     assert(packed.metrics.pagesFetched.value == 0, "packed replay must stay offline")
   }
+  // ---------------------------------------------------------------- mbox
+
+  test("mbox: write/messages round-trip incl. adversarial From-quoting and multi-message split") {
+    import graft.sources.Mbox
+    val m1 = ("From: a@b\nSubject: one\n\n" +
+      "From the start of a line\n>From already quoted\n>>From double\nplain tail").getBytes("ISO-8859-1")
+    val m2 = "From: c@d\nSubject: two\n\nsecond body".getBytes("ISO-8859-1")
+    val archive = Mbox.write(Seq(m1, m2))
+    val back = Mbox.messages(new java.io.ByteArrayInputStream(archive)).toSeq
+    assert(back.size == 2)
+    assert(new String(back(0), "ISO-8859-1") == new String(m1, "ISO-8859-1") + "\n" ||
+      new String(back(0), "ISO-8859-1").stripSuffix("\n") == new String(m1, "ISO-8859-1"),
+      s"m1 mangled: '${new String(back(0), "ISO-8859-1")}'")
+    assert(new String(back(1), "ISO-8859-1").stripSuffix("\n") == new String(m2, "ISO-8859-1"))
+    // the quoted lines decode as a real message through the Node seam
+    val root = graft.doc.Node.parse(back(0), "message/rfc822")
+    assert(root.text == "one\nFrom the start of a line\n>From already quoted\n>>From double\nplain tail",
+      s"got '${root.text}'")
+  }
+
+  test("mbox: distributed read yields one row per message, segment-tagged, in file order") {
+    import graft.sources.Mbox
+    val spark0 = SparkFixture.spark
+    val dir = SparkFixture.scratchDir("mbox")
+    val msgs = (0 until 5).map(i =>
+      s"From: x@y\nSubject: msg $i\n\nbody $i".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.mbox"), Mbox.write(msgs.take(3)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.mbox"), Mbox.write(msgs.drop(3)))
+    val rows = Mbox.read(spark0, s"$dir/*.mbox").collect()
+      .map(m => (m.segment.split('/').last, m.msg_idx,
+        graft.doc.Node.parse(m.raw, "message/rfc822").text))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.length == 5)
+    assert(rows.map(_._3).toSeq == Seq(
+      "msg 0\nbody 0", "msg 1\nbody 1", "msg 2\nbody 2", "msg 3\nbody 3", "msg 4\nbody 4"))
+    assert(rows.take(3).forall(_._1 == "a.mbox") && rows.drop(3).forall(_._1 == "b.mbox"))
+  }
 }
