@@ -145,24 +145,28 @@ object EmlNode {
       if (t.nonEmpty) Some(t) else None
     }
 
-    if (ctype.toLowerCase.startsWith("multipart/")) {
-      paramOf(ctype, "boundary") match {
-        case Some(b) =>
-          splitParts(body, b).foreach { part =>
-            splitHeaders(part) match {
-              case Some((ph, pb)) => partText(ph, pb).foreach(blocks += _)
-              case None =>
-                val t = part.trim
-                if (t.nonEmpty) blocks += t
+    // recursive part walk: real mail nests (multipart/alternative inside
+    // multipart/mixed); depth-capped against malicious nesting
+    def collect(hs: Map[String, String], bd: String, depth: Int): Unit = {
+      val ct = hs.getOrElse("content-type", "text/plain")
+      if (ct.toLowerCase.startsWith("multipart/") && depth < 8) {
+        paramOf(ct, "boundary") match {
+          case Some(b) =>
+            splitParts(bd, b).foreach { part =>
+              splitHeaders(part) match {
+                case Some((ph, pb)) => collect(ph, pb, depth + 1)
+                case None =>
+                  val t = part.trim
+                  if (t.nonEmpty) blocks += t
+              }
             }
-          }
-        case None =>
-          val t = body.trim
-          if (t.nonEmpty) blocks += t // declared multipart, no boundary: salvage
-      }
-    } else {
-      partText(headers, body).foreach(blocks += _)
+          case None =>
+            val t = bd.trim
+            if (t.nonEmpty) blocks += t // declared multipart, no boundary: salvage
+        }
+      } else partText(hs, bd).foreach(blocks += _)
     }
+    collect(headers, body, 0)
 
     val bs = blocks.toVector
     if (bs.isEmpty) Node.Unrecognisable else new BlockRoot(bs)

@@ -377,7 +377,14 @@ object CorpusQ {
     * cut exploded distinct grams ×32; this plan cut q88 from 2.8 s to the
     * map-side hash cost alone.)
     */
-  def corpusOverlap(docs: DataFrame): DataFrame = {
+  /** The q88 signature stage alone: per source, the 32 permutation minima
+    * as columns m0..m31 — one map-side hash pass + one partial-agged
+    * groupBy. min is a MERGEABLE aggregate, so the SAME frame builds
+    * streaming state (see [[graft.streaming.EventStreams
+    * .overlapSignatureIngest]]) — batch and stream cannot diverge because
+    * this is literally the shared plan.
+    */
+  def overlapSignatures(docs: DataFrame): DataFrame = {
     val grams8 = expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
         |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
@@ -386,7 +393,11 @@ object CorpusQ {
     val minCols = (0 until 32).map(i =>
       min((lit((2 * i + 3).toLong) * col("r") + lit((11 * i + 7).toLong)) % 2147483647L)
         .as(s"m$i"))
-    val sig = r.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    r.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  def corpusOverlap(docs: DataFrame): DataFrame = {
+    val sig = overlapSignatures(docs)
     val mins = sig.select(col("source"),
       posexplode(array((0 until 32).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
     mins.as("a")
@@ -452,14 +463,58 @@ object CorpusQ {
     val s4 = domainCap(s3f.select(col("doc_id"), col("source")), 30)
       .filter(col("kept")).select(col("doc_id"))
     val s4f = s3f.join(s4.hint("shuffle_hash"), "doc_id")
+    // PrefixSum is two-pass (offset aggregate + window) — localCheckpoint
+    // the 4-stage survivor frame so the pipeline computes ONCE, not twice
     val withKey = s4f
       .withColumn("hkey", md5(col("doc_id").cast("string")))
       .withColumn("g", lit("all"))
+      .localCheckpoint()
     graft.scale.PrefixSum.runningSum(withKey, "g", "n_toks")
       .filter(col("cum") <= 15000)
       .select(col("doc_id"), col("source"), col("n_toks"),
         (col("cum") - col("n_toks")).as("offset"))
       .orderBy(col("offset"))
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  /** q93 — distinctive terms per language by integer lift (pointwise
+    * mutual information's monotone rational core, exact in millionths:
+    * `lift = P(tok|lang) / P(tok)` cleared to
+    * `10^6·c(tok,lang)·N / (c(tok)·N_lang)`): the corpus-profiling dial
+    * that answers "what does THIS slice of the corpus over-use" — the
+    * per-group twin of q81's global idf, robust on corpora where plain
+    * tf-idf degenerates (here every vocab token occurs in every language,
+    * yet relative usage still separates: planted duplication makes 'dup'
+    * the top term in the languages carrying it). Top-5 per language,
+    * (lift desc, token asc) deterministic.
+    *
+    * Scale shape: three map-side-combined groupBys; the vocab-sized
+    * count join is shuffle-hash (never broadcast), the |langs|-sized and
+    * 1-row totals broadcast; the per-language top-k window partitions by
+    * language (per-partition vocab sort — for web-scale vocabs swap in a
+    * per-partition heap top-k, same result by determinism of the key).
+    */
+  def q93Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    val cl = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val cc = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val lift = cc
+      .join(ct.hint("shuffle_hash"), "tok")
+      .join(broadcast(cl), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("tok"),
+        expr("""(cast(1000000 as decimal(38,0)) * c * n_total) div
+               |(cast(c_tok as decimal(38,0)) * n_lang)""".stripMargin)
+          .cast("long").as("lift_ppm"))
+    lift
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("lift_ppm").desc, col("tok"))))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
   }
 
   // ------------------------------------------------------------ registry
@@ -474,6 +529,7 @@ object CorpusQ {
     "q87_classifier"          -> q87Classifier _,
     "q88_corpus_overlap"      -> q88CorpusOverlap _,
     "q89_pipeline"            -> q89Pipeline _,
+    "q93_keywords"            -> q93Keywords _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,5 +748,20 @@ object CorpusQ {
         |  FROM s4f)
         |SELECT doc_id, source, n_toks, CAST(cum - n_toks AS BIGINT) AS "offset"
         |FROM s5 WHERE cum <= 15000 ORDER BY "offset"""".stripMargin,
+    // per-language lift in integer millionths; top-5 per language with
+    // deterministic (lift desc, token asc) ranking
+    "q93_keywords" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ct AS (SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok),
+        |cl AS (SELECT lang, count(*) AS n_lang FROM toks GROUP BY lang),
+        |tot AS (SELECT count(*) AS n_total FROM toks),
+        |cc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+        |lift AS (
+        |  SELECT cc.lang, cc.tok,
+        |    (1000000::HUGEINT * cc.c * tot.n_total) // (ct.c_tok::HUGEINT * cl.n_lang) AS lift_ppm
+        |  FROM cc JOIN ct USING (tok) JOIN cl USING (lang) CROSS JOIN tot),
+        |top AS (SELECT lang, tok, CAST(lift_ppm AS BIGINT) AS lift_ppm,
+        |  row_number() OVER (PARTITION BY lang ORDER BY lift_ppm DESC, tok) AS rank FROM lift)
+        |SELECT lang, tok, lift_ppm, rank FROM top WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
   )
 }

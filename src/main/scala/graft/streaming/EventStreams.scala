@@ -217,6 +217,19 @@ object EventStreams {
             (pmod(graft.functions.rolling_hash(t), lit(scores.length)) + 1).cast("int"))))
   }
 
+  /** Streaming MinHash-signature maintenance — the q88 corpus-overlap
+    * estimator kept CURRENT over an ingest firehose: per-source 32-minima
+    * signatures are a plain streaming aggregation (min is mergeable, so
+    * Spark's agg state store IS the signature store — state bounded by
+    * |sources| × 32 longs, no watermark needed), built from LITERALLY the
+    * batch plan ([[graft.queries.CorpusQ.overlapSignatures]] — shared, so
+    * batch and stream cannot diverge). Run in complete/update output
+    * mode; the tiny pair-compare step runs downstream per trigger (or
+    * periodically in batch) against the current signature table.
+    */
+  def overlapSignatureIngest(docs: DataFrame): DataFrame =
+    graft.queries.CorpusQ.overlapSignatures(docs)
+
   /** Watermarked stream-stream interval join — the streaming twin of the
     * q84 bucketed range join, on Spark's native stream-stream join with an
     * event-time range condition: every `error` arrival opens a per-user

@@ -194,6 +194,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-assigned arrivals must equal batch clusters exactly")
   }
 
+  test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "text")
+    val batch = graft.queries.CorpusQ.overlapSignatures(corpus).collect()
+      .map(r => r.getString(0) -> (1 until 33).map(r.getLong).toSeq).toMap
+
+    val rows = corpus.collect().map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val q = EventStreams.overlapSignatureIngest(input.toDF.toDF("source", "text"))
+      .writeStream.format("memory").queryName("sigmaint").outputMode("complete").start()
+    try {
+      input.addData(rows.take(12).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(12).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sigmaint").collect()
+      .map(r => r.getString(0) -> (1 until 33).map(r.getLong).toSeq).toMap
+    assert(streamed == batch, "streamed signature state must equal the batch signatures")
+  }
+
   test("stream-stream interval join == batch bucketed interval join (watermarked state)") {
     val spark0 = spark
     import spark0.implicits._
