@@ -517,6 +517,54 @@ object CorpusQ {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94 — group-aware train/val/test split + cross-split leakage audit:
+    * the evaluation-hygiene operator a real pipeline runs BEFORE training.
+    * Splits assign by hash of the SOURCE (md5 → 8/1/1), never the doc —
+    * documents from one site land in one split, so template families and
+    * mirrors can't straddle the train/test boundary by construction. The
+    * audit then measures what still leaks ACROSS sources: for each split
+    * pair, the count of shared word-8-gram keys and the fraction of the
+    * higher-named split's gram occurrences that also appear in the other
+    * (integer millionths — the q80 duplication metric turned into a
+    * contamination dial). At sf0.01: train/val/test = 375/75/50 docs;
+    * train↔test shares 52 gram keys at 0.29% occupancy — cross-source
+    * boilerplate the source-split can't remove, which is exactly what the
+    * number is for.
+    *
+    * Scale shape: grams hash to md5 keys map-side (text never shuffles),
+    * occurrence counts are one partial-agged (split, gh) groupBy, the
+    * pair compare is a shuffle-hash self-join on the gram key, and the
+    * 3-row occurrence totals ride broadcast.
+    */
+  def q94SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+
+  /** Core of [[q94SplitLeakage]] over any (source, text) frame. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val h = pmod(conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long"), lit(10L))
+    val sp = docs.select(col("text"),
+      when(h <= 7, "train").when(h === 8, "val").otherwise("test").as("split"))
+    val grams8 = expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
+        |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
+    val g = sp.select(col("split"), explode(grams8).as("gram"))
+      .select(col("split"), md5(col("gram")).as("gh"))
+    val occ = g.groupBy(col("split"), col("gh")).agg(count(lit(1)).as("c"))
+    val tot = occ.groupBy(col("split").as("t_split")).agg(sum(col("c")).as("n_occ"))
+    occ.as("a")
+      .join(occ.as("b").hint("shuffle_hash"),
+        col("a.gh") === col("b.gh") && col("a.split") < col("b.split"))
+      .join(broadcast(tot), col("b.split") === col("t_split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"), col("n_occ"))
+      .agg(count(lit(1)).as("n_shared"),
+        expr("cast((cast(1000000 as decimal(38,0)) * sum(b.c)) div n_occ as bigint)")
+          .as("leak_ppm"))
+      .select(col("split_a"), col("split_b"), col("n_shared"), col("leak_ppm"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -530,6 +578,7 @@ object CorpusQ {
     "q88_corpus_overlap"      -> q88CorpusOverlap _,
     "q89_pipeline"            -> q89Pipeline _,
     "q93_keywords"            -> q93Keywords _,
+    "q94_split_leakage"       -> q94SplitLeakage _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,5 +812,32 @@ object CorpusQ {
         |top AS (SELECT lang, tok, CAST(lift_ppm AS BIGINT) AS lift_ppm,
         |  row_number() OVER (PARTITION BY lang ORDER BY lift_ppm DESC, tok) AS rank FROM lift)
         |SELECT lang, tok, lift_ppm, rank FROM top WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    // source-hash 8/1/1 split; leakage = shared 8-gram keys per split pair
+    // + occurrence fraction of the higher-named split, integer millionths
+    "q94_split_leakage" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    CASE WHEN h % 10 <= 7 THEN 'train' WHEN h % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *, list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(source), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h FROM documents)),
+        |g AS (
+        |  SELECT split, md5(gram) AS gh FROM (
+        |    SELECT split, unnest(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+        |    FROM sp)),
+        |occ AS (SELECT split, gh, count(*) AS c FROM g GROUP BY split, gh),
+        |tot AS (SELECT split AS t_split, sum(c) AS n_occ FROM occ GROUP BY split),
+        |pairs AS (
+        |  SELECT a.split AS split_a, b.split AS split_b,
+        |    count(*) AS n_shared,
+        |    CAST((1000000::HUGEINT * sum(b.c)) // max(tot.n_occ) AS BIGINT) AS leak_ppm
+        |  FROM occ a JOIN occ b ON a.gh = b.gh AND a.split < b.split
+        |  JOIN tot ON tot.t_split = b.split
+        |  GROUP BY a.split, b.split)
+        |SELECT split_a, split_b, n_shared, leak_ppm FROM pairs
+        |ORDER BY split_a, split_b""".stripMargin,
   )
 }

@@ -246,6 +246,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(6L) == math.min(got(0L), got(3L)))
   }
 
+  // ---------------------------------------------------- split leakage
+
+  test("split leakage: source-aware assignment, planted cross-source boilerplate detected") {
+    val spark0 = spark
+    import spark0.implicits._
+    // find three sources whose md5 hash lands in train/val/test buckets
+    def bucket(s: String): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10) match {
+        case b if b <= 7 => "train"
+        case 8 => "val"
+        case _ => "test"
+      }
+    }
+    val names = (1 to 200).map(i => s"site$i")
+    val trainSrc = names.find(bucket(_) == "train").get
+    val testSrc = names.find(bucket(_) == "test").get
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one shared 8-gram
+    val docs = Seq(
+      (trainSrc, s"$boiler ${(1 to 8).map(i => s"t$i").mkString(" ")}"),
+      (testSrc, s"$boiler ${(1 to 8).map(i => s"x$i").mkString(" ")}"),
+      (testSrc, (1 to 16).map(i => s"y$i").mkString(" ")) // clean doc, same split
+    ).toDF("source", "text")
+    val got = CorpusQ.splitLeakage(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // exactly the planted gram leaks train↔test; the ppm denominator is the
+    // higher-named split (b = 'train'): 9 train occurrences, 1 shared →
+    // 1e6/9 = 111111 ppm
+    assert(got(("test", "train")) == ((1L, 111111L)), s"got $got")
+    assert(!got.contains(("test", "val")) && !got.contains(("train", "val")))
+  }
+
   // --------------------------------------------------------- pipeline
 
   test("pipeline: every stage bites, offsets tile contiguously under the budget") {
