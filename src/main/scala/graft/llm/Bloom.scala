@@ -46,6 +46,16 @@ object Bloom {
     */
   def positions(key: Column): Seq[Column] = positions(key, M_BITS)
 
+  /** Positions from an ALREADY-COMPUTED md5 hex column — callers that md5
+    * inside a higher-order transform (so only 32-hex keys explode, never
+    * gram text) skip the second hash here.
+    */
+  def positionsFromHex(hex: Column): Seq[Column] = {
+    val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
+    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(M_BITS))
+  }
+
   /** Sized variant — BloomBench scales the mask with the key count (the
     * bits/key rule); mBits must be a multiple of 8.
     */

@@ -163,11 +163,13 @@ object CorpusQ {
     * .bloomProbeIngest]] against it.
     */
   def bloomDecontaminate(docs: DataFrame): DataFrame = {
-    val grams = expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 5), ' '))""".stripMargin)
-    val g = docs.select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
-    val Seq(p0, p1, p2) = Bloom.positions(col("gram"))
+    // split once, md5 inside the transform: only 32-hex keys explode (the
+    // q80 gram shape); distinct-on-hash == distinct-on-gram (shared md5)
+    val g = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(ts) - 4, 1)),
+          |  i -> md5(concat_ws(' ', slice(ts, i, 5)))))""".stripMargin)).as("ghex"))
+    val Seq(p0, p1, p2) = Bloom.positionsFromHex(col("ghex"))
     val gp = g.select(col("doc_id"), p0.as("p0"), p1.as("p1"), p2.as("p2"))
     val buildPos = gp.filter(col("doc_id") % 50 === 0)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
@@ -385,10 +387,13 @@ object CorpusQ {
     * this is literally the shared plan.
     */
   def overlapSignatures(docs: DataFrame): DataFrame = {
+    // split ONCE into a column — the naive `slice(split(text), i, 8)` shape
+    // re-splits the text per gram position (quadratic in doc length)
     val grams8 = expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
-    val r = docs.select(col("source"), explode(grams8).as("gram"))
+      """transform(sequence(1, greatest(size(ts) - 7, 1)),
+        |  i -> array_join(slice(ts, i, 8), ' '))""".stripMargin)
+    val r = docs.select(col("source"), split(col("text"), " ").as("ts"))
+      .select(col("source"), explode(grams8).as("gram"))
       .select(col("source"), graft.functions.rolling_hash(col("gram")).as("r"))
     val minCols = (0 until 32).map(i =>
       min((lit((2 * i + 3).toLong) * col("r") + lit((11 * i + 7).toLong)) % 2147483647L)
@@ -397,7 +402,9 @@ object CorpusQ {
   }
 
   def corpusOverlap(docs: DataFrame): DataFrame = {
-    val sig = overlapSignatures(docs)
+    // both sides of the pair self-join consume the signatures — checkpoint
+    // the |sources|×33 frame so the gram pass runs ONCE, not per side
+    val sig = overlapSignatures(docs).localCheckpoint()
     val mins = sig.select(col("source"),
       posexplode(array((0 until 32).map(i => col(s"m$i")): _*)).as(Seq("i", "mh")))
     mins.as("a")
@@ -546,12 +553,16 @@ object CorpusQ {
     val h = pmod(conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long"), lit(10L))
     val sp = docs.select(col("text"),
       when(h <= 7, "train").when(h === 8, "val").otherwise("test").as("split"))
-    val grams8 = expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 8), ' '))""".stripMargin)
-    val g = sp.select(col("split"), explode(grams8).as("gram"))
-      .select(col("split"), md5(col("gram")).as("gh"))
+    // the q80 gram shape: split ONCE into a column (no per-position
+    // re-split) and hash INSIDE the transform so only 32-hex keys explode
+    val g = sp.select(col("split"), split(col("text"), " ").as("ts"))
+      .select(col("split"), explode(expr(
+        """transform(sequence(1, greatest(size(ts) - 7, 1)),
+          |  i -> md5(concat_ws(' ', slice(ts, i, 8))))""".stripMargin)).as("gh"))
+    // three consumers (both self-join sides + totals) — checkpoint the
+    // aggregated counts so the gram pass runs ONCE, not three times
     val occ = g.groupBy(col("split"), col("gh")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = occ.groupBy(col("split").as("t_split")).agg(sum(col("c")).as("n_occ"))
     occ.as("a")
       .join(occ.as("b").hint("shuffle_hash"),
