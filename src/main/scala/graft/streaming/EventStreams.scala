@@ -282,19 +282,21 @@ object EventStreams {
     * MemoryStream.
     */
   def bloomProbeIngest(docs: DataFrame, mask: Array[Byte]): DataFrame = {
-    val grams = expr(
-      """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)
+    // the q80/q83 gram shape: split once, md5 inside the transform — the
+    // per-arrival array holds 32-hex keys, not gram text
     docs
-      .withColumn("gs", grams)
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("gs", expr(
+        """array_distinct(transform(sequence(1, greatest(size(ts) - 4, 1)),
+          |  i -> md5(concat_ws(' ', slice(ts, i, 5)))))""".stripMargin))
       .withColumn("n_grams", size(col("gs")).cast("long"))
       .withColumn("n_hits",
-        aggregate(col("gs"), lit(0L), (acc, g) => {
-          val Seq(p0, p1, p2) = graft.llm.Bloom.positions(g)
+        aggregate(col("gs"), lit(0L), (acc, ghex) => {
+          val Seq(p0, p1, p2) = graft.llm.Bloom.positionsFromHex(ghex)
           acc + when(graft.llm.Bloom.mightContain(mask)(p0, p1, p2), 1L).otherwise(0L)
         }))
       .withColumn("flagged", col("n_hits") > 0)
-      .drop("gs")
+      .drop("ts", "gs")
   }
 
   /** Streaming semantic-cluster assignment — the SemDeDup ingest surface
