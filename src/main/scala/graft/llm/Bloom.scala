@@ -50,10 +50,17 @@ object Bloom {
     * inside a higher-order transform (so only 32-hex keys explode, never
     * gram text) skip the second hash here.
     */
-  def positionsFromHex(hex: Column): Seq[Column] = {
+  def positionsFromHex(hex: Column): Seq[Column] = positionsFromHex(hex, M_BITS)
+
+  /** Sized [[positionsFromHex]] — probes of a mask built with the sized
+    * [[build]] MUST pass the same mBits (callers holding only the mask
+    * derive it as `8L * mask.length`); a mismatched modulus probes wrong
+    * bit positions.
+    */
+  def positionsFromHex(hex: Column, mBits: Long): Seq[Column] = {
     val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
     val h2 = conv(substring(hex, 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
-    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(M_BITS))
+    (0 until 3).map(i => (h1 + lit(i.toLong) * h2) % lit(mBits))
   }
 
   /** Sized variant — BloomBench scales the mask with the key count (the

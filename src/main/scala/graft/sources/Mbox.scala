@@ -11,8 +11,12 @@ import java.io.InputStream
   * holds many messages, each introduced by a postmark line starting
   * `From ` (sender + date); body lines that themselves start with
   * optional `>`s followed by `From ` are quoted with one more `>` by
-  * writers and unquoted symmetrically by readers, so round-trips are
-  * byte-lossless even for adversarial bodies.
+  * writers and unquoted symmetrically by readers — the postmark escape
+  * itself loses nothing, even for adversarial bodies. Round-trips are
+  * LINE-lossless modulo text normalization, not byte-lossless: [[write]]
+  * strips a trailing `\r` per line (CRLF→LF) and pins the final-newline
+  * boundary, matching [[graft.doc.EmlNode]]'s own CRLF normalization —
+  * don't rely on byte-exact payload recovery through mbox.
   *
   * Scale shape (the WARC doctrine verbatim): `binaryFile` is the
   * non-splitting FILE LISTING only — selecting just `path` prunes the

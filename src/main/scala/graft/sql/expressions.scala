@@ -337,8 +337,11 @@ object ZOrder2 {
   * class, NOT per-row state), so the probe side of
   * [[graft.llm.Bloom]] stays inside whole-stage codegen end-to-end: md5
   * position columns feed straight into three array reads per row with no
-  * ScalaUDF boxing boundary. Null mask/array/element → null; positions
-  * are trusted in-range (the callers compute them `mod 8·mask_len`).
+  * ScalaUDF boxing boundary. Null mask/array/element → null; a position
+  * outside [0, 8·mask_len) yields FALSE (a bit that was never set cannot
+  * be a member) — the in-repo callers compute positions `mod 8·mask_len`
+  * so they never hit the guard, but `bloom_contains` is SQL-registered
+  * and ad-hoc positions must not be able to crash generated code.
   */
 final case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -364,9 +367,11 @@ final case class BloomContains(left: Expression, right: Expression)
     val arr = ps.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
+    val bits = 8L * mask.length
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val p = arr.getLong(i)
+      if (p < 0L || p >= bits) return false
       if ((mask((p >>> 3).toInt) & (1 << (p & 7).toInt)) == 0) return false
       i += 1
     }
@@ -384,6 +389,7 @@ final case class BloomContains(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($ps.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $p = $ps.getLong($i);
+         |  if ($p < 0L || $p >= 8L * $m.length) { $hit = false; break; }
          |  if (($m[(int)($p >>> 3)] & (1 << (int)($p & 7))) == 0) { $hit = false; break; }
          |}
          |${ev.value} = $hit;""".stripMargin

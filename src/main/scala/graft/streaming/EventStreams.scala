@@ -282,6 +282,11 @@ object EventStreams {
     * MemoryStream.
     */
   def bloomProbeIngest(docs: DataFrame, mask: Array[Byte]): DataFrame = {
+    // the probe modulus comes from the mask ITSELF, so masks built with
+    // the sized Bloom.build(df, col, mBits) variant probe the same bit
+    // positions their build wrote — a fixed M_BITS here would silently
+    // mis-probe (or crash on) any non-default-sized mask
+    val mBits = 8L * mask.length
     // the q80/q83 gram shape: split once, md5 inside the transform — the
     // per-arrival array holds 32-hex keys, not gram text
     docs
@@ -292,7 +297,7 @@ object EventStreams {
       .withColumn("n_grams", size(col("gs")).cast("long"))
       .withColumn("n_hits",
         aggregate(col("gs"), lit(0L), (acc, ghex) => {
-          val Seq(p0, p1, p2) = graft.llm.Bloom.positionsFromHex(ghex)
+          val Seq(p0, p1, p2) = graft.llm.Bloom.positionsFromHex(ghex, mBits)
           acc + when(graft.llm.Bloom.mightContain(mask)(p0, p1, p2), 1L).otherwise(0L)
         }))
       .withColumn("flagged", col("n_hits") > 0)

@@ -139,6 +139,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
   }
 
+  test("bloom: out-of-range positions return false (never crash) in eval AND codegen") {
+    val spark0 = spark
+    import spark0.implicits._
+    val mask = new Array[Byte](16) // 128 bits
+    java.util.Arrays.fill(mask, 0xFF.toByte) // every in-range bit set
+    // ad-hoc SQL positions: negative, past-the-end, and > 2^34 (the old
+    // (int) cast truncation zone) must all yield false, not AIOOBE
+    val bad = Seq(-1L, 128L, 1L << 35, Long.MaxValue)
+    // foldable path (interpreted eval via constant folding)
+    val folded = Seq(1).toDF("x")
+      .select(Bloom.mightContain(mask)(lit(-1L), lit(3L), lit(5L)).as("hit"))
+      .collect().head.getBoolean(0)
+    assert(!folded)
+    // exec-time codegen path: non-foldable position source
+    val got = spark.range(bad.length.toLong)
+      .select(col("id"),
+        graft.functions.bloom_contains(lit(mask),
+          array(element_at(typedLit(bad), col("id").cast("int") + 1),
+            lit(0L), lit(1L))).as("hit"))
+      .collect().map(_.getBoolean(1))
+    assert(got.forall(!_), "every out-of-range probe must be false")
+    // and in-range positions on the all-ones mask still probe true
+    val ok = Seq(1).toDF("x")
+      .select(Bloom.mightContain(mask)(lit(0L), lit(64L), lit(127L)).as("hit"))
+      .collect().head.getBoolean(0)
+    assert(ok)
+  }
+
+  test("bloom: sized mask (non-default mBits) probes its own modulus end-to-end") {
+    val spark0 = spark
+    import spark0.implicits._
+    val mBits = 1L << 13 // 8 KiB of bits — deliberately NOT M_BITS
+    val build = (1 to 200).map(i => s"member gram number $i")
+    val Seq(b0, b1, b2) = Bloom.positions(col("gram"), mBits)
+    val mask = Bloom.build(
+      build.toDF("gram").select(explode(array(b0, b1, b2)).as("p")), "p", mBits)
+    assert(mask.length * 8L == mBits)
+    // positionsFromHex with the mask-derived modulus: members all hit
+    val Seq(p0, p1, p2) = Bloom.positionsFromHex(md5(col("gram")), 8L * mask.length)
+    val hits = build.toDF("gram")
+      .select(Bloom.mightContain(mask)(p0, p1, p2).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "sized probe must see every member")
+  }
+
   // ---------------------------------------------------- z-order layout
 
   test("zorder write layout: range-partitioning by zkey bounds BOTH dims per partition") {
