@@ -48,12 +48,13 @@ object SemDedupBench {
     // uniform[-0.7, 0.7] from the vector id — E[cos] between same-group
     // members ≈ 0.34 with d = 64 concentration, so τ = 0.98 is a >7σ event; exact twins (every 100th id
     // copies its predecessor) are the only cos = 1 pairs.
-    def vectors(count: Long, k: Long): DataFrame =
+    def vectorsD(count: Long, k: Long, d: Int): DataFrame =
       spark.range(count).select(col("id").as("vec_id"), expr(
-        s"""transform(sequence(0, ${D - 1}), j ->
+        s"""transform(sequence(0, ${d - 1}), j ->
            |  (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END % $k) * 131 + j), 1000) / 1000.0 - 0.5)
            |  + (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END) * 31 + j), 1000) / 1000.0 - 0.5) * 1.4)"""
           .stripMargin).as("embedding"))
+    def vectors(count: Long, k: Long): DataFrame = vectorsD(count, k, D)
 
     def run(count: Long, k: Int): (Double, Long, Long) = {
       val t0 = System.nanoTime()
@@ -85,6 +86,48 @@ object SemDedupBench {
     val pairsSmall = pairCount(8000, 64)
     val pairsDouble = pairCount(16000, 64)
 
+    // ---- big-k leg: k·d PAST the packed-regime pin, so semDedup
+    // auto-selects the distributed-centroid regime; the packed regime is
+    // then FORCED on the same input for a same-answer contrast datapoint.
+    // d = 512 crosses PACKED_MAX_KD at k > 1024 without needing a corpus
+    // too big to double-run.
+    val (bigD, bigK, bigN) = (512, 1536, 6000L)
+    require(bigK.toLong * bigD > SemDedup.PACKED_MAX_KD, "leg must cross the pin")
+    def runBig(pin: Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val dups = SemDedup.semDedup(vectorsD(bigN, bigK, bigD), "vec_id", "embedding",
+          k = bigK, iters = 1, tauNum = 49, tauDen = 50, packedMaxKd = pin)
+        .filter(col("is_dup")).count()
+      ((System.nanoTime() - t0) / 1e9, dups)
+    }
+    val (tDist, dupsDist) = runBig(SemDedup.PACKED_MAX_KD) // auto → distributed
+    val (tPacked, dupsPacked) = runBig(Long.MaxValue)      // forced packed
+
+    // ---- hot-cluster guard leg: HALF the corpus is one exact blob. The
+    // unguarded pairwise stage is quadratic (measured analytically off
+    // cluster sizes — the refusal, like SubstringBench's full-size mode);
+    // guarded at cap = 500 the blob splits and the operator RUNS.
+    val gN = 20000L
+    val blobVecs = spark.range(gN).select(col("id").as("vec_id"), expr(
+      s"""CASE WHEN id < ${gN / 2}
+         |  THEN transform(sequence(0, ${D - 1}), j -> CASE WHEN j = 0 THEN 1.0D ELSE 0.0D END)
+         |  ELSE transform(sequence(0, ${D - 1}), j ->
+         |    (pmod(xxhash64((id % 20) * 131 + j), 1000) / 1000.0 - 0.5)
+         |    + (pmod(xxhash64(id * 31 + j), 1000) / 1000.0 - 0.5) * 1.4)
+         |END""".stripMargin).as("embedding"))
+    val gQ = SemDedup.quantize(blobVecs, "embedding").select(col("vec_id"), col("qv"))
+    val gM = SemDedup.assign(gQ, SemDedup.fit(gQ, "vec_id", 8, 1)).localCheckpoint()
+    val unguardedPairs = gM.groupBy(col("cluster")).count()
+      .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    val guardedPairs = SemDedup.hotSplit(gM, "vec_id", 500L)
+      .groupBy(col("cluster"), col("sub")).count()
+      .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    val tG0 = System.nanoTime()
+    val gOut = SemDedup.semDedup(blobVecs, "vec_id", "embedding",
+      k = 8, iters = 1, tauNum = 49, tauDen = 50, maxClusterSize = 500L)
+    val blobSurvivors = gOut.filter(col("vec_id") < gN / 2 && !col("is_dup")).count()
+    val tGuarded = (System.nanoTime() - tG0) / 1e9
+
     val ratio = tFull / tHalf
     val pairRatio = pairsDouble.toDouble / pairsSmall
     println(
@@ -92,7 +135,11 @@ object SemDedupBench {
         f""""ratio":$ratio%.2f,"dups_half":$dupsHalf,"dups_full":$dupsFull,""" +
         f""""max_cell_half":$cellHalf,"max_cell_full":$cellFull,""" +
         f""""fixedk_pairs_8k":$pairsSmall,"fixedk_pairs_16k":$pairsDouble,""" +
-        f""""fixedk_pair_ratio":$pairRatio%.2f}""")
+        f""""fixedk_pair_ratio":$pairRatio%.2f,""" +
+        f""""bigk_kd":${bigK.toLong * bigD},"bigk_dist_sec":$tDist%.2f,""" +
+        f""""bigk_packed_sec":$tPacked%.2f,"bigk_dups":$dupsDist,""" +
+        f""""guard_unguarded_pairs":$unguardedPairs,"guard_guarded_pairs":$guardedPairs,""" +
+        f""""guard_sec":$tGuarded%.2f,"guard_blob_survivors":$blobSurvivors}""")
     // noise-free assertions: planted twins found (and only ~them); scaled-k
     // cells stay bounded as n doubles; fixed-k pair volume goes quadratic.
     // Wall-clock ratios are reported, not asserted.
@@ -102,6 +149,14 @@ object SemDedupBench {
       s"scaled-k cells must stay bounded: $cellHalf -> $cellFull")
     assert(pairRatio > 3.0 && pairRatio < 5.0,
       s"fixed-k pair volume must ~quadruple: $pairRatio")
+    assert(dupsDist == dupsPacked,
+      s"regimes disagree past the pin: $dupsDist vs $dupsPacked")
+    assert(unguardedPairs >= (gN / 2) * (gN / 2 - 1),
+      s"blob must be quadratic unguarded: $unguardedPairs")
+    assert(guardedPairs * 10 < unguardedPairs,
+      s"guard must bound pair volume: $guardedPairs vs $unguardedPairs")
+    assert(blobSurvivors == 1L,
+      s"guarded blob must keep exactly one member: $blobSurvivors")
     spark.stop()
   }
 }

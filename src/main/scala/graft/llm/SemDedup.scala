@@ -26,18 +26,42 @@ import org.apache.spark.sql.functions._
   * — dot ≤ d·(maxComp·SCALE)² stays far below the 38-digit cap for
   * unit-scale embeddings.
   *
-  * Shape at 100 TB: Lloyd iterations are map-side — the k×d centroid table
-  * rides one broadcast row and assignment is a single `aggregate` fold per
-  * vector (the [[Ann.assignCells]] plan); the update is ONE shuffle of
-  * (cluster, pos) partial sums (map-side combine collapses each task to
-  * ≤ k·d rows) and a k·d-long driver collect per iteration — bounded,
-  * documented driver state, same class as Ann's centroid tables. The
-  * pairwise stage joins only WITHIN clusters (shuffle-hash on cluster id);
-  * cluster population is corpus/k, so k scales with the corpus (SemDeDup
-  * runs ~100k clusters at web scale) to keep cells bounded — the same
-  * sizing rule as IVF cells ([[Ann.autoCellCount]]), and [[Ann
-  * .capCellSizes]] composes for hot cells. Vectors are the only payload
-  * shuffled; documents/text never move.
+  * Shape at 100 TB — TWO regimes, selected on k·d (the q72/q73 dual-regime
+  * doctrine: a table that is bounded by construction may ride the driver /
+  * a broadcast; one that grows with the corpus must not — and SemDeDup's
+  * own sizing rule says k GROWS with the corpus, ~100k clusters at web
+  * scale, the [[Ann.autoCellCount]] IVF rule):
+  *
+  *   - **Packed regime** (k·d ≤ [[PACKED_MAX_KD]]): Lloyd iterations are
+  *     map-side — the k×d centroid table rides one broadcast row,
+  *     assignment is a single `aggregate` fold per vector (the
+  *     [[Ann.assignCells]] plan), and the update is ONE shuffle of
+  *     (cluster, pos) partial sums + a k·d-long driver collect per
+  *     iteration — bounded, documented driver state. Zero corpus shuffles.
+  *   - **Distributed regime** (k·d above the pin): centroids stay a
+  *     DataFrame end-to-end — no per-iteration driver collect, no single
+  *     packed row. The corpus hash-partitions on the id ONCE up front;
+  *     each iteration's assignment cross-joins the corpus against the
+  *     centroid table bucketed into [[ASSIGN_BUCKET]]-centroid broadcast
+  *     rows (bounded row size — no 2 GB single-object ceiling) and folds
+  *     per bucket, and the per-id argmin aggregate REUSES the corpus
+  *     partitioning (no exchange — vectors never re-shuffle, iteration
+  *     after iteration). The Lloyd update is the same (cluster, pos)
+  *     partial-sum aggregate JOINED back to the previous centroids
+  *     (k-row frames on both sides; `coalesce` keeps emptied clusters) —
+  *     the driver never materializes centroids. The irreducible cost of
+  *     EXACT assignment is k·d bytes visible to every task (every vector
+  *     needs its distance to every centroid); when even that exceeds
+  *     executor broadcast budgets, exactness itself is the thing to drop —
+  *     [[Ann.buildIndex]]'s IVF route is the approximate path.
+  *
+  * The pairwise stage joins only WITHIN clusters (shuffle-hash on cluster
+  * id); cluster population is corpus/k. Against a degenerate mega-cluster
+  * (near-duplicate-saturated corpora are exactly where SemDeDup gets
+  * deployed) `maxClusterSize` arms the hot-cluster guard — the
+  * [[Ann.capCellSizes]] sub-bucket split plus a champion seam pass; see
+  * [[semDedup]]. Vectors are the only payload shuffled; documents/text
+  * never move.
   *
   * [[Ann.trainCentroids]] remains the MLlib path for production index
   * builds; this one exists so the CLUSTERING ITSELF can be oracle-gated
@@ -50,6 +74,20 @@ object SemDedup {
 
   /** Extra centroid precision carried through floor-division updates. */
   val CENTROID_SCALE = 1000L
+
+  /** Regime pin: above this many k·d centroid longs (4 MiB packed — well
+    * inside a single broadcast row / driver collect; d = 64 → k ≤ 8192)
+    * the packed regime's per-iteration driver materialization stops being
+    * "bounded by construction" and [[semDedup]] switches to the
+    * distributed-centroid regime. The spec pins both plans.
+    */
+  val PACKED_MAX_KD: Long = 1L << 19
+
+  /** Centroids per packed broadcast row in the distributed regime's
+    * assignment — bounds single-row size (256·d longs ≈ 128 KiB at d = 64)
+    * while keeping the per-bucket fold long enough to amortize row setup.
+    */
+  val ASSIGN_BUCKET: Int = 256
 
   /** Centroid id + components in COMPONENT_SCALE·CENTROID_SCALE units. */
   type Centroids = Seq[(Long, Array[Long])]
@@ -170,35 +208,131 @@ object SemDedup {
     cen
   }
 
+  // ------------------------------------------------- distributed regime
+
+  /** [[initCentroids]] with the centroids left DISTRIBUTED: (cid, cv, n2),
+    * cid = rank of the k lowest-id vectors. The rank window runs over the
+    * already-limited k rows — bounded by construction, never corpus-sized.
+    */
+  def initCentroidsDF(q: DataFrame, idCol: String, k: Int): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(q.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    q.orderBy(col(idCol)).limit(k)
+      .withColumn("cid", row_number().over(w).cast("long") - 1)
+      .select(col("cid"),
+        expr(s"transform(qv, x -> x * CAST($CENTROID_SCALE AS BIGINT))").as("cv"))
+      .withColumn("n2", graft.functions.vec_dot_long(col("cv"), col("cv")))
+  }
+
+  /** [[assign]] against a DISTRIBUTED (cid, cv, n2) centroid frame: the
+    * centroids bucket into [[ASSIGN_BUCKET]]-centroid packed rows (sorted
+    * within each bucket — the fold's strict `<` keeps the lowest cid on
+    * ties, and the cross-bucket struct-min below breaks ties the same
+    * way, so the result is bit-identical to the packed regime), broadcast,
+    * and every vector folds [[bestCellFold]] per bucket; the per-id argmin
+    * is `min(struct(d, cid))`. When `q` is hash-partitioned on `idCol`
+    * (see [[fitDF]]) the argmin aggregate reuses that partitioning — the
+    * corpus crosses the network ZERO times per iteration.
+    *
+    * Output: (idCol, qv, cluster, cdist) — the [[assign]] columns.
+    */
+  def assignDF(q: DataFrame, idCol: String, cen: DataFrame,
+               bucketSize: Int = ASSIGN_BUCKET): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(q.sparkSession)
+    val buckets = cen
+      .groupBy(expr(s"cid div $bucketSize").as("bk"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("n2"))))
+        .as("cells"))
+      .select(col("cells"))
+    q.withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
+      .crossJoin(broadcast(buckets))
+      .withColumn("best", expr(bestCellFold))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("best.d").as("d"), col("best.id").as("id"))).as("bst"),
+        first(col("qv")).as("qv")) // every bucket copy carries the same qv
+      .select(col(idCol), col("qv"),
+        col("bst.id").as("cluster"), col("bst.d").as("cdist"))
+  }
+
+  /** [[lloydUpdate]] with the centroid sums left DISTRIBUTED: the same
+    * (cluster, pos) partial-sum aggregate, floor-divided as a column
+    * (exact `Math.floorDiv` semantics: truncated `div` stepped down when
+    * the remainder is negative — counts are always positive), re-assembled
+    * into cv arrays by a d-bounded collect_list, and LEFT-joined back to
+    * the previous centroids so emptied clusters keep theirs. k-row frames
+    * on both join sides; the driver never sees a centroid.
+    */
+  def lloydUpdateDF(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(assigned.sparkSession)
+    val upd = assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr(
+        s"""(s * $CENTROID_SCALE) div n -
+           | (CASE WHEN (s * $CENTROID_SCALE) % n != 0 AND s < 0
+           |       THEN 1 ELSE 0 END)""".stripMargin))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
+        .as("cv2"))
+    prev.select(col("cid"), col("cv"))
+      .join(upd.hint("shuffle_hash"), col("cid") === col("cluster"), "left")
+      .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
+      .withColumn("n2", graft.functions.vec_dot_long(col("cv"), col("cv")))
+  }
+
+  /** [[fit]] in the distributed regime: centroids are a (cid, cv, n2)
+    * frame throughout, localCheckpointed per iteration (k rows — truncates
+    * the nested-broadcast lineage the way [[graft.scale.PageRank]] cadences
+    * its ranks). Callers pass a corpus ALREADY hash-partitioned on `idCol`
+    * (and persisted) so every iteration is exchange-free for the vectors.
+    */
+  def fitDF(q: DataFrame, idCol: String, k: Int, iters: Int,
+            bucketSize: Int = ASSIGN_BUCKET): DataFrame = {
+    var cen = initCentroidsDF(q, idCol, k).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      cen = lloydUpdateDF(assignDF(q, idCol, cen, bucketSize), cen).localCheckpoint()
+      i += 1
+    }
+    cen
+  }
+
   /** Exact integer dot product of two quantized vectors (native codegen —
     * the pairwise stage's O(within-cluster pairs) loop).
     */
   private def qdot(a: String, b: String): Column =
     graft.functions.vec_dot_long(col(a), col(b))
 
-  /** The full operator: quantize → k-means (`iters` Lloyd iterations) →
-    * within-cluster domination dedup. A vector is a duplicate iff some
-    * OTHER member of its cluster (a) has cosine similarity strictly above
-    * `tauNum/tauDen` with it and (b) is closer to the centroid (ties to the
-    * lower id) — so every dup group keeps exactly its most central member,
-    * the decision is order-independent, and survivors = `NOT is_dup`.
-    *
-    * Output: (idCol, cluster, is_dup) — one row per vector.
+  /** The hot-cluster guard's split: tag every member with a deterministic
+    * `sub` cell (`pmod(xxhash64(id), ceil(size/cap))` — [[Ann.capCellSizes]]'s
+    * formula), the split factor coming off the k-row cluster-size aggregate
+    * (the [[Ann]] `subBucket` shape: a join, never a driver collect).
+    * Clusters at-or-under the cap get n_sub = 1 / sub = 0. Package-visible
+    * so the bench can measure guarded pair volume without re-deriving the
+    * split.
     */
-  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int, tauNum: Long, tauDen: Long): DataFrame = {
-    val q = quantize(vectors, vecCol).select(col(idCol), col("qv"))
-    val cen = fit(q, idCol, k, iters)
-    val m = assign(q, cen)
-      .withColumn("n2", qdot("qv", "qv"))
-      .select(col(idCol), col("qv"), col("cluster"), col("cdist"), col("n2"))
-      .persist()
-    val a = m.select(col(idCol).as("id_a"), col("qv").as("qa"),
-      col("cluster"), col("cdist").as("da"), col("n2").as("n2a"))
-    val b = m.select(col(idCol).as("id_b"), col("qv").as("qb"),
-      col("cluster"), col("cdist").as("db"), col("n2").as("n2b"))
+  private[graft] def hotSplit(m: DataFrame, idCol: String,
+                              maxClusterSize: Long): DataFrame = {
+    val nsub = m.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+      .select(col("cluster"), greatest(lit(1L),
+        ceil(col("cn") / lit(maxClusterSize.toDouble)).cast("long")).as("n_sub"))
+    m.join(nsub.hint("shuffle_hash"), Seq("cluster"))
+      .withColumn("sub", pmod(xxhash64(col(idCol)), col("n_sub")))
+      .drop("n_sub")
+  }
+
+  /** Domination + cosine verdict over candidate pairs carrying
+    * (id_a, qa, da, n2a) × (id_b, qb, db, n2b): keeps `id_a` rows dominated
+    * by a strictly-more-central (ties to the lower id) near-twin above
+    * `tauNum/tauDen` cosine — exact cross-multiplied integer arithmetic,
+    * shared by the full within-cluster join and the guard's two passes so
+    * the verdict rule can never fork.
+    */
+  private def dominated(pairs: DataFrame, idCol: String,
+                        tauNum: Long, tauDen: Long): DataFrame = {
     val dec = "decimal(19,0)"
-    val dups = a.hint("shuffle_hash").join(b, Seq("cluster"))
+    pairs
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("db") < col("da") ||
         (col("db") === col("da") && col("id_b") < col("id_a")))
@@ -207,7 +341,92 @@ object SemDedup {
       .filter(
         lit(tauDen * tauDen).cast(dec) * col("dotv").cast(dec) * col("dotv").cast(dec) >
           lit(tauNum * tauNum).cast(dec) * col("n2a").cast(dec) * col("n2b").cast(dec))
-      .select(col("id_a").as(idCol)).distinct()
+      .select(col("id_a").as(idCol))
+  }
+
+  /** The full operator: quantize → k-means (`iters` Lloyd iterations) →
+    * within-cluster domination dedup. A vector is a duplicate iff some
+    * OTHER member of its cluster (a) has cosine similarity strictly above
+    * `tauNum/tauDen` with it and (b) is closer to the centroid (ties to the
+    * lower id) — so every dup group keeps exactly its most central member,
+    * the decision is order-independent, and survivors = `NOT is_dup`.
+    *
+    * `packedMaxKd` picks the k-means regime (packed-broadcast vs
+    * distributed centroids — see the object doc); the two are bit-identical
+    * (spec-pinned), so the pin is purely a memory-shape decision.
+    *
+    * `maxClusterSize > 0` arms the HOT-CLUSTER GUARD on the pairwise
+    * stage, whose unguarded join is O(Σ cluster²) — one degenerate
+    * mega-cluster (near-duplicate-saturated corpora are SemDeDup's target
+    * deployment) turns it quadratic. Guarded, clusters above the cap split
+    * into `ceil(size/cap)` deterministic sub-cells ([[Ann.capCellSizes]]'s
+    * split) and domination runs (a) within sub-cell — pair volume bounded
+    * by ~size·cap per cluster — plus (b) a CHAMPION SEAM PASS: every
+    * member is also judged against its cluster's single most-central
+    * member (a partial-aggregable struct-min, one row per cluster), which
+    * recovers the dominant mega-cluster failure mode (one near-identical
+    * blob whose champion dominates everyone) without quadratic work.
+    * Missed, documented: a dominator that is neither in the member's
+    * sub-cell nor the cluster champion — the [[Ann.capCellSizes]] recall
+    * trade-off verbatim. Clusters at-or-under the cap get n_sub = 1, where
+    * the guarded result is BIT-IDENTICAL to unguarded (sub-cell pass = the
+    * full join; the seam pass adds only already-generated pairs before the
+    * distinct) — spec-pinned, so arming the guard with an honest cap never
+    * changes verdicts on healthy clusterings.
+    *
+    * Output: (idCol, cluster, is_dup) — one row per vector.
+    */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, tauNum: Long, tauDen: Long,
+               packedMaxKd: Long = PACKED_MAX_KD,
+               maxClusterSize: Long = 0L): DataFrame = {
+    val q0 = quantize(vectors, vecCol).select(col(idCol), col("qv"))
+    // d probe for the k·d regime pin: a one-row bounded collect
+    val d = q0.select(size(col("qv")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val (assigned, qPinned) =
+      if (k.toLong * d <= packedMaxKd) {
+        (assign(q0, fit(q0, idCol, k, iters)), None)
+      } else {
+        // the corpus' ONLY shuffle of the whole fit: hash-partition on id
+        // once, reused exchange-free by every iteration's argmin aggregate
+        val qP = q0.repartition(col(idCol)).persist()
+        (assignDF(qP, idCol, fitDF(qP, idCol, k, iters)), Some(qP))
+      }
+    val m = assigned
+      .withColumn("n2", qdot("qv", "qv"))
+      .select(col(idCol), col("qv"), col("cluster"), col("cdist"), col("n2"))
+      .persist()
+    qPinned.foreach { qP => m.count(); qP.unpersist(false) }
+    val dups =
+      if (maxClusterSize <= 0L) {
+        val a = m.select(col(idCol).as("id_a"), col("qv").as("qa"),
+          col("cluster"), col("cdist").as("da"), col("n2").as("n2a"))
+        val b = m.select(col(idCol).as("id_b"), col("qv").as("qb"),
+          col("cluster"), col("cdist").as("db"), col("n2").as("n2b"))
+        dominated(a.hint("shuffle_hash").join(b, Seq("cluster")),
+          idCol, tauNum, tauDen).distinct()
+      } else {
+        val g = hotSplit(m, idCol, maxClusterSize)
+        val a = g.select(col(idCol).as("id_a"), col("qv").as("qa"),
+          col("cluster"), col("sub"), col("cdist").as("da"), col("n2").as("n2a"))
+        val b = g.select(col(idCol).as("id_b"), col("qv").as("qb"),
+          col("cluster"), col("sub"), col("cdist").as("db"), col("n2").as("n2b"))
+        val within = a.hint("shuffle_hash").join(b, Seq("cluster", "sub"))
+        // (cdist, id) is unique per member, so the struct-min never
+        // compares the trailing payload fields — deterministic champion
+        val champ = m.groupBy(col("cluster"))
+          .agg(min(struct(col("cdist").as("db"), col(idCol).as("id_b"),
+            col("qv").as("qb"), col("n2").as("n2b"))).as("ch"))
+          .select(col("cluster"), col("ch.id_b").as("id_b"), col("ch.qb").as("qb"),
+            col("ch.db").as("db"), col("ch.n2b").as("n2b"))
+        val seam = m.select(col(idCol).as("id_a"), col("qv").as("qa"),
+            col("cluster"), col("cdist").as("da"), col("n2").as("n2a"))
+          .hint("shuffle_hash").join(champ, Seq("cluster"))
+        dominated(within, idCol, tauNum, tauDen)
+          .union(dominated(seam, idCol, tauNum, tauDen))
+          .distinct()
+      }
     m.select(col(idCol), col("cluster"))
       .join(dups.withColumn("is_dup", lit(true)).hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))

@@ -634,6 +634,92 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("semdedup: distributed-centroid regime is bit-identical to the packed regime") {
+    val S = graft.llm.SemDedup
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = S.quantize(raw, "embedding").select(col("vec_id"), col("qv"))
+
+    // fit parity: the DataFrame-resident centroids equal the driver ones,
+    // component for component, across TWO Lloyd iterations (so the
+    // update-join path feeds the next assign at least once)
+    val driverCen = S.fit(q, "vec_id", k = 8, iters = 2)
+    val qP = q.repartition(col("vec_id"))
+    val dfCen = S.fitDF(qP, "vec_id", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    assert(dfCen.map(_._1) == driverCen.map(_._1))
+    dfCen.zip(driverCen).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+
+    // full-operator parity: force each regime explicitly on the same input
+    def runWith(pin: Long) = S
+      .semDedup(raw, "vec_id", "embedding", k = 8, iters = 2,
+        tauNum = 2, tauDen = 5, packedMaxKd = pin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(runWith(0L) == runWith(Long.MaxValue),
+      "distributed and packed regimes must agree bit-for-bit")
+  }
+
+  test("semdedup: distributed assign reuses the corpus partitioning (no per-iteration exchange)") {
+    val S = graft.llm.SemDedup
+    val q0 = S.quantize(spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
+      .select(col("vec_id"), col("qv"))
+    // centroids off the UN-partitioned frame so the exchange count below
+    // isolates the corpus path (the broadcast side is k-row work anyway)
+    val cen = S.initCentroidsDF(q0, "vec_id", 8)
+    val plan = S.assignDF(q0.repartition(col("vec_id")), "vec_id", cen)
+      .queryExecution.executedPlan.toString
+    // exactly ONE corpus shuffle — the up-front repartition; the per-id
+    // argmin aggregate must ride it, not add a second hashpartitioning
+    val exchanges = "Exchange hashpartitioning\\(vec_id".r.findAllIn(plan).length
+    assert(exchanges == 1, s"argmin aggregate re-shuffled the corpus:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed centroid broadcast missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("semdedup: hot-cluster guard — honest cap is bit-identical; mega-cluster pairs bounded") {
+    val spark0 = spark
+    import spark0.implicits._
+    val S = graft.llm.SemDedup
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    def runWith(cap: Long) = S
+      .semDedup(raw, "vec_id", "embedding", k = 4, iters = 1,
+        tauNum = 2, tauDen = 5, maxClusterSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // cap above every cluster size: n_sub = 1 everywhere → identical output
+    assert(runWith(1L << 40) == runWith(0L),
+      "an unarmed-in-practice cap must not change verdicts")
+
+    // planted mega-cluster: 64 exact copies + 4 spread vectors, k = 2.
+    // Guarded at cap = 8 the blob still collapses to its lowest id (the
+    // champion seam pass judges every member against the most central —
+    // here lowest-id — copy) and the pair volume is bounded.
+    val blob = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f).toSeq
+    val other = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f).toSeq
+    val vecs = ((0L until 64L).map(i => (i, blob)) ++
+      (64L until 68L).map(i => (i, other))).toDF("vec_id", "embedding")
+    val out = S.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 1,
+      tauNum = 9, tauDen = 10, maxClusterSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    val blobSurvivors = out.filter(r => r._1 < 64L && !r._2).map(_._1)
+    assert(blobSurvivors.toSeq == Seq(0L),
+      s"guarded blob must keep exactly its most central member: ${blobSurvivors.toSeq}")
+
+    // pair volume: guarded sub-cells bound the quadratic term — Σ m(m−1)
+    // over (cluster, sub) must sit far below the unguarded cluster² blowup
+    val q = S.quantize(vecs, "embedding").select(col("vec_id"), col("qv"))
+    val m = S.assign(q, S.fit(q, "vec_id", 2, 1))
+    val unguarded = m.groupBy(col("cluster")).count()
+      .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    val guarded = S.hotSplit(m, "vec_id", 8L)
+      .groupBy(col("cluster"), col("sub")).count()
+      .agg(sum(col("count") * (col("count") - 1))).collect().head.getLong(0)
+    assert(unguarded >= 64L * 63L, s"blob must be quadratic unguarded: $unguarded")
+    assert(guarded * 3 < unguarded,
+      s"guarded pair volume must be bounded: $guarded vs $unguarded")
+  }
+
   test("semdedup: a Lloyd iteration never increases total within-cluster distance (exact ints)") {
     val q = graft.llm.SemDedup.quantize(
       spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
