@@ -670,26 +670,120 @@ object SimQ {
     labelPropagate(ids, edges, 3).orderBy(col("id"))
   }
 
-  /** Core of [[q90LabelProp]] over any (id) / (src, dst) frames — the spec
-    * hand-verifies rounds on planted community graphs.
+  /** One synchronous label-propagation round: relabel every node with the
+    * MODE of its in-neighbors' labels (count desc, label asc — fully
+    * deterministic; no in-edges → keep). Output carries the OLD label as
+    * `prev` so convergence loops can count changes without a second join;
+    * the declarative path prunes it. Shared by [[labelPropagate]] and
+    * [[labelPropagateConverge]] so the relabel rule can never fork.
     */
-  def labelPropagate(ids: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
-    def round(labels: DataFrame): DataFrame = {
-      val counts = edges
-        .join(labels.select(col("id").as("l_id"), col("lbl")).hint("shuffle_hash"),
-          col("src") === col("l_id"))
-        .groupBy(col("dst").as("c_id"), col("lbl").as("nl"))
-        .agg(count(lit(1)).as("c"))
-      val mode = counts
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("c_id")).orderBy(col("c").desc, col("nl"))))
-        .filter(col("rn") === 1)
-        .select(col("c_id"), col("nl"))
-      labels.join(mode.hint("shuffle_hash"), col("id") === col("c_id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-    }
+  private def lpRound(edges: DataFrame)(labels: DataFrame): DataFrame = {
+    val counts = edges
+      .join(labels.select(col("id").as("l_id"), col("lbl")).hint("shuffle_hash"),
+        col("src") === col("l_id"))
+      .groupBy(col("dst").as("c_id"), col("lbl").as("nl"))
+      .agg(count(lit(1)).as("c"))
+    val mode = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_id")).orderBy(col("c").desc, col("nl"))))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("nl"))
+    labels.join(mode.hint("shuffle_hash"), col("id") === col("c_id"), "left")
+      .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"),
+        col("lbl").as("prev"))
+  }
+
+  /** Core of [[q90LabelProp]] over any (id) / (src, dst) frames — the spec
+    * hand-verifies rounds on planted community graphs. Fixed round count,
+    * pure lineage (the q62 doctrine: Catalyst sees the whole unroll), with
+    * the [[graft.scale.PageRank]] checkpoint CADENCE for large round
+    * counts — every `checkpointEvery`-th intermediate truncates lineage so
+    * plan depth stays bounded; a short run like q90's 3 rounds never hits
+    * the cadence and stays fully declarative.
+    */
+  def labelPropagate(ids: DataFrame, edges: DataFrame, rounds: Int,
+                     checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     val l0 = ids.select(col("id"), col("id").as("lbl"))
-    (1 to rounds).foldLeft(l0)((l, _) => round(l))
+    (1 to rounds).foldLeft(l0) { (l, i) =>
+      val next = lpRound(edges)(l).drop("prev")
+      if (i % checkpointEvery == 0 && i < rounds) next.localCheckpoint() else next
+    }
+  }
+
+  /** @param labels (id, lbl) — materialized (checkpointed) final labels
+    * @param rounds rounds actually run — the first whose changed-count hit
+    *               zero, or `maxRounds`
+    * @param changedLast the final round's changed-node count (0 iff the
+    *               run converged)
+    */
+  final class LabelPropResult private[SimQ] (
+      val labels: DataFrame, val rounds: Int, val changedLast: Long,
+      handle: Option[org.apache.spark.rdd.RDD[_]]) {
+    /** Releases the final checkpoint blocks; `labels` must not be
+      * re-executed afterwards (the PageRank.Result contract). */
+    def release(): Unit = handle.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[labelPropagate]] with a CONVERGENCE STOP — run until a round changes
+    * no label (or `maxRounds`), the [[graft.scale.PageRank]] tol-path
+    * applied to community detection. Each round needs a per-round scalar
+    * (the changed count — one Long to the driver, the bounded-aggregate
+    * class), so labels materialize every round through a typed-RDD
+    * localCheckpoint and the PREVIOUS round's blocks release immediately:
+    * O(1) executor storage and flat lineage across any number of rounds,
+    * exactly PageRank's needScalars branch. Synchronous LPA can 2-cycle on
+    * bipartite-ish structures and never converge — `maxRounds` bounds that
+    * honestly (callers read `changedLast > 0` as "stopped, not settled").
+    */
+  def labelPropagateConverge(ids: DataFrame, edges: DataFrame,
+                             maxRounds: Int): LabelPropResult = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = ids.sparkSession
+    val enc3 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    var labels = ids.select(col("id"), col("id").as("lbl"))
+    var prevCp: org.apache.spark.rdd.RDD[_] = null
+    var r = 0
+    var changed = Long.MaxValue
+    while (r < maxRounds && changed != 0L) {
+      r += 1
+      val rdd = lpRound(edges)(labels).as[(Long, Long, Long)](enc3).rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      val next = spark.createDataset(rdd)(enc3).toDF("id", "lbl", "prev")
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      if (prevCp != null) prevCp.unpersist(blocking = false)
+      prevCp = rdd
+      labels = next.drop("prev")
+    }
+    new LabelPropResult(labels, r, changed, Option(prevCp))
+  }
+
+  /** q95 — label propagation with the CONVERGENCE STOP oracle-gated, the
+    * q69 pattern applied to [[labelPropagateConverge]]: groups of 8
+    * consecutive doc ids, back-edges (id−1 → id, id−2 → id) within each
+    * group — a DAG rooted at each group leader, so the leader's label
+    * sweeps forward ~2 offsets per round and the run reaches its fixed
+    * point (every member labeled by its leader) at round 4, detected at
+    * round 5 at EVERY scale factor (group structure is id-arithmetic,
+    * independent of n; the margin to maxRounds = 6 is structural). The
+    * DuckDB oracle unrolls 6 rounds with a changed-count scalar per round
+    * and selects the first fixed point — a Spark run that stops a round
+    * early or late, or mis-ties the mode, hash-mismatches every row.
+    */
+  def q95LabelPropConverge(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val edges = ids.filter(col("id") % 8 >= 1)
+      .select((col("id") - 1).as("src"), col("id").as("dst"))
+      .union(ids.filter(col("id") % 8 >= 2)
+        .select((col("id") - 2).as("src"), col("id").as("dst")))
+    val res = labelPropagateConverge(ids, edges, maxRounds = 6)
+    res.labels
+      .select(col("id").as("doc_id"), col("lbl"), lit(res.rounds.toLong).as("rounds"))
+      .orderBy(col("doc_id"))
   }
 
   /** q69 — PageRank EARLY-EXIT convergence (tol > 0), the one
@@ -806,11 +900,28 @@ object SimQ {
     "q51_pq_ann" -> q51PqAnn _,
     "q74_semdedup" -> q74SemDedup _,
     "q76_fuzzy_dedup" -> q76FuzzyDedup _,
+    "q95_labelprop_converge" -> q95LabelPropConverge _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
     s"list_min(list_transform(grams, g -> substr(md5(g), ${1 + (i - 1) * 5}, 5))) AS s$i"
   }.mkString(",\n    ")
+
+  /** q95's unrolled LP rounds: per round, the (dst, label) counts, the
+    * deterministic mode, the relabel, and the changed-count scalar — the
+    * same template as q90's hand-unrolled 3 rounds, generated for 6.
+    */
+  private val LP_ROUNDS_SQL: String = (1 to 6).map { i =>
+    val p = i - 1
+    s"""c$i AS (SELECT e.dst AS id, l$p.lbl AS nl, count(*) AS c
+       |       FROM e JOIN l$p ON l$p.id = e.src GROUP BY e.dst, l$p.lbl),
+       |m$i AS (SELECT id, nl FROM (SELECT id, nl,
+       |         row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) rn FROM c$i)
+       |       WHERE rn = 1),
+       |l$i AS (SELECT l$p.id, COALESCE(m$i.nl, l$p.lbl) AS lbl FROM l$p LEFT JOIN m$i USING (id)),
+       |ch$i AS (SELECT count(*) AS ch FROM l$i JOIN l$p ON l$p.id = l$i.id AND l$p.lbl != l$i.lbl)"""
+      .stripMargin
+  }.mkString(",\n")
 
   private val SIMHASH_BITSUM_SQL = (1 to SIM_BITS).map { b =>
     s"sum(CASE WHEN substr(h, $b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b"
@@ -1064,6 +1175,23 @@ object SimQ {
         |       WHERE rn = 1),
         |l3 AS (SELECT l2.id, COALESCE(m3.nl, l2.lbl) AS lbl FROM l2 LEFT JOIN m3 USING (id))
         |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin,
+    // label propagation with the convergence stop: 6 unrolled rounds, each
+    // with a changed-count scalar; the first fixed point wins (the q69
+    // early-exit oracle pattern applied to community detection)
+    "q95_labelprop_converge" ->
+      s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+         |e AS (SELECT id - 1 AS src, id AS dst FROM ids WHERE id % 8 >= 1
+         |      UNION ALL
+         |      SELECT id - 2 AS src, id AS dst FROM ids WHERE id % 8 >= 2),
+         |l0 AS (SELECT id, id AS lbl FROM ids),
+         |$LP_ROUNDS_SQL,
+         |rr AS (SELECT CASE ${(1 to 5).map(i =>
+                  s"WHEN (SELECT ch FROM ch$i) = 0 THEN $i").mkString(" ")}
+         |       ELSE 6 END AS r),
+         |allr AS (${(1 to 6).map(i =>
+                  s"SELECT $i AS r, id, lbl FROM l$i").mkString(" UNION ALL ")})
+         |SELECT a.id AS doc_id, a.lbl, CAST(rr.r AS BIGINT) AS rounds
+         |FROM allr a CROSS JOIN rr WHERE a.r = rr.r ORDER BY doc_id""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, $GRAMS_SQL AS grams FROM documents)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

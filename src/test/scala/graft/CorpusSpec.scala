@@ -291,6 +291,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(6L) == math.min(got(0L), got(3L)))
   }
 
+  test("label propagation converge: early exit at the first fixed point, O(1) storage") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the q95 shape at hand-verifiable size: two groups of 8 with
+    // back-edges (id-1 -> id, id-2 -> id) within the group — leaders 0 and
+    // 8 sweep forward ~2 offsets/round; fixed point at round 4, detected
+    // (changed = 0) at round 5
+    val ids = (0L to 15L).toDF("id")
+    val edges = (ids.filter($"id" % 8 >= 1).select(($"id" - 1).as("src"), $"id".as("dst")))
+      .union(ids.filter($"id" % 8 >= 2).select(($"id" - 2).as("src"), $"id".as("dst")))
+    val res = graft.queries.SimQ.labelPropagateConverge(ids, edges, maxRounds = 20)
+    val got = res.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(res.rounds == 5, s"must stop at the detection round, not maxRounds: ${res.rounds}")
+    assert(res.changedLast == 0L)
+    assert((0L to 7L).forall(got(_) == 0L) && (8L to 15L).forall(got(_) == 8L),
+      s"groups must converge to their leaders: $got")
+    // parity with the declarative unroll at the converged round count
+    val unrolled = graft.queries.SimQ.labelPropagate(ids, edges, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(unrolled == got)
+    res.release()
+
+    // a 2-cycle (bipartite oscillation) must NOT converge: maxRounds
+    // bounds it and changedLast stays > 0
+    val osc = graft.queries.SimQ.labelPropagateConverge(
+      (0L to 1L).toDF("id"), Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"), maxRounds = 4)
+    assert(osc.rounds == 4 && osc.changedLast > 0L,
+      s"oscillator must exhaust maxRounds: ${osc.rounds}, ${osc.changedLast}")
+    osc.release()
+  }
+
   // ---------------------------------------------------- split leakage
 
   test("split leakage: source-aware assignment, planted cross-source boilerplate detected") {
