@@ -271,11 +271,11 @@ object CorpusQ {
     * Scale shape: one window per source partition — rank-within-group
     * parallelizes across sources and the per-group sort is the windowed
     * partition sort, not a global one. A pathological mega-source (one
-    * domain = half the corpus) makes that partition hot; the documented
-    * scale path is the two-phase variant: hash-bucket the source's docs,
-    * cap each bucket at K/buckets — same machinery as the q48 bucketed
-    * prefix sums. At C4's actual shape (millions of domains, heavy but not
-    * degenerate tail) the plain window is the right plan.
+    * domain = half the corpus) makes that partition hot; the scale path is
+    * [[domainCapBucketed]] — exact two-phase top-k over hash sub-cells,
+    * bit-identical verdicts (q96 gates it against THIS query's oracle). At
+    * C4's actual shape (millions of domains, heavy but not degenerate
+    * tail) the plain window is the right plan.
     */
   def q86DomainCap(spark: SparkSession, dir: String): DataFrame =
     domainCap(Tables.documents(spark, dir), 20)
@@ -289,6 +289,53 @@ object CorpusQ {
       .select(col("doc_id"), col("source"), (col("rn") <= k).as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[domainCap]]'s MEGA-SOURCE scale path — the two-phase variant the
+    * plain window needs when one degenerate domain holds a macroscopic
+    * corpus share (its window partition becomes one hot task sorting the
+    * whole domain). Classic exact distributed top-k:
+    *
+    *   1. every doc hash-buckets into one of `buckets` deterministic
+    *      sub-cells (`pmod(xxhash64(doc_id), buckets)`); a per-(source,
+    *      bucket) window keeps each bucket's k smallest md5 keys — the
+    *      global k smallest NECESSARILY survive (each lives in some
+    *      bucket, with at most k−1 keys below it anywhere, so at most
+    *      k−1 below it in its own bucket). Partition size: domain/buckets.
+    *   2. re-rank the ≤ buckets·k survivors per source with the SAME
+    *      (md5, doc_id) order and keep rank ≤ k — a bounded partition.
+    *
+    * Kept set is therefore BIT-IDENTICAL to [[domainCap]]'s (spec-pinned,
+    * and q96 gates it against the one-phase ORACLE); dropped docs rejoin
+    * via a shuffle-hash left join for the keep/drop verdict output. Cost:
+    * two bounded windows + one verdict join instead of one unbounded
+    * window — the q48 bucketed-prefix-sum doctrine applied to top-k.
+    */
+  def domainCapBucketed(docs: DataFrame, k: Int, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("bk", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+    val w1 = Window.partitionBy(col("source"), col("bk"))
+      .orderBy(col("hk"), col("doc_id"))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    val keep = keyed
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= k)
+      .select(col("doc_id"), lit(true).as("kept"))
+    docs.select(col("doc_id"), col("source"))
+      .join(keep.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q96 — [[domainCapBucketed]] gated against the ONE-PHASE oracle: the
+    * DuckDB side runs q86's plain window SQL (k = 20), so the gate proves
+    * the two-phase selection is exactly the one-phase selection,
+    * cross-engine, row for row.
+    */
+  def q96DomainCapBucketed(spark: SparkSession, dir: String): DataFrame =
+    domainCapBucketed(Tables.documents(spark, dir), 20)
 
   // ---------------------------------------------------------------- q87
 
@@ -585,6 +632,7 @@ object CorpusQ {
     "q84_interval_join"       -> q84IntervalJoin _,
     "q85_zorder"              -> q85Zorder _,
     "q86_domain_cap"          -> q86DomainCap _,
+    "q96_domain_cap_bucketed" -> q96DomainCapBucketed _,
     "q87_classifier"          -> q87Classifier _,
     "q88_corpus_overlap"      -> q88CorpusOverlap _,
     "q89_pipeline"            -> q89Pipeline _,
@@ -709,6 +757,15 @@ object CorpusQ {
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     // per-domain cap: deterministic md5 "shuffle" order, keep 20 per source
     "q86_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn <= 20 AS kept FROM r ORDER BY doc_id""".stripMargin,
+    // two-phase (bucketed) domain cap: the oracle is deliberately the
+    // ONE-PHASE window — the gate proves the exact-top-k equivalence
+    "q96_domain_cap_bucketed" ->
       """WITH r AS (
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source

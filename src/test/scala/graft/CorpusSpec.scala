@@ -270,6 +270,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(("mirror_a", "other")) == 0L && got(("mirror_b", "other")) == 0L)
   }
 
+  // ---------------------------------------------------- domain cap
+
+  test("domain cap: two-phase bucketed selection is bit-identical to the window form") {
+    val spark0 = spark
+    import spark0.implicits._
+    // real corpus shape
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(collect(CorpusQ.domainCapBucketed(docs, 20)) ==
+      collect(CorpusQ.domainCap(docs, 20)))
+
+    // planted mega-domain: one source holds 90% of a 2000-doc corpus; the
+    // two-phase selection must still pick exactly the window's k, at
+    // several bucket counts (including buckets > k and buckets = 1)
+    val mega = (0L until 2000L).map(i =>
+      (i, if (i < 1800L) "megadomain.example" else s"s${i % 40}")).toDF("doc_id", "source")
+    val onePhase = collect(CorpusQ.domainCap(mega, 25))
+    Seq(1, 8, 64).foreach { b =>
+      assert(collect(CorpusQ.domainCapBucketed(mega, 25, b)) == onePhase,
+        s"buckets=$b must not change verdicts")
+    }
+    assert(onePhase.count(r => r._2 == "megadomain.example" && r._3) == 25)
+  }
+
   // ------------------------------------------------- label propagation
 
   test("label propagation: two planted cliques converge to their min ids; ties break low") {
