@@ -65,6 +65,49 @@ object EventsQ {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q97 — the STREAMING sessionize path oracle-gated end-to-end (every
+    * other streaming surface is MemoryStream-parity spec'd; this one runs
+    * Structured Streaming inside the correctness gate itself): the events
+    * parquet feeds a FileStreamSource, flows through
+    * [[graft.streaming.EventStreams.sessionWindowsExact]] (native
+    * `session_window`, decimal-exact value sums) into a complete-mode
+    * memory sink, and the materialized sink table is what the DuckDB
+    * oracle must match — the oracle unrolls session_window's gap-≥
+    * boundary with a lag test, so a stream that drops, double-counts, or
+    * mis-windows any event hash-mismatches. The memory sink is the GATE
+    * sink (bounded: sessions, not events); the production path swaps in
+    * `writeStream.format("parquet")` with the same plan. Complete mode on
+    * finite input emits the full final state — no watermark race.
+    */
+  def q97StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val nm = "q97_sessions_sink"
+    // re-runnable (bench warm-up + timed pass): stop a live run, drop the
+    // stale sink view
+    spark.streams.active.filter(q => Option(q.name).contains(nm)).foreach(_.stop())
+    scala.util.Try(spark.catalog.dropTempView(nm))
+    // the Tables.normalizeTs contract, kept as a TIMESTAMP for
+    // session_window: nanos-long reads truncate to µs; timestamp physical
+    // types cast directly (µs precision preserved, UTC session tz)
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _                                   => expr("cast(ts as timestamp)")
+    }
+    val ev = spark.readStream.schema(schema)
+      // FileStreamSource force-injects basePath = path for NON-glob paths,
+      // which trips "must be a directory" when the table is one parquet
+      // file — a brace glob keeps the injection off, the explicit basePath
+      // (the table directory) then applies
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .select(tsCol.as("ts"), col("user_id"), col("value"))
+    val q = graft.streaming.EventStreams.sessionWindowsExact(ev)
+      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(nm).orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** q16 — semi-structured extraction from the JSON `props` column (real
     * JSON-path extraction, not regex — whitespace/escaping-proof).
     */
@@ -134,6 +177,7 @@ object EventsQ {
     "q17_asof_signup"     -> q17AsOfSignup _,
     "q18_user_pivot"      -> q18UserPivot _,
     "q19_funnel"          -> q19Funnel _,
+    "q97_stream_sessionize" -> q97StreamSessionize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +205,28 @@ object EventsQ {
         |SELECT user_id, session_id, count(*) AS n_events, ${moneySumSql("value")} AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // streaming sessionize: session_window's gap-inclusive boundary (a new
+    // session at gap >= 30 min — q15 uses strict >), bounds as epoch-µs
+    "q97_stream_sessionize" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
+        |), flagged AS (
+        |  SELECT user_id, value, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w >= $GAP_US THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value, tus,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + $GAP_US AS session_end_us,
+        |  count(*) AS n_events, ${moneySumSql("value")} AS session_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

@@ -331,6 +331,33 @@ object EventStreams {
       .drop("cells", "best", "qv", "n2q")
   }
 
+  /** [[sessionValues]] with ORACLE-EXACT arithmetic — the q97 gate surface:
+    * session value sums in decimal(30,10) (order-independent, so streamed
+    * micro-batch accumulation and a single batch pass agree bit-for-bit)
+    * and window bounds export as epoch-micros longs. The session boundary
+    * is `session_window`'s native one — a new session starts when the gap
+    * is ≥ 30 min (the window [start, last + gap) is end-EXCLUSIVE), which
+    * the q97 DuckDB oracle unrolls with the matching `>=` lag test (q15's
+    * batch form uses strict `>`; the two differ only for events landing on
+    * the exact boundary).
+    *
+    * Output: (user_id, session_start_us, session_end_us, n_events,
+    * session_value) where session_end_us = last event + gap.
+    */
+  def sessionWindowsExact(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("double").cast("decimal(30,10)")).as("sv"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("session_start_us"),
+        expr("unix_micros(w.end)").as("session_end_us"),
+        col("n_events"),
+        round(col("sv"), 2).cast("double").as("session_value"))
+  }
+
   /** 30-minute-gap sessions per user — the streaming twin of q15, via the
     * native `session_window` (which implements exactly the lag-gap semantics
     * of the batch query's window-function form).

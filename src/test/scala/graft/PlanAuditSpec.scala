@@ -26,7 +26,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q83 runs its Bloom build (one treeAggregate over ~200 eval grams at
       // sf0.001 — milliseconds) during construction; the audited plan pins
       // the map-side probe shape
-      graft.queries.CorpusQ.all
+      graft.queries.CorpusQ.all -
+      // q97 runs a whole Structured Streaming job during construction and
+      // its returned frame is a memory-sink scan — nothing joins to audit;
+      // its plan shape is the session_window agg StreamingSpec pins
+      "q97_stream_sessionize"
 
   test("no accidental CartesianProduct and no SortMergeJoin in any declarative plan") {
     declarative.foreach { case (name, f) =>
