@@ -69,31 +69,45 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
   }
 
+  /** The word-frequency symbol table both trainers iterate on: one
+    * map-side-combined aggregate over the corpus (the only corpus-scale
+    * work), materialized so every merge round reads executor blocks.
+    */
+  private def wordSyms(docs: DataFrame): DataFrame = {
+    val symsOf = udf((w: String) => symbolsOf(w))
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(symsOf(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+  }
+
+  /** Adjacent-pair frequency table of the current symbol sequences — the
+    * per-round counting aggregate shared by [[train]] (argmax row) and
+    * [[trainBatched]] (top slice).
+    */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    seqs.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+
   /** Train `nMerges` BPE merges on (doc_id, text) docs. Returns the merge
     * table in rank order — bounded at nMerges rows by construction, so a
     * driver-side Seq is the honest representation (the PQ-codebook
     * precedent). Stops early if no adjacent pair remains.
     */
   def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val symsOf = udf((w: String) => symbolsOf(w))
-    var seqs = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(symsOf(col("word")).as("syms"), col("freq"))
-      .localCheckpoint()
+    var seqs = wordSyms(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var round = 0
     while (round < nMerges && !done) {
-      val best = seqs.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+      val best = pairCounts(seqs).limit(1).collect()
       if (best.isEmpty) done = true
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
@@ -104,6 +118,72 @@ object Bpe {
         if (round % 8 == 0) {
           val next = seqs.localCheckpoint()
           seqs = next
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] with BATCHED merge selection — the job-count fix for big
+    * vocabularies: one Spark job per merge means a 32k-merge training run
+    * is 32k sequential jobs, driver-bound by job launch, not data. Each
+    * round counts pairs ONCE, takes the top slice, and greedily selects up
+    * to `batch` pairs that provably CANNOT INTERACT, then applies them in
+    * one lazy column-rewrite pass — ~nMerges/batch counting jobs total.
+    *
+    * Non-interaction rule (exact): applying (l₁,r₁) leaves the count of a
+    * later candidate (l₂,r₂) unchanged iff l₂ ≠ r₁ (merging consumes
+    * (r₁,x) adjacencies), r₂ ≠ l₁ (consumes (x,l₁)), and neither l₂ nor
+    * r₂ equals the created symbol l₁+r₁ (whose occurrence count the merge
+    * grows). Shared LEFTS and shared RIGHTS are fine — (n,·) and (t,·)
+    * both ending in the same right symbol never touch each other's
+    * occurrences. Conflicting candidates are deferred to the next round's
+    * recount, and the first candidate is always selected, so every round
+    * progresses.
+    *
+    * Contract vs [[train]]: within a batch the selected ranks are exactly
+    * the sequential ranks (counts invariant by the rule above), so the two
+    * trainers agree IDENTICALLY whenever no merge DERIVES a pair that
+    * outranks a later batch member and no conflict forces a skip — the
+    * spec pins that parity on such a corpus. On interaction-heavy corpora
+    * (the sf0.001 table's ("e","r") → ("er","</w>") chain) batched
+    * selection is the standard throughput approximation every production
+    * BPE trainer makes; q55's gate stays on [[train]]'s exact sequential
+    * semantics.
+    */
+  def trainBatched(docs: DataFrame, nMerges: Int, batch: Int = 8): Seq[(String, String)] = {
+    require(batch >= 1, s"batch must be >= 1: $batch")
+    var seqs = wordSyms(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var sinceCp = 0
+    while (merges.size < nMerges && !done) {
+      val want = math.min(batch, nMerges - merges.size)
+      // rank slice: a bounded driver collect (4x oversampled so skipped
+      // conflicts rarely starve a round)
+      val top = pairCounts(seqs).limit(want * 4).collect()
+      if (top.isEmpty) done = true
+      else {
+        val lefts = scala.collection.mutable.Set.empty[String]
+        val rights = scala.collection.mutable.Set.empty[String]
+        val made = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        top.iterator.foreach { row =>
+          if (sel.size < want) {
+            val (l, r) = (row.getString(0), row.getString(1))
+            if (!rights.contains(l) && !made.contains(l) &&
+                !lefts.contains(r) && !made.contains(r)) {
+              sel += ((l, r)); lefts += l; rights += r; made += (l + r)
+            }
+          }
+        }
+        merges ++= sel
+        seqs = sel.foldLeft(seqs)((s, p) =>
+          s.withColumn("syms", mergeStep(col("syms"), p._1, p._2)))
+        sinceCp += sel.size
+        // the same flat-lineage cadence as train: ~8 HOF rewrites/segment
+        if (sinceCp >= 8 && merges.size < nMerges) {
+          seqs = seqs.localCheckpoint(); sinceCp = 0
         }
       }
     }

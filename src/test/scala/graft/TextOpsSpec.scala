@@ -563,6 +563,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(merges == Seq(("w", "e"), ("l", "o"), ("e", "we")))
   }
 
+  test("BPE trainBatched: exact parity with sequential on a non-interacting corpus; conflicts deferred") {
+    val s = spark
+    import s.implicits._
+    // single-letter words: each word "x" contributes exactly the pair
+    // (x, </w>) with the word's frequency — shared RIGHTS never interact,
+    // no merge derives a new pair (the merged word is one symbol), so
+    // batched selection must equal sequential selection EXACTLY
+    val letters = "abcdefghijkl"
+    val text = letters.zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(240 - 20 * i)(c.toString) }
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val seq8 = graft.llm.Bpe.train(docs, 8)
+    Seq(1, 3, 8).foreach { m =>
+      assert(graft.llm.Bpe.trainBatched(docs, 8, m) == seq8,
+        s"batch=$m must match sequential on a non-interacting corpus")
+    }
+    assert(seq8 == letters.take(8).map(c => (c.toString, "</w>")))
+
+    // conflicting candidates defer, never misorder: "ab" repeated — pairs
+    // (a,b) and (b,</w>) tie at the same count and SHARE b, so a batch of
+    // 2 must select only (a,b) in round 1 (lex-first) and pick up the
+    // post-merge pair ((ab,</w>)) on the recount, exactly like sequential
+    val docs2 = Seq((1L, Seq.fill(5)("ab").mkString(" "))).toDF("doc_id", "text")
+    assert(graft.llm.Bpe.trainBatched(docs2, 2, 2) == graft.llm.Bpe.train(docs2, 2))
+  }
+
   test("BPE train: merge table independent of partitioning; apply round-trips and compresses") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = graft.llm.Bpe.train(docs.repartition(13), 8)
