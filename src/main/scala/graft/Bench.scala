@@ -59,14 +59,19 @@ object Bench {
     }
     canary() // untimed warm-up (JIT parity with the query warm-up pass)
     val canaries = new scala.collection.mutable.ArrayBuffer[Double](passes)
-    val samples: Seq[Map[String, Double]] = (1 to passes).map { _ =>
+    // per pass: name -> (wall_sec, fixture_sec) — the FixtureClock ledger
+    // splits synthesized-input generation (q31/q56/q71-class gates write
+    // their own PDFs/WARCs/codec tars before the read path runs) from the
+    // query itself, so a regression in either half is visible
+    val samples: Seq[Map[String, (Double, Double)]] = (1 to passes).map { _ =>
       graft.queries.SimQ.clearNearDupPairCache()
       canaries += canary()
       names.map { name =>
+        graft.queries.FixtureClock.drain() // clear any prior accrual
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, graft.queries.FixtureClock.drain())
       }.toMap
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -75,13 +80,25 @@ object Bench {
       val s = xs.sorted
       s(s.size - 1 - s.size / 4) - s(s.size / 4)
     }
-    val med = names.map(n => n -> median(samples.map(_(n))))
-    val iqrs = names.map(n => n -> iqr(samples.map(_(n))))
+    val med = names.map(n => n -> median(samples.map(_(n)._1)))
+    val iqrs = names.map(n => n -> iqr(samples.map(_(n)._1)))
+    // fixture/query split: medians taken per-component; "queries" stays
+    // the WALL number (cross-round comparable), fixture_sec/query_sec are
+    // its decomposition, emitted only for queries that build fixtures
+    val fixMed = names.map(n => n -> median(samples.map(_(n)._2)))
+      .filter(_._2 > 0.005)
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = iqrs.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fixMap = fixMed.toMap
+    val fx = fixMed.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qonly = fixMed.map { case (k, v) =>
+      s"\"" + k + "\":" + f"${math.max(0.0, med.toMap.apply(k) - v)}%.3f"
+    }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    val fixtureTotal = fixMap.values.sum
     val canMedV = median(canaries.toSeq)
     val canIqrV = iqr(canaries.toSeq)
     val canMed = f"$canMedV%.3f"
@@ -96,6 +113,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""runs":$passes,"iqr":$sp,""" +
+        f""""fixture_total_sec":$fixtureTotal%.3f,"fixture_sec":$fx,"query_sec":$qonly,""" +
         s""""canary_sec":$canMed,"canary_iqr":$canIqr,"noisy":$noisy,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     // stop() BEFORE printing so the JSON is the final stdout line (no

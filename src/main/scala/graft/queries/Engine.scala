@@ -59,6 +59,7 @@ object EngineQ {
     // executor-side writes go through Hadoop FS (DocIO) — on a cluster, point
     // fixtureDir at a shared FS and the same code works; java.nio here would
     // strand each executor's files on its local disk
+    FixtureClock.timed {
     docs.select("doc_id", "lang", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
@@ -66,6 +67,7 @@ object EngineQ {
           s"""{"doc_id":$id,"lang":${jstr(r.getString(1))},"text":${jstr(r.getString(2))}}"""
         graft.agent.DocIO.writeText(fix, s"doc_$id.json", json)
       }
+    }
     }
 
     val ctx = new GraftContext(spark, GraftConf())
@@ -128,6 +130,7 @@ object EngineQ {
     val fix = fixtureDir(dir, "q33")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < TREE_N)
 
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
@@ -140,6 +143,7 @@ object EngineQ {
              |</body></html>""".stripMargin
         graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
       }
+    }
     }
 
     val ctx = new GraftContext(spark, GraftConf())
@@ -282,11 +286,13 @@ object EngineQ {
   def q37PdfExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q37")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 0)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.pdf",
           minimalPdf(r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -356,11 +362,13 @@ object EngineQ {
   def q78EpubExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q78")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 21)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"book_${r.getLong(0)}.epub",
           minimalEpub(r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -382,11 +390,13 @@ object EngineQ {
   def q38DocxExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q38")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 7)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.docx",
           minimalDocx(r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -410,11 +420,13 @@ object EngineQ {
   def q65DocExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q65")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 9)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.doc",
           graft.doc.CfbNode.writeDoc(r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -436,11 +448,13 @@ object EngineQ {
   def q77RtfExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q77")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 19)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.rtf",
           graft.doc.RtfNode.write(r.getString(1)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -465,12 +479,14 @@ object EngineQ {
   def q91EmlExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q91")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 23)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"mail_${r.getLong(0)}.eml",
           graft.doc.EmlNode.write(
             s"✉ Corpus doc ${r.getLong(0)}", r.getString(1), r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -497,6 +513,7 @@ object EngineQ {
     import graft.sources.Mbox
     val fix = fixtureDir(dir, "q92")
     import spark.implicits._
+    FixtureClock.timed {
     Tables.documents(spark, dir).filter(col("doc_id") % 25 === 3)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey(_._1 / 200)
@@ -508,6 +525,7 @@ object EngineQ {
           Mbox.write(msgs.toIndexedSeq))
         seg
       }.collect() // force the fixture writes before the read-back scan
+    }
     Mbox.read(spark, s"$fix/*.mbox")
       .map { m =>
         val text = graft.doc.Node.parse(m.raw, "message/rfc822").text
@@ -525,11 +543,13 @@ object EngineQ {
   def q67XlsExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q67")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 11)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"sheet_${r.getLong(0)}.xls",
           graft.doc.CfbNode.writeXls("Data", Seq(r.getString(1))))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -551,11 +571,13 @@ object EngineQ {
   def q68PptExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q68")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 13)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"deck_${r.getLong(0)}.ppt",
           graft.doc.CfbNode.writePpt(Seq(r.getString(1))))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -577,11 +599,13 @@ object EngineQ {
   def q70MsgExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q70")
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 17)
+    FixtureClock.timed {
     docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         graft.agent.DocIO.writeBytes(fix, s"mail_${r.getLong(0)}.msg",
           graft.doc.CfbNode.writeMsg(s"msg${r.getLong(0)}", r.getString(1)))
       }
+    }
     }
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -645,6 +669,7 @@ object EngineQ {
     val fix = fixtureDir(dir, "q41")
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 6)
+    FixtureClock.timed {
     docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
@@ -655,6 +680,7 @@ object EngineQ {
           graft.agent.DocIO.writeBytes(fix, s"media_$id.wav",
             Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
       }
+    }
     }
     Multimodal.probeMeta(ingestFixtureMedia(spark, fix)).toDF()
       .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
@@ -676,6 +702,7 @@ object EngineQ {
     val fix = fixtureDir(dir, "q52")
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 7)
+    FixtureClock.timed {
     docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
@@ -688,6 +715,7 @@ object EngineQ {
             Multimodal.Synth.avi((320 + (id % 6) * 8).toInt, (240 + (id % 4) * 8).toInt,
               (24 + (id % 3) * 6).toInt, 600 + id % 400))
       }
+    }
     }
     Multimodal.probeMeta(ingestFixtureMedia(spark, fix)).toDF()
       .select(col("id").as("doc_id"), col("format"), col("width"), col("height"),
@@ -714,6 +742,7 @@ object EngineQ {
     val fix = fixtureDir(dir, "q46")
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 6)
+    FixtureClock.timed {
     docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val id = r.getLong(0)
@@ -724,6 +753,7 @@ object EngineQ {
           graft.agent.DocIO.writeBytes(fix, s"media_$id.wav",
             Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
       }
+    }
     }
     Multimodal.decodeMediaDF(spark, ingestFixtureMedia(spark, fix).toDF())
       .select(col("id").as("doc_id"), col("kind"), col("width"), col("height"),
@@ -760,6 +790,7 @@ object EngineQ {
     import graft.sources.Warc
     val fix = fixtureDir(dir, "q56")
     import spark.implicits._
+    FixtureClock.timed {
     Tables.documents(spark, dir).filter(col("doc_id") % 10 === 2)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey(_._1 / 200)
@@ -783,6 +814,7 @@ object EngineQ {
         graft.agent.DocIO.writeBytes(fix, f"segment_$seg%05d.warc.gz", bout.toByteArray)
         seg
       }.count() // force the writes before the scan below lists the dir
+    }
     Warc.read(spark, fix)
       .map { r =>
         val root = Warc.toDoc(r).root
@@ -886,6 +918,7 @@ object EngineQ {
   def q59TarExtract(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q59")
     import spark.implicits._
+    FixtureClock.timed {
     Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey(_._1 / 200)
@@ -902,6 +935,7 @@ object EngineQ {
         graft.agent.DocIO.writeBytes(fix, f"bundle_$seg%05d.tar.gz", gzBytes)
         seg
       }.count()
+    }
     spark.read.format("binaryFile").load(fix)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
@@ -964,6 +998,7 @@ object EngineQ {
   def q71ArchiveCodecs(spark: SparkSession, dir: String): DataFrame = {
     val fix = fixtureDir(dir, "q71")
     import spark.implicits._
+    FixtureClock.timed {
     Tables.documents(spark, dir).filter(col("doc_id") % 10 === 4)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .groupByKey(_._1 / 20)
@@ -981,6 +1016,7 @@ object EngineQ {
         graft.agent.DocIO.writeBytes(fix, name, bytes)
         seg
       }.count()
+    }
     spark.read.format("binaryFile").load(fix)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
