@@ -145,6 +145,8 @@ object Node {
       else if (m.contains("xml")) HtmlNode.parseXml(str, uri)
       else if (m.contains("json")) JsonNode.parse(str)
       else if (m.contains("pdf")) PdfNode.parse(content)
+      else if (m.contains("tiff")) TiffNode.parse(content)
+      else if (m.contains("postscript")) PsNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)
       else if (m.startsWith("text/")) PlainNode(str)
       else Unrecognisable

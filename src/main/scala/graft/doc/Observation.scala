@@ -429,6 +429,8 @@ object Mime {
     "txt" -> "text/plain", "md" -> "text/plain",
     "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
     "gif" -> "image/gif", "pdf" -> "application/pdf",
+    "tif" -> "image/tiff", "tiff" -> "image/tiff",
+    "ps" -> "application/postscript", "eps" -> "application/postscript",
     "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
@@ -456,6 +458,10 @@ object Mime {
       val head = new String(content.take(256), StandardCharsets.UTF_8).trim
       if (content.startsWith(Array[Byte](0x89.toByte, 'P', 'N', 'G'))) "image/png"
       else if (head.startsWith("%PDF")) "application/pdf"
+      else if (head.startsWith("%!PS")) "application/postscript"
+      // TIFF magic: byte order II/MM + the 42 in that order
+      else if (content.startsWith(Array[Byte]('I', 'I', 42, 0)) ||
+        content.startsWith(Array[Byte]('M', 'M', 0, 42))) "image/tiff"
       // zip magic: could be an OOXML doc — OfficeNode decides by entry names
       else if (content.startsWith(Array[Byte]('P', 'K', 3, 4))) "application/zip"
       else if (head.startsWith("{\\rtf")) "application/rtf" // before the JSON `{` guess

@@ -509,6 +509,70 @@ object EngineQ {
     * recomposes subject+body+attachment from the source table — lossless
     * through the container AND all three MIME encodings.
     */
+  /** q98 — TIFF/EXIF metadata ingestion: every 25th document (offset 1 —
+    * disjoint from the other fixture families) becomes a real baseline
+    * `.tif` ([[graft.doc.TiffNode.write]]: pixel strip + ASCII tags + an
+    * EXIF sub-IFD), fetched through the Node seam and recovered from the
+    * IFD walk — ImageDescription carries the corpus text, Artist/
+    * UserComment carry id-derived strings, and width/height are pinned
+    * id arithmetic, so the WHOLE tag walk (both value-location modes,
+    * the EXIF pointer, the numeric tags) is load-bearing for the hash.
+    */
+  def q98TiffExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q98")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 1)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeBytes(fix, s"img_$id.tif",
+          graft.doc.TiffNode.write((1 + id % 64).toInt, (1 + id % 37).toInt,
+            r.getString(1), s"doc $id", s"uc $id"))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/img_$id.tif")))
+      .select { r =>
+        val t = r.trajectory.doc.get.root.findAll("tiff").head
+        (r.data, t.attr("width").get.toLong, t.attr("height").get.toLong,
+          t.attr("ImageDescription").get, t.attr("Artist").get,
+          t.attr("UserComment").get)
+      }
+      .asDataFrame.toDF("doc_id", "width", "height", "tiff_text", "artist", "user_comment")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q99 — PostScript text extraction: every 25th document (offset 2)
+    * becomes a DSC-conformant `.ps` ([[graft.doc.PsNode.write]]: one
+    * `moveto … show` per line, octal-escaped UTF-8 string bytes) and the
+    * show-operator scan recovers the text exactly — the PDF leg's (q37)
+    * sibling for the pre-PDF print format Tika also normalizes.
+    */
+  def q99PsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q99")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 2)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeBytes(fix, s"doc_${r.getLong(0)}.ps",
+          graft.doc.PsNode.write(r.getString(1)))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.ps")))
+      .select(r => (r.data, r.trajectory.doc.get.root.text))
+      .asDataFrame.toDF("doc_id", "ps_text")
+      .orderBy(col("doc_id"))
+  }
+
   def q92MboxIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Mbox
     val fix = fixtureDir(dir, "q92")
@@ -1048,6 +1112,8 @@ object EngineQ {
     "q78_epub_extract" -> q78EpubExtract _,
     "q91_eml_extract" -> q91EmlExtract _,
     "q92_mbox_ingest" -> q92MboxIngest _,
+    "q98_tiff_extract" -> q98TiffExtract _,
+    "q99_ps_extract"  -> q99PsExtract _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -1154,6 +1220,16 @@ object EngineQ {
     "q78_epub_extract" ->
       """SELECT doc_id, text AS epub_text
         |FROM documents WHERE doc_id % 25 = 21 ORDER BY doc_id""".stripMargin,
+    // TIFF: id-arithmetic dimensions + the three text tags the IFD walk
+    // must surface (description = corpus text; artist/comment id-derived)
+    "q98_tiff_extract" ->
+      """SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 37 AS BIGINT) AS height, text AS tiff_text,
+        |  'doc ' || doc_id AS artist, 'uc ' || doc_id AS user_comment
+        |FROM documents WHERE doc_id % 25 = 1 ORDER BY doc_id""".stripMargin,
+    "q99_ps_extract" ->
+      """SELECT doc_id, text AS ps_text
+        |FROM documents WHERE doc_id % 25 = 2 ORDER BY doc_id""".stripMargin,
     "q68_ppt_extract" ->
       """SELECT doc_id, text AS ppt_text
         |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
