@@ -147,6 +147,8 @@ object Node {
       else if (m.contains("pdf")) PdfNode.parse(content)
       else if (m.contains("tiff")) TiffNode.parse(content)
       else if (m.contains("postscript")) PsNode.parse(content)
+      else if (m.contains("image/jpeg")) JpegNode.parse(content)
+      else if (m.contains("image/png")) PngNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)
       else if (m.startsWith("text/")) PlainNode(str)
       else Unrecognisable

@@ -459,6 +459,8 @@ object Mime {
       if (content.startsWith(Array[Byte](0x89.toByte, 'P', 'N', 'G'))) "image/png"
       else if (head.startsWith("%PDF")) "application/pdf"
       else if (head.startsWith("%!PS")) "application/postscript"
+      else if (content.length > 2 && (content(0) & 0xff) == 0xff &&
+        (content(1) & 0xff) == 0xd8 && (content(2) & 0xff) == 0xff) "image/jpeg"
       // TIFF magic: byte order II/MM + the 42 in that order
       else if (content.startsWith(Array[Byte]('I', 'I', 42, 0)) ||
         content.startsWith(Array[Byte]('M', 'M', 0, 42))) "image/tiff"

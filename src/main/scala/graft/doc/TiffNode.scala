@@ -38,13 +38,20 @@ object TiffNode {
   private val MaxIfds = 8
   private val MaxEntries = 512
 
-  def parse(content: Array[Byte]): Node = {
+  def parse(content: Array[Byte]): Node =
+    metaJson(content).map(JsonNode.parse).getOrElse(Node.Unrecognisable)
+
+  /** The `"tiff":{…}` JSON object (with its outer braces) for a TIFF
+    * blob, or None when the bytes aren't one — shared with [[JpegNode]],
+    * whose EXIF APP1 payload IS a TIFF file.
+    */
+  private[doc] def metaJson(content: Array[Byte]): Option[String] = {
     try {
-      if (content.length < 8) return Node.Unrecognisable
+      if (content.length < 8) return None
       val le =
         if (content(0) == 'I' && content(1) == 'I') true
         else if (content(0) == 'M' && content(1) == 'M') false
-        else return Node.Unrecognisable
+        else return None
       def u16(off: Int): Int =
         if (off < 0 || off + 1 >= content.length) -1
         else if (le) (content(off) & 0xff) | ((content(off + 1) & 0xff) << 8)
@@ -55,7 +62,7 @@ object TiffNode {
           ((content(off + 2) & 0xffL) << 16) | ((content(off + 3) & 0xffL) << 24)
         else ((content(off) & 0xffL) << 24) | ((content(off + 1) & 0xffL) << 16) |
           ((content(off + 2) & 0xffL) << 8) | (content(off + 3) & 0xffL)
-      if (u16(2) != 42) return Node.Unrecognisable
+      if (u16(2) != 42) return None
 
       var width = -1L
       var height = -1L
@@ -125,7 +132,7 @@ object TiffNode {
         pages += 1
         seen += 1
       }
-      if (pages == 0) return Node.Unrecognisable
+      if (pages == 0) return None
 
       val sb = new StringBuilder
       sb.append("{\"tiff\":{\"byte_order\":").append(if (le) "\"II\"" else "\"MM\"")
@@ -136,8 +143,8 @@ object TiffNode {
         sb.append(',').append(jstr(k)).append(':').append(jstr(v))
       }
       sb.append("}}")
-      JsonNode.parse(sb.result())
-    } catch { case scala.util.control.NonFatal(_) => Node.Unrecognisable }
+      Some(sb.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Fixture/export writer: minimal little-endian baseline TIFF — one

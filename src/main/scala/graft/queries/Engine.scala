@@ -573,6 +573,77 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q100 — JPEG/EXIF ingestion: every 25th document (offset 4) becomes a
+    * REAL decodable grayscale JPEG (JDK ImageIO encoder) with an EXIF APP1
+    * spliced after SOI ([[graft.doc.JpegNode.write]]); the marker walk
+    * recovers frame dimensions from SOF and delegates the APP1's TIFF
+    * payload to the SAME IFD walk q98 gates — one parser, two containers,
+    * both oracle-pinned.
+    */
+  def q100JpegExif(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q100")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 4)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeBytes(fix, s"photo_$id.jpg",
+          graft.doc.JpegNode.write((8 + id % 16).toInt, (8 + id % 9).toInt,
+            r.getString(1), s"doc $id", s"uc $id"))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/photo_$id.jpg")))
+      .select { r =>
+        val root = r.trajectory.doc.get.root
+        val j = root.findAll("jpeg").head
+        val t = root.findAll("tiff").head
+        (r.data, j.attr("width").get.toLong, j.attr("height").get.toLong,
+          t.attr("ImageDescription").get, t.attr("Artist").get,
+          t.attr("UserComment").get)
+      }
+      .asDataFrame.toDF("doc_id", "width", "height", "tiff_text", "artist", "user_comment")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q101 — PNG textual-chunk ingestion: every 25th document (offset 6)
+    * gets the corpus text spliced into its synthetic PNG as tEXt/iTXt
+    * chunks ([[graft.doc.PngNode.withText]] — iTXt/UTF-8 whenever the
+    * value isn't latin-1-safe, the real-writer rule); the chunk walk
+    * recovers IHDR dimensions and the keyword→text map.
+    */
+  def q101PngText(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q101")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 6)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeBytes(fix, s"shot_$id.png",
+          graft.doc.PngNode.withText(
+            Multimodal.Synth.png((1 + id % 16).toInt, (1 + id % 9).toInt, id),
+            Seq("Title" -> s"doc $id", "Description" -> r.getString(1))))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/shot_$id.png")))
+      .select { r =>
+        val p = r.trajectory.doc.get.root.findAll("png").head
+        (r.data, p.attr("width").get.toLong, p.attr("height").get.toLong,
+          p.attr("Title").get, p.attr("Description").get)
+      }
+      .asDataFrame.toDF("doc_id", "width", "height", "title", "png_text")
+      .orderBy(col("doc_id"))
+  }
+
   def q92MboxIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Mbox
     val fix = fixtureDir(dir, "q92")
@@ -1114,6 +1185,8 @@ object EngineQ {
     "q92_mbox_ingest" -> q92MboxIngest _,
     "q98_tiff_extract" -> q98TiffExtract _,
     "q99_ps_extract"  -> q99PsExtract _,
+    "q100_jpeg_exif"  -> q100JpegExif _,
+    "q101_png_text"   -> q101PngText _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -1230,6 +1303,18 @@ object EngineQ {
     "q99_ps_extract" ->
       """SELECT doc_id, text AS ps_text
         |FROM documents WHERE doc_id % 25 = 2 ORDER BY doc_id""".stripMargin,
+    // JPEG: SOF frame dimensions + the EXIF APP1's TIFF tags
+    "q100_jpeg_exif" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS height, text AS tiff_text,
+        |  'doc ' || doc_id AS artist, 'uc ' || doc_id AS user_comment
+        |FROM documents WHERE doc_id % 25 = 4 ORDER BY doc_id""".stripMargin,
+    // PNG: IHDR dimensions + tEXt/iTXt keyword map
+    "q101_png_text" ->
+      """SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 9 AS BIGINT) AS height,
+        |  'doc ' || doc_id AS title, text AS png_text
+        |FROM documents WHERE doc_id % 25 = 6 ORDER BY doc_id""".stripMargin,
     "q68_ppt_extract" ->
       """SELECT doc_id, text AS ppt_text
         |FROM documents WHERE doc_id % 25 = 13 ORDER BY doc_id""".stripMargin,
