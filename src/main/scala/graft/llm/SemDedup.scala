@@ -254,6 +254,80 @@ object SemDedup {
         col("bst.id").as("cluster"), col("bst.d").as("cdist"))
   }
 
+  /** Coarse-ROUTED assignment — the regime PAST even the distributed
+    * regime's reach, where k·d is too big to broadcast at all (the
+    * [[assignDF]] bucket rows still materialize k·d longs on every task):
+    * the fine-centroid table is NEVER broadcast. Classic two-level IVF:
+    *
+    *   1. a coarse table of every `coarseEvery`-th fine centroid
+    *      (deterministic; at production scale a k-means over the centroid
+    *      table — ANY coarse set works, it only moves routing recall),
+    *      k/coarseEvery · d longs — the √k-sized thing that CAN broadcast;
+    *   2. every fine centroid routes (exactly, broadcast fold) to its
+    *      nearest coarse cell; every vector routes to its `nProbe` nearest
+    *      coarse cells (multi-probe, same fold keeping a top-n array);
+    *   3. vectors ⋈ fine centroids as a SHUFFLE-HASH EQUI-JOIN on the
+    *      coarse cell id, argmin per vector — the corpus shuffles once
+    *      (×nProbe), the centroid table shuffles once, and no task ever
+    *      holds more than its coarse cells' centroids.
+    *
+    * APPROXIMATE by construction: a vector finds its true nearest fine
+    * centroid iff that centroid lives in one of its nProbe coarse cells —
+    * on well-separated clusterings routing is exact (spec-pinned
+    * bit-identical to [[assignDF]] at nProbe = 1); on adversarial
+    * geometry recall rises with nProbe and reaches 1 when nProbe covers
+    * all coarse cells (spec-pinned monotone). This is the honest trade at
+    * the k where exact assignment stops fitting: exactness itself is what
+    * you pay with (same doctrine as [[Ann.buildIndex]]'s IVF).
+    *
+    * Output: (idCol, qv, cluster, cdist) — the [[assign]] columns.
+    */
+  def assignCoarseDF(q: DataFrame, idCol: String, cen: DataFrame,
+                     coarseEvery: Int, nProbe: Int = 2): DataFrame = {
+    require(coarseEvery >= 1, s"coarseEvery must be >= 1: $coarseEvery")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    org.apache.spark.sql.graft.GraftFunctions.register(q.sparkSession)
+    val coarse = cen.filter(col("cid") % coarseEvery === 0)
+      .select(expr(s"cid div $coarseEvery").as("ccid"), col("cv"), col("n2"))
+    val coarsePacked = coarse
+      .agg(sort_array(collect_list(struct(col("ccid").as("cid"), col("cv"), col("n2"))))
+        .as("cells"))
+    // fine→coarse: both sides in CENTROID units → scale factor 1 in the
+    // squared-distance expansion (vs CENTROID_SCALE on the vector side)
+    val cenDist = "n2q + c.n2 - CAST(2 AS BIGINT) * vec_dot_long(qv, c.cv)"
+    val cenFold =
+      s"""aggregate(cells,
+         |  struct(CAST(-1 AS BIGINT) AS id, CAST(${Long.MaxValue} AS BIGINT) AS d),
+         |  (acc, c) -> CASE WHEN $cenDist < acc.d
+         |                   THEN struct(c.cid AS id, $cenDist AS d)
+         |                   ELSE acc END)""".stripMargin
+    val routedCen = cen
+      .withColumnRenamed("cv", "qv")
+      .withColumn("n2q", col("n2"))
+      .crossJoin(broadcast(coarsePacked))
+      .withColumn("ccid", expr(cenFold).getField("id"))
+      .select(col("cid"), col("qv").as("cv"), col("n2"), col("ccid"))
+    // vector→coarse multi-probe: top-nProbe coarse cells by the vector-side
+    // distance (CENTROID_SCALE factor), kept as a sorted bounded array
+    val probeFold =
+      s"""slice(array_sort(transform(cells,
+         |  c -> struct(($DIST) AS d, c.cid AS cid))), 1, $nProbe)""".stripMargin
+    val probed = q
+      .withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
+      .crossJoin(broadcast(coarsePacked))
+      .withColumn("probe", expr(probeFold))
+      .select(col(idCol), col("qv"), col("n2q"), explode(col("probe.cid")).as("ccid"))
+    probed.hint("shuffle_hash").join(routedCen, Seq("ccid"))
+      .withColumn("d", expr(
+        s"n2q * CAST(${CENTROID_SCALE * CENTROID_SCALE} AS BIGINT) + n2" +
+          s" - CAST(${2 * CENTROID_SCALE} AS BIGINT) * vec_dot_long(qv, cv)"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d").as("d"), col("cid").as("id"))).as("bst"),
+        first(col("qv")).as("qv"))
+      .select(col(idCol), col("qv"),
+        col("bst.id").as("cluster"), col("bst.d").as("cdist"))
+  }
+
   /** [[lloydUpdate]] with the centroid sums left DISTRIBUTED: the same
     * (cluster, pos) partial-sum aggregate, floor-divided as a column
     * (exact `Math.floorDiv` semantics: truncated `div` stepped down when

@@ -678,6 +678,56 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
   }
 
+  test("semdedup: coarse-routed assign — exact on separated data, monotone recall, no fine broadcast") {
+    val spark0 = spark
+    import spark0.implicits._
+    val S = graft.llm.SemDedup
+    // separated geometry: 16 orthogonal axis clusters (d = 16), members =
+    // the axis vector with a tiny same-axis wobble — every fine centroid
+    // is its cluster's axis, coarse routing can never misroute at
+    // nProbe = 1, so coarse == flat BIT-IDENTICALLY
+    val vecs = (0L until 160L).map { i =>
+      val axis = (i % 16).toInt
+      val v = Array.tabulate(16)(j => if (j == axis) 1.0f + 0.001f * (i % 3) else 0.0f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = S.quantize(vecs, "embedding").select(col("vec_id"), col("qv"))
+    val cen = S.initCentroidsDF(q.filter(col("vec_id") < 16), "vec_id", 16)
+      .localCheckpoint()
+    def collectA(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster", "cdist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val flat = collectA(S.assignDF(q, "vec_id", cen))
+    val coarse1 = collectA(S.assignCoarseDF(q, "vec_id", cen, coarseEvery = 4, nProbe = 1))
+    assert(coarse1 == flat, "separated data must route exactly at nProbe = 1")
+
+    // real embeddings: recall monotone in nProbe, 1.0 when probing all cells
+    val e = S.quantize(spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
+      .select(col("vec_id"), col("qv"))
+    val cen2 = S.initCentroidsDF(e, "vec_id", 32).localCheckpoint()
+    val exact = collectA(S.assignDF(e, "vec_id", cen2)).map(r => r._1 -> r._2).toMap
+    val recalls = Seq(1, 2, 8).map { p =>
+      val got = collectA(S.assignCoarseDF(e, "vec_id", cen2, coarseEvery = 4, nProbe = p))
+      got.count(r => exact(r._1) == r._2).toDouble / got.size
+    }
+    assert(recalls == recalls.sorted, s"recall must be monotone in nProbe: $recalls")
+    assert(recalls.last == 1.0, s"probing every coarse cell must be exact: $recalls")
+    // absolute recall on UNSTRUCTURED embeddings (uniform vectors, coarse
+    // cells with no geometric meaning) is the adversarial floor — the
+    // contract is monotone + exact-at-full-probe; on clustered data (the
+    // operator's domain) routing is near-exact, pinned above
+    assert(recalls.head > 0.25, s"nProbe=1 must beat the 1/8 random-cell floor: $recalls")
+
+    // plan pin: the FINE centroid table must NOT broadcast — it joins
+    // shuffle-hash on the coarse cell id; only the √k coarse table rides
+    // a BroadcastNestedLoopJoin
+    val plan = S.assignCoarseDF(e, "vec_id", cen2, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"fine join must be shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"fine table must never broadcast-hash-join:\n$plan")
+  }
+
   test("semdedup: hot-cluster guard — honest cap is bit-identical; mega-cluster pairs bounded") {
     val spark0 = spark
     import spark0.implicits._
