@@ -882,6 +882,26 @@ object SimQ {
         k = 8, iters = 1, tauNum = 2, tauDen = 5)
       .orderBy(col("vec_id"))
 
+  /** q102 — the coarse-routed (two-level IVF) assignment oracle-gated:
+    * the ALGORITHM is approximate, but every step is exact integer
+    * arithmetic, so the DuckDB oracle replays the whole route — coarse
+    * table (every 4th of 32 first-vector centroids), exact fine→coarse
+    * routing, 2-probe vector routing with the (distance, cell) tie-break,
+    * and the within-probed-cells argmin — and a Spark run that misroutes
+    * a single vector or mis-ties a probe hash-mismatches. This pins the
+    * SEMANTICS of the approximation itself, the q74 doctrine applied to
+    * [[graft.llm.SemDedup.assignCoarseDF]].
+    */
+  def q102CoarseAssign(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.llm.SemDedup
+      .quantize(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("qv"))
+    val cen = graft.llm.SemDedup.initCentroidsDF(q, "vec_id", 32).localCheckpoint()
+    graft.llm.SemDedup.assignCoarseDF(q, "vec_id", cen, coarseEvery = 4, nProbe = 2)
+      .select(col("vec_id"), col("cluster"), col("cdist"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_pagerank"      -> q62Pagerank _,
     "q64_pagerank_dangling" -> q64PagerankDangling _,
@@ -901,6 +921,7 @@ object SimQ {
     "q74_semdedup" -> q74SemDedup _,
     "q76_fuzzy_dedup" -> q76FuzzyDedup _,
     "q95_labelprop_converge" -> q95LabelPropConverge _,
+    "q102_coarse_assign" -> q102CoarseAssign _,
   )
 
   private val SIG_SQL = (1 to NUM_HASHES).map { i =>
@@ -1279,6 +1300,42 @@ object SimQ {
          |  FROM embeddings)
          |SELECT label, count(*) AS n, round(avg(norm), 4) AS avg_norm
          |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // coarse-routed assignment: the approximate route replayed exactly —
+    // coarse = every 4th of the first-32 centroids, exact fine routing,
+    // 2-probe vector routing, argmin within probed cells; all integer
+    "q102_coarse_assign" -> {
+      def sq(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+      def sqv(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] * 1000 - p[2]) * (p[1] * 1000 - p[2])))"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 100000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |cen AS (
+         |  SELECT vec_id AS cid, list_transform(qv, x -> x * 1000) AS cv FROM q WHERE vec_id < 32),
+         |coarse AS (SELECT cid // 4 AS ccid, cv FROM cen WHERE cid % 4 = 0),
+         |fr AS (
+         |  SELECT c.cid, c.cv, co.ccid,
+         |    row_number() OVER (PARTITION BY c.cid
+         |      ORDER BY ${sq("c.cv", "co.cv")}, co.ccid) AS r
+         |  FROM cen c CROSS JOIN coarse co),
+         |routed AS (SELECT cid, cv, ccid FROM fr WHERE r = 1),
+         |vp AS (
+         |  SELECT q.vec_id, q.qv, co.ccid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqv("q.qv", "co.cv")}, co.ccid) AS r
+         |  FROM q CROSS JOIN coarse co),
+         |cand AS (
+         |  SELECT p.vec_id, rc.cid, ${sqv("p.qv", "rc.cv")} AS d
+         |  FROM (SELECT vec_id, qv, ccid FROM vp WHERE r <= 2) p
+         |  JOIN routed rc ON rc.ccid = p.ccid),
+         |best AS (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+         |  FROM cand)
+         |SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS cdist
+         |FROM best WHERE r = 1 ORDER BY vec_id""".stripMargin
+    },
     "q76_fuzzy_dedup" ->
       s"""WITH $CAND_CTES,
          |p AS (SELECT doc_id, substr(text, 1, 256) AS s FROM documents),
