@@ -262,8 +262,9 @@ object SemDedup {
     *   1. a coarse table of every `coarseEvery`-th fine centroid
     *      (deterministic; at production scale a k-means over the centroid
     *      table — ANY coarse set works, it only moves routing recall),
-    *      k/coarseEvery · d longs — the √k-sized thing that CAN broadcast;
-    *   2. every fine centroid routes (exactly, broadcast fold) to its
+    *      k/coarseEvery · d longs — the √k-sized thing that CAN ride the
+    *      plan as a [[cellsLiteral]];
+    *   2. every fine centroid routes (exactly, literal fold) to its
     *      nearest coarse cell; every vector routes to its `nProbe` nearest
     *      coarse cells (multi-probe, same fold keeping a top-n array);
     *   3. vectors ⋈ fine centroids as a SHUFFLE-HASH EQUI-JOIN on the
@@ -284,16 +285,33 @@ object SemDedup {
     */
   def assignCoarseDF(q: DataFrame, idCol: String, cen: DataFrame,
                      coarseEvery: Int, nProbe: Int = 2): DataFrame = {
+    val coarse = coarseOf(cen, coarseEvery)
+    argminOverProbed(probeCoarse(q, idCol, coarse, nProbe), idCol,
+      routeCentroids(cen, coarse))
+  }
+
+  /** The coarse table as driver-side [[Centroids]]: every `coarseEvery`-th
+    * fine centroid, densely re-numbered. Bounded by construction — it
+    * exists precisely to be the √k-sized thing that CAN live in a plan
+    * literal (the [[cellsLiteral]] shape both the batch and streaming
+    * probe share).
+    */
+  def coarseOf(cen: DataFrame, coarseEvery: Int): Centroids = {
     require(coarseEvery >= 1, s"coarseEvery must be >= 1: $coarseEvery")
-    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
-    org.apache.spark.sql.graft.GraftFunctions.register(q.sparkSession)
-    val coarse = cen.filter(col("cid") % coarseEvery === 0)
-      .select(expr(s"cid div $coarseEvery").as("ccid"), col("cv"), col("n2"))
-    val coarsePacked = coarse
-      .agg(sort_array(collect_list(struct(col("ccid").as("cid"), col("cv"), col("n2"))))
-        .as("cells"))
-    // fine→coarse: both sides in CENTROID units → scale factor 1 in the
-    // squared-distance expansion (vs CENTROID_SCALE on the vector side)
+    cen.filter(col("cid") % coarseEvery === 0)
+      .select(expr(s"cid div $coarseEvery").as("ccid"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Exact fine→coarse routing: each fine centroid tagged with its nearest
+    * coarse cell (both sides in CENTROID units → scale factor 1 in the
+    * squared-distance expansion; ties to the lowest cell, the
+    * [[bestCellFold]] rule). Output (cid, cv, n2, ccid) — built ONCE, read
+    * per assign (and per micro-batch on the streaming path).
+    */
+  def routeCentroids(cen: DataFrame, coarse: Centroids): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(cen.sparkSession)
     val cenDist = "n2q + c.n2 - CAST(2 AS BIGINT) * vec_dot_long(qv, c.cv)"
     val cenFold =
       s"""aggregate(cells,
@@ -301,22 +319,41 @@ object SemDedup {
          |  (acc, c) -> CASE WHEN $cenDist < acc.d
          |                   THEN struct(c.cid AS id, $cenDist AS d)
          |                   ELSE acc END)""".stripMargin
-    val routedCen = cen
-      .withColumnRenamed("cv", "qv")
+    cen
+      .withColumn("qv", col("cv"))
       .withColumn("n2q", col("n2"))
-      .crossJoin(broadcast(coarsePacked))
+      .withColumn("cells", cellsLiteral(coarse))
       .withColumn("ccid", expr(cenFold).getField("id"))
-      .select(col("cid"), col("qv").as("cv"), col("n2"), col("ccid"))
-    // vector→coarse multi-probe: top-nProbe coarse cells by the vector-side
-    // distance (CENTROID_SCALE factor), kept as a sorted bounded array
+      .select(col("cid"), col("cv"), col("n2"), col("ccid"))
+  }
+
+  /** Vector→coarse multi-probe: each row tagged with its `nProbe` nearest
+    * coarse cells (vector-side CENTROID_SCALE distance, (d, cell)
+    * tie-break, kept as a sorted bounded array then exploded). Map-side
+    * over a √k-sized literal — works identically on a streaming frame.
+    * Output: (idCol, qv, n2q, ccid) × nProbe rows per input.
+    */
+  def probeCoarse(q: DataFrame, idCol: String, coarse: Centroids,
+                  nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    org.apache.spark.sql.graft.GraftFunctions.register(q.sparkSession)
     val probeFold =
       s"""slice(array_sort(transform(cells,
          |  c -> struct(($DIST) AS d, c.cid AS cid))), 1, $nProbe)""".stripMargin
-    val probed = q
-      .withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
-      .crossJoin(broadcast(coarsePacked))
+    q.withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
+      .withColumn("cells", cellsLiteral(coarse))
       .withColumn("probe", expr(probeFold))
       .select(col(idCol), col("qv"), col("n2q"), explode(col("probe.cid")).as("ccid"))
+  }
+
+  /** The shuffle-hash centroid join + per-id argmin over probed rows —
+    * the stage where the fine table is touched WITHOUT ever broadcasting:
+    * an equi-join on the coarse cell id, then `min(struct(d, cid))` per
+    * id (ties to the lower centroid, the [[assignDF]] rule).
+    */
+  def argminOverProbed(probed: DataFrame, idCol: String,
+                       routedCen: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(probed.sparkSession)
     probed.hint("shuffle_hash").join(routedCen, Seq("ccid"))
       .withColumn("d", expr(
         s"n2q * CAST(${CENTROID_SCALE * CENTROID_SCALE} AS BIGINT) + n2" +

@@ -331,6 +331,31 @@ object EventStreams {
       .drop("cells", "best", "qv", "n2q")
   }
 
+  /** [[semClusterIngest]]'s BIG-INDEX sibling — the streaming face of
+    * [[graft.llm.SemDedup.assignCoarseDF]] for centroid tables too big to
+    * ride the plan as a literal (the k·d wall, q102's regime): arrivals
+    * multi-probe a √k-sized coarse literal map-side, then STREAM-STATIC
+    * shuffle-hash join the distributed fine-centroid frame on the coarse
+    * cell id — Structured Streaming plans the static side per micro-batch
+    * exactly like batch, so the plan pieces (and the q102 semantics) are
+    * shared, not twinned. Per-arrival argmin is the same struct-min
+    * aggregate keyed by the arrival id — stateless, append-clean.
+    *
+    * `routedCen` must be [[graft.llm.SemDedup.routeCentroids]]' output
+    * (cid, cv, n2, ccid) — built ONCE offline, read per micro-batch.
+    */
+  def semCoarseIngest(vectors: DataFrame,
+                      coarse: graft.llm.SemDedup.Centroids,
+                      routedCen: DataFrame,
+                      nProbe: Int = 2,
+                      vecCol: String = "embedding"): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(vectors.sparkSession)
+    val probed = graft.llm.SemDedup
+      .probeCoarse(graft.llm.SemDedup.quantize(vectors, vecCol)
+        .select(col("vec_id"), col("qv")), "vec_id", coarse, nProbe)
+    graft.llm.SemDedup.argminOverProbed(probed, "vec_id", routedCen)
+  }
+
   /** [[sessionValues]] with ORACLE-EXACT arithmetic — the q97 gate surface:
     * session value sums in decimal(30,10) (order-independent, so streamed
     * micro-batch accumulation and a single batch pass agree bit-for-bit)

@@ -719,13 +719,13 @@ class LlmSpec extends AnyFunSuite {
     assert(recalls.head > 0.25, s"nProbe=1 must beat the 1/8 random-cell floor: $recalls")
 
     // plan pin: the FINE centroid table must NOT broadcast — it joins
-    // shuffle-hash on the coarse cell id; only the √k coarse table rides
-    // a BroadcastNestedLoopJoin
+    // shuffle-hash on the coarse cell id; the √k coarse table rides the
+    // plan as a literal, so NO broadcast node of any kind appears
     val plan = S.assignCoarseDF(e, "vec_id", cen2, 4, 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), s"fine join must be shuffle-hash:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"fine table must never broadcast-hash-join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fine table must never broadcast:\n$plan")
   }
 
   test("semdedup: hot-cluster guard — honest cap is bit-identical; mega-cluster pairs bounded") {

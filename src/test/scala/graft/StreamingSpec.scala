@@ -194,6 +194,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream-assigned arrivals must equal batch clusters exactly")
   }
 
+  test("streaming coarse-routed assignment (stream-static shuffle join) == batch assignCoarseDF") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.llm.SemDedup
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q0 = S.quantize(corpus, "embedding").select("vec_id", "qv")
+    val cen = S.initCentroidsDF(q0, "vec_id", 32).localCheckpoint()
+    val batch = S.assignCoarseDF(q0, "vec_id", cen, coarseEvery = 4, nProbe = 2)
+      .select("vec_id", "cluster", "cdist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // frozen index halves: the coarse literal + the routed fine frame
+    val coarse = S.coarseOf(cen, 4)
+    val routed = S.routeCentroids(cen, coarse).localCheckpoint()
+
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.semCoarseIngest(
+        input.toDF.toDF("vec_id", "embedding"), coarse, routed, nProbe = 2)
+      .selectExpr("vec_id", "cluster", "cdist")
+      .writeStream.format("memory").queryName("semcoarse").outputMode("update").start()
+    try {
+      input.addData(rows.take(100).toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.drop(100).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("semcoarse").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "stream-assigned arrivals must equal the batch coarse route exactly")
+  }
+
   test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
     val spark0 = spark
     import spark0.implicits._
