@@ -150,6 +150,11 @@ object Node {
       else if (m.contains("image/jpeg")) JpegNode.parse(content)
       else if (m.contains("image/png")) PngNode.parse(content)
       else if (m.startsWith("text/csv")) CsvNode.parse(str)
+      else if (m.contains("subrip") || m.contains("text/vtt")) {
+        // malformed cue files degrade to plain text, never to nothing
+        val sub = SubtitleNode.parse(content)
+        if (sub eq Unrecognisable) PlainNode(str) else sub
+      }
       else if (m.startsWith("text/")) PlainNode(str)
       else Unrecognisable
     } catch {

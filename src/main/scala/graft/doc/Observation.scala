@@ -431,6 +431,7 @@ object Mime {
     "gif" -> "image/gif", "pdf" -> "application/pdf",
     "tif" -> "image/tiff", "tiff" -> "image/tiff",
     "ps" -> "application/postscript", "eps" -> "application/postscript",
+    "srt" -> "application/x-subrip", "vtt" -> "text/vtt",
     "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
@@ -484,6 +485,12 @@ object Mime {
       else if (content.length > 262 && content(257) == 'u' && content(258) == 's' &&
         content(259) == 't' && content(260) == 'a' && content(261) == 'r')
         "application/x-tar" // ustar magic at 257 (extension-less tars)
+      else if (head.startsWith("WEBVTT")) "text/vtt"
+      // SubRip has no magic: an integer first line + a timing arrow is the
+      // de-facto signature
+      else if (head.linesIterator.nextOption().exists(l =>
+        l.trim.nonEmpty && l.trim.forall(_.isDigit)) && head.contains(" --> "))
+        "application/x-subrip"
       else if (head.startsWith("<!DOCTYPE") || head.toLowerCase.startsWith("<html")) "text/html"
       else if (head.startsWith("<?xml")) "text/xml"
       else if (head.startsWith("{") || head.startsWith("[")) "application/json"

@@ -644,6 +644,47 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q103 — subtitle ingestion (SubRip + WebVTT): every 25th document
+    * (offset 8) becomes a cue file — words in groups of 7 as 2-second
+    * cues, SRT for even ids, VTT (with cue settings the parser must skip)
+    * for odd — and the cue walk recovers format, cue count, total duration
+    * and the reassembled text. The oracle recomputes the 7-word chunking
+    * from the source table (the q82 chunk shape), so cue SEGMENTATION is
+    * load-bearing for the hash, not just concatenated text.
+    */
+  def q103Subtitles(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q103")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 25 === 8)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val cues = r.getString(1).split(" ").grouped(7).map(_.mkString(" ")).toSeq
+        if (id % 2 == 0)
+          graft.agent.DocIO.writeBytes(fix, s"sub_$id.srt",
+            graft.doc.SubtitleNode.writeSrt(cues))
+        else
+          graft.agent.DocIO.writeBytes(fix, s"sub_$id.vtt",
+            graft.doc.SubtitleNode.writeVtt(cues))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(
+        s"file:$fix/sub_$id.${if (id % 2 == 0) "srt" else "vtt"}")))
+      .select { r =>
+        val s = r.trajectory.doc.get.root.findAll("subtitles").head
+        val text = s.findAll("cues").map(_.attr("text").getOrElse("")).mkString("\n")
+        (r.data, s.attr("format").get, s.attr("n_cues").get.toLong,
+          s.attr("total_ms").get.toLong, text)
+      }
+      .asDataFrame.toDF("doc_id", "fmt", "n_cues", "total_ms", "sub_text")
+      .orderBy(col("doc_id"))
+  }
+
   def q92MboxIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Mbox
     val fix = fixtureDir(dir, "q92")
@@ -1187,6 +1228,7 @@ object EngineQ {
     "q99_ps_extract"  -> q99PsExtract _,
     "q100_jpeg_exif"  -> q100JpegExif _,
     "q101_png_text"   -> q101PngText _,
+    "q103_subtitles"  -> q103Subtitles _,
     "q41_media_ingest" -> q41MediaIngest _,
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
@@ -1309,6 +1351,24 @@ object EngineQ {
         |  CAST(8 + doc_id % 9 AS BIGINT) AS height, text AS tiff_text,
         |  'doc ' || doc_id AS artist, 'uc ' || doc_id AS user_comment
         |FROM documents WHERE doc_id % 25 = 4 ORDER BY doc_id""".stripMargin,
+    // subtitles: 7-word 2-second cues (the q82 chunk shape), format by
+    // id parity, duration = 2000ms per cue
+    "q103_subtitles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE doc_id % 25 = 8),
+        |lines AS (
+        |  SELECT doc_id, (pos - 1) // 7 AS ln,
+        |         string_agg(tok, ' ' ORDER BY pos) AS line
+        |  FROM toks GROUP BY doc_id, (pos - 1) // 7),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_cues,
+        |         string_agg(line, chr(10) ORDER BY ln) AS sub_text
+        |  FROM lines GROUP BY doc_id)
+        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+        |  n_cues, CAST(n_cues * 2000 AS BIGINT) AS total_ms, sub_text
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // PNG: IHDR dimensions + tEXt/iTXt keyword map
     "q101_png_text" ->
       """SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS width,
