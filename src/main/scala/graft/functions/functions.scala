@@ -89,6 +89,13 @@ object functions {
   def rolling_hash(text: Column): Column =
     native(graft.sql.RollingHash(ex(text)))
 
+  /** Unicode NFC normalization (native codegen; already-normalized
+    * strings pass through untouched) — the canonical-composition pass
+    * before any hash-based dedup.
+    */
+  def nfc(text: Column): Column =
+    native(graft.sql.NfcNormalize(ex(text)))
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

@@ -1074,7 +1074,29 @@ object TextQ {
           .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
       .orderBy(col("rank"))
 
+  /** q104 — Unicode NFC normalization (native codegen [[graft.sql
+    * .NfcNormalize]], the canonical-composition pass every hash-based
+    * dedup needs): a decomposed variant of each document is constructed
+    * deterministically (every `e` gains a combining acute U+0301 — so the
+    * corpus genuinely exercises composition, not the ASCII identity) and
+    * normalized back; the gate pins the normalized text, the per-doc
+    * composed-pair count (length delta — both engines count code points),
+    * and the changed flag against DuckDB's `nfc_normalize`. Scale shape:
+    * pure map-side scalar, whole-stage codegen, no shuffle.
+    */
+  def q104NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val dec = regexp_replace(col("text"), "e", "e\u0301")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.nfc(dec).as("norm_text"),
+        (length(dec) - length(graft.functions.nfc(dec))).cast("long").as("n_composed"),
+        (graft.functions.nfc(dec) =!= dec).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_nfc_normalize" -> q104NfcNormalize _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
     "q73_dsir_resample" -> q73DsirResample _,
@@ -1100,6 +1122,15 @@ object TextQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // NFC: decompose deterministically (combining acute after every 'e'),
+    // normalize back; lengths are code points on both engines
+    "q104_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec FROM documents)
+        |SELECT doc_id, nfc_normalize(dec) AS norm_text,
+        |  CAST(length(dec) - length(nfc_normalize(dec)) AS BIGINT) AS n_composed,
+        |  nfc_normalize(dec) != dec AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // DSIR importance resampling: the oracle re-derives the bucket hash
     // with the q44 list_reduce Rabin walk (code points on both engines),
     // the same add-1 importance ratio in HUGEINT (exact, like Spark's

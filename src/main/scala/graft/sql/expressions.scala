@@ -709,6 +709,49 @@ final case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column (java.text.Normalizer —
+  * the canonical-composition pass every corpus-cleaning pipeline runs
+  * before dedup/hashing: decomposed `e`+U+0301 and precomposed `é` are
+  * the SAME text to a tokenizer but different bytes to md5/minhash, so
+  * un-normalized corpora under-deduplicate). Codegen'd via a static
+  * helper (the [[RollingHash]] shape); already-NFC strings (the common
+  * case) short-circuit through `Normalizer.isNormalized` without
+  * allocating. Matches DuckDB's `nfc_normalize` value-for-value — the
+  * q104 gate pins it cross-engine.
+  */
+final case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcFunction.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.sql.NfcFunction.normalize($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcFunction {
+  /** Static entry point for generated code. */
+  def normalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object RollingHashFunction {
 
   final val Seed = 7L
@@ -1428,6 +1471,8 @@ object GraftExtensions {
         c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("url_normalize", new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
       (c: Seq[Expression]) => UrlNormalize(s(c(0)))),
+    ("nfc", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (c: Seq[Expression]) => NfcNormalize(s(c(0)))),
     // n must be a foldable int literal (it shapes the per-row loop)
     ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
       (c: Seq[Expression]) => NgramRepStats(s(c(0)),

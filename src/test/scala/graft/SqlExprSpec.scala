@@ -511,4 +511,35 @@ class SqlExprSpec extends AnyFunSuite {
     assert(rows.length == n)
     assert(rows.forall(r => r.getString(1) == r.getString(0).split(" ")(1) + ".html"))
   }
+
+  test("nfc: composes decomposed sequences, identity on normalized, SQL + codegen, nulls") {
+    val spark0 = spark
+    import spark0.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val cases = Seq(
+      "e\u0301clair",                   // decomposed e + combining acute
+      "caf\u00e9",                      // already NFC — must pass through unchanged
+      "A\u030angstro\u0308m",          // decomposed ring-above + diaeresis
+      "",                               // empty
+      "plain ascii")
+    val got = cases.toDF("s")
+      .select(graft.functions.nfc(col("s")).as("n")).collect().map(_.getString(0))
+    val expected = cases.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == expected)
+    assert(expected(0) == "\u00e9clair" && expected(2) == "\u00c5ngstr\u00f6m")
+    // SQL-registered
+    assert(spark.sql("SELECT nfc('e' || 'X')").collect().head.getString(0) == "eX")
+    // null in, null out
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.nfc(col("s"))).collect().head.isNullAt(0))
+    // codegen path, non-foldable input
+    val df2 = spark.range(3)
+      .select(concat(lit("e\u0301 id "), col("id")).as("s"))
+      .select(graft.functions.nfc(col("s")).as("n"))
+    val plan = df2.queryExecution.executedPlan
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined)
+    assert(!plan.toString.contains("ScalaUDF"))
+    assert(df2.collect().forall(_.getString(0).startsWith("\u00e9 id")))
+  }
 }
