@@ -96,6 +96,13 @@ object functions {
   def nfc(text: Column): Column =
     native(graft.sql.NfcNormalize(ex(text)))
 
+  /** KMV distinct-count sketch AGGREGATE: the k smallest 60-bit md5
+    * hashes per group as a sorted array<bigint> — bounded mergeable
+    * state, oracle-replicable estimate (see [[graft.sql.KmvSketch]]).
+    */
+  def kmv_sketch(text: Column, k: Int): Column =
+    native(graft.sql.KmvSketch(ex(text), k).toAggregateExpression())
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

@@ -1095,8 +1095,44 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q105 — KMV distinct-count sketch ([[graft.sql.KmvSketch]], the
+    * custom `TypedImperativeAggregate`): per-language distinct-token
+    * estimation with k = 64 minimum hashes — bounded mergeable state vs
+    * the exact `count(distinct)` shuffle, both emitted side by side so
+    * the gate pins the sketch CONTENT (size + k-th minimum hash) and the
+    * exact-decimal estimate `(k−1)·2⁶⁰·10⁶ div h_k` (sub-k groups fall
+    * back to the exact count ×10⁶). The DuckDB oracle recomputes the
+    * same 60-bit md5 hashes, ranks them, and replays the estimate in
+    * HUGEINT — even the sketch's estimation ERROR reproduces bit-for-bit.
+    *
+    * Scale shape: the sketch aggregate is ONE map-side-combined pass with
+    * k longs of state per (task, group); the exact count rides the same
+    * groupBy only because the gate wants the comparison — at 100 TB you
+    * keep the sketch and drop the exact leg.
+    */
+  def q105KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val k = 64
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"),
+        countDistinct(col("tok")).as("n_exact"))
+      .select(col("lang"), col("n_exact"),
+        size(col("kmv")).cast("long").as("kmv_n"),
+        expr("element_at(kmv, -1)").as("kth"),
+        expr(
+          s"""CASE WHEN size(kmv) < $k THEN CAST(size(kmv) AS BIGINT) * 1000000
+             |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
+             |     * CAST(1000000 AS DECIMAL(38,0))
+             |     div CAST(element_at(kmv, -1) AS DECIMAL(38,0)) END""".stripMargin)
+          .cast("long").as("est_millionths"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
+    "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
     "q73_dsir_resample" -> q73DsirResample _,
@@ -1131,6 +1167,27 @@ object TextQ {
         |  CAST(length(dec) - length(nfc_normalize(dec)) AS BIGINT) AS n_composed,
         |  nfc_normalize(dec) != dec AS changed
         |FROM d ORDER BY doc_id""".stripMargin,
+    // KMV sketch: 60-bit md5 hashes re-derived with the hex fold, ranked;
+    // the estimate replayed in HUGEINT — the sketch's error is pinned too
+    "q105_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |d AS (SELECT DISTINCT lang, tok FROM toks),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(tok), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM d),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |k AS (SELECT lang, count(*) AS kmv_n, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM toks GROUP BY lang)
+        |SELECT x.lang, x.n_exact, k.kmv_n, k.kth,
+        |  CAST(CASE WHEN k.kmv_n < 64 THEN k.kmv_n * 1000000
+        |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT * 1000000::HUGEINT) // k.kth
+        |       END AS BIGINT) AS est_millionths
+        |FROM x JOIN k ON k.lang = x.lang
+        |ORDER BY x.lang""".stripMargin,
     // DSIR importance resampling: the oracle re-derives the bucket hash
     // with the q44 list_reduce Rabin walk (code points on both engines),
     // the same add-1 importance ratio in HUGEINT (exact, like Spark's

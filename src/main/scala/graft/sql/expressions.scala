@@ -709,6 +709,120 @@ final case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** KMV (k-minimum-values) distinct-count sketch — the CUSTOM AGGREGATION
+  * surface (SURVEY §2.13) as a Catalyst `TypedImperativeAggregate`: the
+  * buffer is the set of the k smallest 60-bit md5 hashes seen, so state is
+  * BOUNDED at k longs per group regardless of input size, partial
+  * aggregation collapses map-side, and merge is a set-union-then-trim —
+  * the mergeable-sketch contract (Bar-Yossef et al. 2002) that makes
+  * COUNT(DISTINCT) estimable at 100 TB in one pass with k·8 bytes of
+  * state per group (exact distinct needs a full shuffle of the keys).
+  *
+  * Deliberately ORACLE-REPLICABLE, unlike HLL±: the hash is the first 15
+  * hex chars of md5 (the [[graft.llm.Bloom]] convention — identical on
+  * both engines), the sketch VALUE is the sorted hash array itself, and
+  * the estimate `(k−1)·2⁶⁰ / h_k` is computed declaratively downstream in
+  * exact decimal arithmetic — so even the estimation ERROR reproduces
+  * bit-for-bit (the q74/q102 doctrine: approximate algorithms, exact
+  * semantics). Null inputs are ignored (COUNT DISTINCT semantics).
+  */
+final case class KmvSketch(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    // skip adds that cannot enter the k smallest — O(log k) either way,
+    // but avoids churn on the common (large) hash
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { buf.add(h); if (buf.size > k) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, KmvFunction.hash60(v.asInstanceOf[UTF8String]))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr) // ascending — TreeSet iteration order
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvSketch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvSketch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}
+
+object KmvFunction {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 as a non-negative long — identical to parsing
+    * the digest's first 15 hex chars base 16 (the Bloom hash convention).
+    */
+  def hash60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
 /** Unicode NFC normalization of a string column (java.text.Normalizer —
   * the canonical-composition pass every corpus-cleaning pipeline runs
   * before dedup/hashing: decomposed `e`+U+0301 and precomposed `é` are
@@ -1473,6 +1587,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => UrlNormalize(s(c(0)))),
     ("nfc", new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
       (c: Seq[Expression]) => NfcNormalize(s(c(0)))),
+    // k must be a foldable int literal (it bounds the per-group state)
+    ("kmv_sketch", new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (c: Seq[Expression]) => KmvSketch(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     // n must be a foldable int literal (it shapes the per-row loop)
     ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
       (c: Seq[Expression]) => NgramRepStats(s(c(0)),

@@ -512,6 +512,40 @@ class SqlExprSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getString(1) == r.getString(0).split(" ")(1) + ".html"))
   }
 
+  test("kmv_sketch: partition-independent merge, hash-exact content, duplicates free, nulls skipped") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = 5000
+    val df = spark.range(n.toLong).select(concat(lit("value "), col("id")).as("s"))
+    def sk(d: org.apache.spark.sql.DataFrame, k: Int = 32): Seq[Long] =
+      d.agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+        .collect().head.getSeq[Long](0)
+    val a = sk(df.repartition(13))
+    assert(a == sk(df.coalesce(1)), "merge path must equal the single-partition path")
+    assert(a.length == 32 && a == a.sorted)
+    // content is EXACTLY the 32 smallest hashes (driver-side replay)
+    val expected = (0 until n)
+      .map(i => graft.sql.KmvFunction.hash60(UTF8String.fromString(s"value $i")))
+      .sorted.take(32)
+    assert(a == expected)
+    // duplicates are free (set semantics)
+    assert(sk(df.union(df)) == a)
+    // estimator sanity: within 5 standard errors of the true distinct count
+    val est = 31.0 * (1L << 60).toDouble / a.last
+    assert(math.abs(est - n) < 5 * n / math.sqrt(30), s"estimate $est vs $n")
+    // sub-k group returns the full (exact) hash set
+    assert(sk(df.limit(10)).length == 10)
+    // nulls ignored
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("s")
+    assert(sk(withNulls, 8).length == 2)
+    // SQL-registered
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("kmv_in")
+    assert(spark.sql("SELECT size(kmv_sketch(s, 8)) FROM kmv_in")
+      .collect().head.getInt(0) == 8)
+  }
+
   test("nfc: composes decomposed sequences, identity on normalized, SQL + codegen, nulls") {
     val spark0 = spark
     import spark0.implicits._
