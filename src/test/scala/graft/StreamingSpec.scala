@@ -227,6 +227,31 @@ class StreamingSpec extends AnyFunSuite {
       "stream-assigned arrivals must equal the batch coarse route exactly")
   }
 
+  test("streaming KMV sketch (stateful aggregate through the state store) == batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the custom TypedImperativeAggregate must survive state-store
+    // serialize/deserialize across micro-batches and merge correctly
+    val rows = (0 until 3000).map(i => (s"g${i % 3}", s"tok ${i % 800}"))
+    val batch = rows.toDF("g", "s").groupBy("g")
+      .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF.toDF("g", "s").groupBy("g")
+      .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
+      .writeStream.format("memory").queryName("kmvs").outputMode("complete").start()
+    try {
+      input.addData(rows.take(1000): _*); q.processAllAvailable()
+      input.addData(rows.drop(1000): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmvs").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch,
+      "cross-micro-batch sketch state must equal the batch sketch exactly")
+    assert(batch.values.forall(v => v.length == 16 && v == v.sorted))
+  }
+
   test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
     val spark0 = spark
     import spark0.implicits._
