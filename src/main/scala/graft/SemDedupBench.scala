@@ -48,12 +48,13 @@ object SemDedupBench {
     // uniform[-0.7, 0.7] from the vector id — E[cos] between same-group
     // members ≈ 0.34 with d = 64 concentration, so τ = 0.98 is a >7σ event; exact twins (every 100th id
     // copies its predecessor) are the only cos = 1 pairs.
-    def vectorsD(count: Long, k: Long, d: Int): DataFrame =
+    def vectorsJ(count: Long, k: Long, d: Int, jitter: Double): DataFrame =
       spark.range(count).select(col("id").as("vec_id"), expr(
         s"""transform(sequence(0, ${d - 1}), j ->
            |  (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END % $k) * 131 + j), 1000) / 1000.0 - 0.5)
-           |  + (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END) * 31 + j), 1000) / 1000.0 - 0.5) * 1.4)"""
+           |  + (pmod(xxhash64((CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END) * 31 + j), 1000) / 1000.0 - 0.5) * $jitter)"""
           .stripMargin).as("embedding"))
+    def vectorsD(count: Long, k: Long, d: Int): DataFrame = vectorsJ(count, k, d, 1.4)
     def vectors(count: Long, k: Long): DataFrame = vectorsD(count, k, D)
 
     def run(count: Long, k: Int): (Double, Long, Long) = {
@@ -103,6 +104,25 @@ object SemDedupBench {
     val (tDist, dupsDist) = runBig(SemDedup.PACKED_MAX_KD) // auto → distributed
     val (tPacked, dupsPacked) = runBig(Long.MaxValue)      // forced packed
 
+    // coarse-routed datapoint at the same big-k shape: assignment time +
+    // routing recall vs the exact assign (the q102 regime, where even the
+    // bucketed-literal k·d stops fitting). CLUSTERED geometry (jitter well
+    // under the center spread) — the operator's domain; unstructured
+    // vectors are the spec-pinned adversarial floor (LlmSpec measures it)
+    val bigQ = SemDedup.quantize(vectorsJ(bigN, bigK, bigD, 0.2), "embedding")
+      .select(col("vec_id"), col("qv")).localCheckpoint()
+    val bigCen = SemDedup.initCentroidsDF(bigQ, "vec_id", bigK).localCheckpoint()
+    val exactA = SemDedup.assignDF(bigQ, "vec_id", bigCen)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tC0 = System.nanoTime()
+    val coarseA = SemDedup.assignCoarseDF(bigQ, "vec_id", bigCen,
+        coarseEvery = 32, nProbe = 4)
+      .select(col("vec_id"), col("cluster")).collect()
+    val tCoarse = (System.nanoTime() - tC0) / 1e9
+    val recall = coarseA.count(r => exactA(r.getLong(0)) == r.getLong(1))
+      .toDouble / coarseA.length
+
     // ---- hot-cluster guard leg: HALF the corpus is one exact blob. The
     // unguarded pairwise stage is quadratic (measured analytically off
     // cluster sizes — the refusal, like SubstringBench's full-size mode);
@@ -138,6 +158,7 @@ object SemDedupBench {
         f""""fixedk_pair_ratio":$pairRatio%.2f,""" +
         f""""bigk_kd":${bigK.toLong * bigD},"bigk_dist_sec":$tDist%.2f,""" +
         f""""bigk_packed_sec":$tPacked%.2f,"bigk_dups":$dupsDist,""" +
+        f""""coarse_assign_sec":$tCoarse%.2f,"coarse_recall":$recall%.3f,""" +
         f""""guard_unguarded_pairs":$unguardedPairs,"guard_guarded_pairs":$guardedPairs,""" +
         f""""guard_sec":$tGuarded%.2f,"guard_blob_survivors":$blobSurvivors}""")
     // noise-free assertions: planted twins found (and only ~them); scaled-k
@@ -151,6 +172,9 @@ object SemDedupBench {
       s"fixed-k pair volume must ~quadruple: $pairRatio")
     assert(dupsDist == dupsPacked,
       s"regimes disagree past the pin: $dupsDist vs $dupsPacked")
+    // jittered group members sit far from other groups' axes: 4-probe
+    // routing over 48 coarse cells should recover the vast majority
+    assert(recall > 0.8, s"coarse routing recall collapsed: $recall")
     assert(unguardedPairs >= (gN / 2) * (gN / 2 - 1),
       s"blob must be quadratic unguarded: $unguardedPairs")
     assert(guardedPairs * 10 < unguardedPairs,
