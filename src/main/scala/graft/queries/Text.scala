@@ -1130,9 +1130,44 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** q106 — largest-remainder (Hamilton) budget apportionment: allocate a
+    * fixed token budget across languages exactly proportionally — each
+    * language gets ⌊B·nᵢ/N⌋ and the leftover B − Σ⌊·⌋ tokens go +1 each
+    * to the largest fractional remainders (ties to lang asc) — the
+    * deterministic quota-planning primitive behind mixture sampling
+    * (q49 draws the sample; this decides HOW MUCH each stratum gets, with
+    * Σ quota = B exactly, no float drift). All integer arithmetic; every
+    * window runs over the |langs|-row aggregate — the dimension-table
+    * ranking shape, never corpus-sized.
+    */
+  def q106Apportion(spark: SparkSession, dir: String): DataFrame =
+    apportion(
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_toks")),
+      1000000L)
+      .orderBy(col("lang"))
+
+  /** Core of [[q106Apportion]] over any (lang, n_toks) aggregate — the
+    * spec hand-verifies quotas and the Σ = B invariant on planted counts.
+    */
+  def apportion(counts: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("ntot", sum(col("n_toks")).over(w.partitionBy()))
+      .withColumn("base", expr(s"(n_toks * ${budget}L) div ntot"))
+      .withColumn("rem", expr(s"(n_toks * ${budget}L) % ntot"))
+      .withColumn("base_total", sum(col("base")).over(w.partitionBy()))
+      .withColumn("rk", row_number().over(w.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("n_toks"),
+        (col("base") +
+          when(col("rk") <= lit(budget) - col("base_total"), 1L).otherwise(0L)).as("quota"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
+    "q106_apportion"     -> q106Apportion _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
     "q73_dsir_resample" -> q73DsirResample _,
@@ -1167,6 +1202,27 @@ object TextQ {
         |  CAST(length(dec) - length(nfc_normalize(dec)) AS BIGINT) AS n_composed,
         |  nfc_normalize(dec) != dec AS changed
         |FROM d ORDER BY doc_id""".stripMargin,
+    // largest-remainder apportionment: floor quota + the B - sum(floor)
+    // largest remainders get +1, ties to lang asc; sum(quota) = B exactly
+    "q106_apportion" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_toks
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang),
+        |t AS (
+        |  SELECT lang, n_toks,
+        |    (n_toks * 1000000) // (SELECT sum(n_toks) FROM c) AS base,
+        |    (n_toks * 1000000) % (SELECT sum(n_toks) FROM c) AS rem
+        |  FROM c),
+        |r AS (
+        |  SELECT lang, n_toks, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    (SELECT sum(base) FROM t) AS base_total
+        |  FROM t)
+        |SELECT lang, n_toks,
+        |  CAST(base + CASE WHEN rk <= 1000000 - base_total THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r ORDER BY lang""".stripMargin,
     // KMV sketch: 60-bit md5 hashes re-derived with the hex fold, ranked;
     // the estimate replayed in HUGEINT — the sketch's error is pinned too
     "q105_kmv_distinct" ->

@@ -563,6 +563,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(merges == Seq(("w", "e"), ("l", "o"), ("e", "we")))
   }
 
+  test("apportionment: sum(quota) == budget exactly; largest remainders win; ties break lang asc") {
+    val s = spark
+    import s.implicits._
+    def run(counts: Seq[(String, Long)], b: Long): Map[String, Long] =
+      graft.queries.TextQ.apportion(counts.toDF("lang", "n_toks"), b)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // exact proportions: no remainders
+    assert(run(Seq(("a", 3L), ("b", 3L), ("c", 4L)), 10L) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+    // 10 over (1,1,1): base 3 each, equal remainders -> lang-asc tie gets +1
+    assert(run(Seq(("a", 1L), ("b", 1L), ("c", 1L)), 10L) ==
+      Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // skewed: remainders decide, sum invariant holds
+    val q = run(Seq(("a", 7L), ("b", 2L), ("c", 1L)), 100L)
+    assert(q.values.sum == 100L && q == Map("a" -> 70L, "b" -> 20L, "c" -> 10L))
+    val q2 = run(Seq(("a", 5L), ("b", 3L), ("c", 1L)), 7L)
+    // 7*5/9=3 r8, 7*3/9=2 r3, 7*1/9=0 r7 -> bases (3,2,0) sum 5, two +1s
+    // to the largest remainders (a r8, c r7)
+    assert(q2 == Map("a" -> 4L, "b" -> 2L, "c" -> 1L) && q2.values.sum == 7L)
+  }
+
   test("BPE trainBatched: exact parity with sequential on a non-interacting corpus; conflicts deferred") {
     val s = spark
     import s.implicits._
