@@ -82,9 +82,12 @@ object Bench {
     }
     val med = names.map(n => n -> median(samples.map(_(n)._1)))
     val iqrs = names.map(n => n -> iqr(samples.map(_(n)._1)))
-    // fixture/query split: medians taken per-component; "queries" stays
-    // the WALL number (cross-round comparable), fixture_sec/query_sec are
-    // its decomposition, emitted only for queries that build fixtures
+    // fixture/query split: "queries" stays the WALL median (cross-round
+    // comparable); fixture_sec/query_sec are its decomposition, emitted
+    // only for queries that build fixtures. query_sec is the median of the
+    // PER-PASS difference wall−fixture — taking median(wall)−median(fixture)
+    // could pair components from different passes and need not correspond
+    // to any actual run.
     val fixMed = names.map(n => n -> median(samples.map(_(n)._2)))
       .filter(_._2 > 0.005)
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -94,8 +97,9 @@ object Bench {
     val fixMap = fixMed.toMap
     val fx = fixMed.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val qonly = fixMed.map { case (k, v) =>
-      s"\"" + k + "\":" + f"${math.max(0.0, med.toMap.apply(k) - v)}%.3f"
+    val qonly = fixMed.map { case (k, _) =>
+      val diffMed = median(samples.map(s => s(k)._1 - s(k)._2))
+      s"\"" + k + "\":" + f"${math.max(0.0, diffMed)}%.3f"
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val fixtureTotal = fixMap.values.sum
@@ -103,18 +107,24 @@ object Bench {
     val canIqrV = iqr(canaries.toSeq)
     val canMed = f"$canMedV%.3f"
     val canIqr = f"$canIqrV%.3f"
-    // noisy flag (r11 verdict #8): when the canary's IQR exceeds 15% of its
-    // median, the session's ambient variance is too high for raw per-query
-    // deltas to mean anything — cross-round comparisons should canary-
-    // normalize and distrust sub-IQR movers. r11's driver session measured
-    // 31% and had to be adjudicated after the fact; this makes it a
-    // run-time datum instead.
-    val noisy = canIqrV > 0.15 * canMedV
+    // noisy flag (r11 verdict #8, tightened per r14 verdict #1): the r14
+    // committed run had canary IQR 8.7% and ELEVEN queries above 50%
+    // relative IQR yet read noisy:false under the old 15% canary-only
+    // rule — useless as a regression baseline. Now trips when EITHER
+    // (a) the canary's IQR exceeds 5% of its median, or (b) more than two
+    // queries (of >=0.2 s median, where relative IQR is measurable) show
+    // IQR above 50% of their median. A noisy:true baseline should be
+    // re-run on a quieter session before anchoring cross-round deltas.
+    val relNoisyCount = med.count { case (n, m) =>
+      m >= 0.2 && iqrs.toMap.apply(n) > 0.5 * m
+    }
+    val noisy = canIqrV > 0.05 * canMedV || relNoisyCount > 2
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""runs":$passes,"iqr":$sp,""" +
         f""""fixture_total_sec":$fixtureTotal%.3f,"fixture_sec":$fx,"query_sec":$qonly,""" +
-        s""""canary_sec":$canMed,"canary_iqr":$canIqr,"noisy":$noisy,"sf":"$sfDir"}"""
+        s""""canary_sec":$canMed,"canary_iqr":$canIqr,"noisy":$noisy,""" +
+        s""""rel_noisy_queries":$relNoisyCount,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json)
     // stop() BEFORE printing so the JSON is the final stdout line (no
     // shutdown log lines after it) — the driver parses the last line.

@@ -62,11 +62,17 @@ object JpegNode {
       }
       if (width < 0 && exif.isEmpty) return Node.Unrecognisable
       val sb = new StringBuilder
-      sb.append("{\"jpeg\":{\"width\":").append(width)
-        .append(",\"height\":").append(height).append('}')
+      sb.append('{')
+      // A file whose SOF was never reached (truncated before the frame
+      // header) must not leak -1 sentinels to attr("width") consumers:
+      // the jpeg object is emitted only when real dimensions were read.
+      if (width >= 0)
+        sb.append("\"jpeg\":{\"width\":").append(width)
+          .append(",\"height\":").append(height).append('}')
       exif.foreach { t =>
         // splice the {"tiff":{…}} object's single field alongside
-        sb.append(',').append(t.substring(1, t.length - 1))
+        if (width >= 0) sb.append(',')
+        sb.append(t.substring(1, t.length - 1))
       }
       sb.append('}')
       JsonNode.parse(sb.result())

@@ -89,8 +89,12 @@ object PngNode {
       sb.append("{\"png\":{\"width\":").append(width)
         .append(",\"height\":").append(height)
         .append(",\"bit_depth\":").append(bitDepth)
+      // File-controlled keywords must not shadow the structural
+      // attributes above (duplicate JSON keys): reserved names are
+      // dropped rather than spliced.
       texts.foreach { case (k, v) =>
-        sb.append(',').append(jstr(k)).append(':').append(jstr(v))
+        if (k != "width" && k != "height" && k != "bit_depth")
+          sb.append(',').append(jstr(k)).append(':').append(jstr(v))
       }
       sb.append("}}")
       JsonNode.parse(sb.result())
@@ -143,19 +147,23 @@ object PngNode {
   }
 
   private def inflate(a: Array[Byte], from: Int, until: Int): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(a, from, until - from)
       val out = new ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       while (!inf.finished() && out.size() <= MaxInflate) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n==0 without finishing means no forward progress is possible:
+        // truncated stream (needsInput) OR a preset-dictionary stream
+        // (needsDictionary) — either way an untrusted chunk must not
+        // spin the task forever.
+        if (n == 0 && !inf.finished()) return None
         out.write(buf, 0, n)
       }
-      inf.end()
       if (out.size() > MaxInflate) None else Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally inf.end()
   }
 
   private def jstr(s: String): String =

@@ -211,13 +211,13 @@ object EventsQ {
       s"""WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events
         |), flagged AS (
-        |  SELECT user_id, value, tus,
+        |  SELECT user_id, event_id, value, tus,
         |    CASE WHEN lag(tus) OVER w IS NULL
         |              OR tus - lag(tus) OVER w >= $GAP_US THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         |), sessions AS (
         |  SELECT user_id, value, tus,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS sid
         |  FROM flagged
