@@ -123,6 +123,50 @@ object SemDedupBench {
     val recall = coarseA.count(r => exactA(r.getLong(0)) == r.getLong(1))
       .toDouble / coarseA.length
 
+    // ---- coarse-routed TRAINING leg: k·d past COARSE_MAX_KD, where even
+    // the bucketed-broadcast assignment stops fitting the per-task budget
+    // and fitDF auto-routes every Lloyd iteration through assignCoarseDF.
+    // Exact fit is FORCED on the same input for the contrast datapoint
+    // (same clustered geometry as the assignment leg — the operator's
+    // domain). One iteration each; wall ratios reported, not asserted —
+    // the coarse route's claim is MEMORY SHAPE (the loop runs with no
+    // task ever holding more than one coarse cell's centroids), not wall
+    // at a k·d where exact still fits: isolated runs measure the coarse
+    // iteration ~2x faster fully materialized (12.2 vs 25.1 s assign,
+    // 18.6 vs 37.7 s assign+update), but in-context numbers wobble with
+    // the block-manager state earlier legs leave behind.
+    spark.catalog.clearCache() // drop earlier legs' leaked persists
+    val (fitD, fitK, fitN) = (512, 8704, 9000L)
+    require(fitK.toLong * fitD > SemDedup.COARSE_MAX_KD,
+      "training leg must cross the coarse pin")
+    val fitQ = SemDedup.quantize(vectorsJ(fitN, 256, fitD, 0.2), "embedding")
+      .select(col("vec_id"), col("qv"))
+      .repartition(col("vec_id")).persist()
+    fitQ.count()
+    val cenF = SemDedup.initCentroidsDF(fitQ, "vec_id", fitK).localCheckpoint()
+    val coarseEveryF = math.max(1, math.round(math.sqrt(fitK.toDouble)).toInt)
+    // one ITERATION per regime — assign + Lloyd update, fully materialized
+    // (localCheckpoint defeats the column pruning a bare count() invites),
+    // checkpoint dropped right after so iterations don't pollute each
+    // other's block-manager budget. One untimed round per regime first:
+    // the coarse plan shapes (literal-fold probe, shuffle-hash routing
+    // join) pay heavy codegen/JIT on their cold pass.
+    def iterOnce(coarse: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val assigned =
+        if (coarse) SemDedup.assignCoarseDF(fitQ, "vec_id", cenF, coarseEveryF, 2)
+        else SemDedup.assignDF(fitQ, "vec_id", cenF)
+      val r = SemDedup.lloydUpdateDF(assigned, cenF).localCheckpoint()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = r.count()
+      r.unpersist(false)
+      (dt, rows)
+    }
+    iterOnce(coarse = true); iterOnce(coarse = false)
+    val (tFitCoarse, fitCoarseRows) = iterOnce(coarse = true)
+    val (tFitExact, fitExactRows) = iterOnce(coarse = false)
+    fitQ.unpersist(false)
+
     // ---- hot-cluster guard leg: HALF the corpus is one exact blob. The
     // unguarded pairwise stage is quadratic (measured analytically off
     // cluster sizes — the refusal, like SubstringBench's full-size mode);
@@ -159,6 +203,8 @@ object SemDedupBench {
         f""""bigk_kd":${bigK.toLong * bigD},"bigk_dist_sec":$tDist%.2f,""" +
         f""""bigk_packed_sec":$tPacked%.2f,"bigk_dups":$dupsDist,""" +
         f""""coarse_assign_sec":$tCoarse%.2f,"coarse_recall":$recall%.3f,""" +
+        f""""fit_kd":${fitK.toLong * fitD},"fit_coarse_iter_sec":$tFitCoarse%.2f,""" +
+        f""""fit_exact_iter_sec":$tFitExact%.2f,""" +
         f""""guard_unguarded_pairs":$unguardedPairs,"guard_guarded_pairs":$guardedPairs,""" +
         f""""guard_sec":$tGuarded%.2f,"guard_blob_survivors":$blobSurvivors}""")
     // noise-free assertions: planted twins found (and only ~them); scaled-k
@@ -175,6 +221,8 @@ object SemDedupBench {
     // jittered group members sit far from other groups' axes: 4-probe
     // routing over 48 coarse cells should recover the vast majority
     assert(recall > 0.8, s"coarse routing recall collapsed: $recall")
+    assert(fitCoarseRows == fitK && fitExactRows == fitK,
+      s"fit must return k centroid rows: $fitCoarseRows / $fitExactRows")
     assert(unguardedPairs >= (gN / 2) * (gN / 2 - 1),
       s"blob must be quadratic unguarded: $unguardedPairs")
     assert(guardedPairs * 10 < unguardedPairs,

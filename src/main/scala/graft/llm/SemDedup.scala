@@ -89,6 +89,20 @@ object SemDedup {
     */
   val ASSIGN_BUCKET: Int = 256
 
+  /** SECOND regime pin, above [[PACKED_MAX_KD]]: past this many k·d
+    * centroid longs (2²² = 32 MiB packed) even the distributed regime's
+    * bucketed broadcast stops being safe — every [[assignDF]] task still
+    * materializes ALL k·d longs across its bucket rows, ×32 concurrent
+    * tasks per executor. Above it, [[fitDF]] routes every Lloyd
+    * iteration through [[assignCoarseDF]] (two-level IVF routing derived
+    * fresh from the PREVIOUS iteration's centroids), trading exact
+    * assignment for a per-task footprint of one coarse cell's centroids —
+    * the same exactness-is-the-price doctrine as final assignment (q102).
+    * At nProbe ≥ the coarse-cell count routing recall is 1 and the fit is
+    * bit-identical to the exact route (spec-pinned).
+    */
+  val COARSE_MAX_KD: Long = 1L << 22
+
   /** Centroid id + components in COMPONENT_SCALE·CENTROID_SCALE units. */
   type Centroids = Seq[(Long, Array[Long])]
 
@@ -397,13 +411,39 @@ object SemDedup {
     * the nested-broadcast lineage the way [[graft.scale.PageRank]] cadences
     * its ranks). Callers pass a corpus ALREADY hash-partitioned on `idCol`
     * (and persisted) so every iteration is exchange-free for the vectors.
+    *
+    * Above `coarseMaxKd` ([[COARSE_MAX_KD]]) the bucketed-broadcast
+    * assignment itself stops fitting the per-task budget, and each
+    * iteration routes through [[assignCoarseDF]] instead: coarse table =
+    * every √k-th of the PREVIOUS iteration's centroids (re-derived every
+    * iteration — routing always reflects the centroids being assigned
+    * against), `nProbe` multi-probe. The trade is explicit: assignment
+    * within an iteration becomes approximate (Lloyd still descends — a
+    * mis-routed vector just joins a near-best cluster for that round) and
+    * the corpus shuffles twice per iteration (probe-join + argmin) instead
+    * of zero; what is bought is that no task ever holds more than one
+    * coarse cell's centroids. At nProbe ≥ ceil(k/coarseEvery) routing
+    * recall is 1 and the fit is BIT-IDENTICAL to the exact route
+    * (spec-pinned), so the pin is a memory-shape decision exactly like
+    * [[PACKED_MAX_KD]] — up to the recall trade documented on
+    * [[assignCoarseDF]].
     */
   def fitDF(q: DataFrame, idCol: String, k: Int, iters: Int,
-            bucketSize: Int = ASSIGN_BUCKET): DataFrame = {
+            bucketSize: Int = ASSIGN_BUCKET,
+            coarseMaxKd: Long = COARSE_MAX_KD,
+            nProbe: Int = 2): DataFrame = {
     var cen = initCentroidsDF(q, idCol, k).localCheckpoint()
+    // d probe: one bounded row — decides the assignment regime for the fit
+    val d = q.select(size(col("qv")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val useCoarse = k.toLong * d > coarseMaxKd
+    val coarseEvery = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
     var i = 0
     while (i < iters) {
-      cen = lloydUpdateDF(assignDF(q, idCol, cen, bucketSize), cen).localCheckpoint()
+      val assigned =
+        if (useCoarse) assignCoarseDF(q, idCol, cen, coarseEvery, nProbe)
+        else assignDF(q, idCol, cen, bucketSize)
+      cen = lloydUpdateDF(assigned, cen).localCheckpoint()
       i += 1
     }
     cen
@@ -490,7 +530,8 @@ object SemDedup {
   def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, tauNum: Long, tauDen: Long,
                packedMaxKd: Long = PACKED_MAX_KD,
-               maxClusterSize: Long = 0L): DataFrame = {
+               maxClusterSize: Long = 0L,
+               coarseMaxKd: Long = COARSE_MAX_KD): DataFrame = {
     val q0 = quantize(vectors, vecCol).select(col(idCol), col("qv"))
     // d probe for the k·d regime pin: a one-row bounded collect
     val d = q0.select(size(col("qv")).as("d")).limit(1).collect()
@@ -501,8 +542,19 @@ object SemDedup {
       } else {
         // the corpus' ONLY shuffle of the whole fit: hash-partition on id
         // once, reused exchange-free by every iteration's argmin aggregate
+        // (exact route; the coarse route past coarseMaxKd shuffles per
+        // iteration — the documented memory-vs-exchange trade)
         val qP = q0.repartition(col(idCol)).persist()
-        (assignDF(qP, idCol, fitDF(qP, idCol, k, iters)), Some(qP))
+        val cen = fitDF(qP, idCol, k, iters, coarseMaxKd = coarseMaxKd)
+        // final assignment rides the same regime the fit did: past the
+        // coarse pin, assignDF's bucket rows would re-materialize the
+        // very k·d the fit just refused to
+        val a =
+          if (k.toLong * d > coarseMaxKd)
+            assignCoarseDF(qP, idCol, cen,
+              math.max(1, math.round(math.sqrt(k.toDouble)).toInt))
+          else assignDF(qP, idCol, cen)
+        (a, Some(qP))
       }
     val m = assigned
       .withColumn("n2", qdot("qv", "qv"))

@@ -728,6 +728,38 @@ class LlmSpec extends AnyFunSuite {
       s"fine table must never broadcast:\n$plan")
   }
 
+  test("semdedup: coarse-routed Lloyd TRAINING at full probe is bit-identical to the exact fit") {
+    val S = graft.llm.SemDedup
+    val q = S.quantize(spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
+      .select(col("vec_id"), col("qv"))
+    val qP = q.repartition(col("vec_id")).persist()
+    try {
+      def collectCen(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1).toSeq
+      // k = 16 → coarseEvery = √16 = 4 → 4 coarse cells; nProbe = 4 probes
+      // every cell, so routing recall is 1 and each iteration's assignment
+      // (hence each Lloyd update, hence the fit) must equal the exact route
+      // component for component — across TWO iterations, so the re-derived
+      // routing of iteration 2 runs against iteration 1's centroids
+      val exact = collectCen(S.fitDF(qP, "vec_id", k = 16, iters = 2))
+      val coarseFull = collectCen(
+        S.fitDF(qP, "vec_id", k = 16, iters = 2, coarseMaxKd = 0L, nProbe = 4))
+      assert(coarseFull == exact,
+        "full-probe coarse-routed training must be bit-identical to the exact fit")
+      // honest-approximation shape at partial probe: still k centroid rows,
+      // every component finite — the fit is usable, just approximate
+      val coarsePartial = collectCen(
+        S.fitDF(qP, "vec_id", k = 16, iters = 2, coarseMaxKd = 0L, nProbe = 1))
+      assert(coarsePartial.map(_._1) == exact.map(_._1))
+      // operator-level threading: semDedup past BOTH pins still produces a
+      // verdict row per vector with the full cluster-id range shape
+      val dedup = S.semDedup(spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", k = 16, iters = 1, tauNum = 2, tauDen = 5,
+        packedMaxKd = 0L, coarseMaxKd = 0L)
+      assert(dedup.count() == q.count())
+    } finally qP.unpersist(false)
+  }
+
   test("semdedup: hot-cluster guard — honest cap is bit-identical; mega-cluster pairs bounded") {
     val spark0 = spark
     import spark0.implicits._
