@@ -639,6 +639,28 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q107 — batched-BPE TRAINING gate ([[graft.llm.Bpe.trainBatched]]):
+    * the merge table itself, trained with batched selection (nMerges = 12,
+    * batch = 3) on the corpus. The DuckDB oracle REPLAYS the batched
+    * algorithm round by round — pair counting, the (cnt desc, l, r)
+    * ranked 4×-oversampled slice, the greedy non-interaction conflict
+    * skip (a recursive CTE carrying the lefts/rights/made sets as lists),
+    * and the in-order merge application as a guarded-string replace chain
+    * (the q55 representation) — so the approximation's SEMANTICS are
+    * pinned cross-engine, not just its output on one corpus (the q102
+    * replay-the-route doctrine). Spark-side cost: ~nMerges/batch counting
+    * jobs over the bounded word-frequency table; the corpus is scanned
+    * once.
+    */
+  def q107BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.llm.Bpe.trainBatched(Tables.documents(spark, dir), nMerges = 12, batch = 3)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "l", "r")
+      .orderBy(col("rank"))
+  }
+
   /** The persistable exact-substring index of a corpus: its anchor table —
     * (doc_id, gram) rows, ~1/p of the k-grams, no text. Write it out
     * between ingest batches and feed it to [[incrementalSubstringPairs]]
@@ -1190,9 +1212,90 @@ object TextQ {
     "q66_substring_scrub" -> q66SubstringScrub _,
     "q54_pii_scrub" -> q54PiiScrub _,
     "q55_bpe_apply" -> q55BpeApply _,
+    "q107_bpe_batched" -> q107BpeBatched _,
   )
 
+  /** The q107 oracle, GENERATED: `nMerges` unrolled training rounds, each
+    * a materialized CTE chain (pair counts → ranked slice → greedy
+    * conflict-skip recursive CTE → replace-chain apply). MATERIALIZED is
+    * load-bearing — inlined CTEs would re-expand `seqs0` exponentially
+    * (2^rounds parquet scans). Rounds past exhaustion no-op: want = 0 ⇒
+    * empty slice ⇒ empty selection ⇒ identity replaces.
+    */
+  private def bpeBatchedOracle(nMerges: Int, batch: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH RECURSIVE words AS (
+         |  SELECT w AS word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |), seqs0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', '⟨\\1⟩', 'g') || '⟨</w>⟩' AS s, freq FROM words
+         |)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val prev = s"seqs${k - 1}"
+      val prior =
+        if (k == 1) "0"
+        else (1 until k).map(j => s"(SELECT count(*) FROM sel$j)").mkString(" + ")
+      val cond =
+        s"len(g.sel) < (SELECT w FROM want$k)" +
+          s" AND NOT list_contains(g.rt, t.l) AND NOT list_contains(g.md, t.l)" +
+          s" AND NOT list_contains(g.lf, t.r) AND NOT list_contains(g.md, t.r)"
+      var inner = "s"
+      for (o <- 1 to batch) {
+        val pat = s"coalesce((SELECT '⟨' || l || '⟩⟨' || r || '⟩' FROM sel$k WHERE ord = $o), '⟨⟩')"
+        val rep = s"coalesce((SELECT '⟨' || l || r || '⟩' FROM sel$k WHERE ord = $o), '')"
+        inner = s"replace($inner, $pat, $rep)"
+      }
+      sb.append(
+        s""", want$k AS MATERIALIZED (
+           |  SELECT LEAST($batch, $nMerges - ($prior)) AS w
+           |), pc$k AS MATERIALIZED (
+           |  SELECT l, r, sum(freq) AS cnt FROM (
+           |    SELECT syms[i] AS l, syms[i + 1] AS r, freq
+           |    FROM (SELECT string_split(trim(s, '⟨⟩'), '⟩⟨') AS syms, freq FROM $prev),
+           |         unnest(range(1, len(syms))) AS t(i)
+           |    WHERE len(syms) >= 2
+           |  ) GROUP BY l, r
+           |), top$k AS MATERIALIZED (
+           |  SELECT l, r, row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk
+           |  FROM pc$k
+           |  QUALIFY rk <= 4 * (SELECT w FROM want$k)
+           |), g$k AS (
+           |  SELECT 0 AS rk, CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]) AS sel,
+           |         CAST([] AS VARCHAR[]) AS lf, CAST([] AS VARCHAR[]) AS rt, CAST([] AS VARCHAR[]) AS md
+           |  UNION ALL
+           |  SELECT t.rk,
+           |    CASE WHEN $cond THEN list_append(g.sel, {'l': t.l, 'r': t.r}) ELSE g.sel END,
+           |    CASE WHEN $cond THEN list_append(g.lf, t.l) ELSE g.lf END,
+           |    CASE WHEN $cond THEN list_append(g.rt, t.r) ELSE g.rt END,
+           |    CASE WHEN $cond THEN list_append(g.md, t.l || t.r) ELSE g.md END
+           |  FROM g$k g JOIN top$k t ON t.rk = g.rk + 1
+           |), sel$k AS MATERIALIZED (
+           |  SELECT x.sel[i].l AS l, x.sel[i].r AS r, i AS ord
+           |  FROM (SELECT sel FROM g$k WHERE rk = (SELECT max(rk) FROM g$k)) x,
+           |       unnest(range(1, len(x.sel) + 1)) AS t(i)
+           |), seqs$k AS MATERIALIZED (
+           |  SELECT $inner AS s, freq FROM $prev
+           |)""".stripMargin)
+    }
+    val sels = (1 to nMerges)
+      .map(k => s"SELECT $k AS rnd, ord, l, r FROM sel$k")
+      .mkString("\nUNION ALL ")
+    sb.append(
+      s""", all_sel AS (
+         |$sels
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY rnd, ord) - 1 AS BIGINT) AS rank, l, r
+         |FROM all_sel ORDER BY rank""".stripMargin)
+    sb.result()
+  }
+
   val oracles: Map[String, String] = Map(
+    // replays trainBatched round by round: ranked slice, greedy conflict
+    // skip, in-order guarded-string replace application — generated with
+    // the SAME (nMerges, batch) the Spark side trains with
+    "q107_bpe_batched" -> bpeBatchedOracle(nMerges = 12, batch = 3),
     // NFC: decompose deterministically (combining acute after every 'e'),
     // normalize back; lengths are code points on both engines
     "q104_nfc_normalize" ->
