@@ -732,9 +732,14 @@ object SimQ {
     * class), so labels materialize every round through a typed-RDD
     * localCheckpoint and the PREVIOUS round's blocks release immediately:
     * O(1) executor storage and flat lineage across any number of rounds,
-    * exactly PageRank's needScalars branch. Synchronous LPA can 2-cycle on
-    * bipartite-ish structures and never converge — `maxRounds` bounds that
-    * honestly (callers read `changedLast > 0` as "stopped, not settled").
+    * exactly PageRank's needScalars branch. The changed count IS the
+    * materializing action — one `aggregate` both populates the
+    * checkpoint blocks and returns the exact scalar (an action result,
+    * exactly-once), so each round launches ONE job, not a count() plus a
+    * second scalar pass (spec-pinned by a SparkListener job census).
+    * Synchronous LPA can 2-cycle on bipartite-ish structures and never
+    * converge — `maxRounds` bounds that honestly (callers read
+    * `changedLast > 0` as "stopped, not settled").
     */
   def labelPropagateConverge(ids: DataFrame, edges: DataFrame,
                              maxRounds: Int): LabelPropResult = {
@@ -752,9 +757,9 @@ object SimQ {
       r += 1
       val rdd = lpRound(edges)(labels).as[(Long, Long, Long)](enc3).rdd
       rdd.localCheckpoint()
-      rdd.count()
+      changed = rdd.aggregate(0L)(
+        (acc, t) => if (t._2 != t._3) acc + 1L else acc, _ + _)
       val next = spark.createDataset(rdd)(enc3).toDF("id", "lbl", "prev")
-      changed = next.filter(col("lbl") =!= col("prev")).count()
       if (prevCp != null) prevCp.unpersist(blocking = false)
       prevCp = rdd
       labels = next.drop("prev")

@@ -80,6 +80,8 @@ object PageRank {
     val base = 1.0 - damping
 
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    val tuple3Enc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
 
     // out-degree rides the edge list once; the loop never recounts it.
     // Plain DataFrame localCheckpoint (no typed-RDD round trip — an
@@ -132,19 +134,33 @@ object PageRank {
       if (needScalars || iter % checkpointEvery == 0) {
         // typed-RDD checkpoint: materializes + truncates lineage AND hands
         // us the RDD so the previous epoch's blocks release NOW
-        val rdd = next.as[(Long, Double)](tupleEnc).rdd
-        rdd.localCheckpoint()
-        rdd.count()
-        next = spark.createDataset(rdd)(tupleEnc).toDF("id", "pr")
         if (tol > 0) {
-          delta = next.as("b")
+          // the delta scalar IS the materializing action: the previous
+          // ranks ride the lineage as a third column (the same
+          // shuffle-hash join the old separate delta job ran — moved
+          // inside, so the iteration launches ONE job instead of a
+          // count() plus a delta pass), and one rdd.aggregate both
+          // populates the checkpoint blocks and returns Σ|pr' − pr|
+          val rdd3 = next.as("b")
             .join(ranks.as("a").hint("shuffle_hash"), col("a.id") === col("b.id"))
-            .agg(coalesce(sum(abs(col("b.pr") - col("a.pr"))), lit(0.0)))
-            .collect()(0).getDouble(0)
+            .select(col("b.id"), col("b.pr"), col("a.pr").as("prev"))
+            .as[(Long, Double, Double)](tuple3Enc).rdd
+          rdd3.localCheckpoint()
+          delta = rdd3.aggregate(0.0)(
+            (acc, t) => acc + math.abs(t._2 - t._3), _ + _)
           converged = delta <= tol
+          next = spark.createDataset(rdd3)(tuple3Enc)
+            .toDF("id", "pr", "prev").drop("prev")
+          if (prevCp != null) prevCp.unpersist(blocking = false)
+          prevCp = rdd3
+        } else {
+          val rdd = next.as[(Long, Double)](tupleEnc).rdd
+          rdd.localCheckpoint()
+          rdd.count()
+          next = spark.createDataset(rdd)(tupleEnc).toDF("id", "pr")
+          if (prevCp != null) prevCp.unpersist(blocking = false)
+          prevCp = rdd
         }
-        if (prevCp != null) prevCp.unpersist(blocking = false)
-        prevCp = rdd
       }
       ranks = next
     }

@@ -347,6 +347,31 @@ class CorpusSpec extends AnyFunSuite {
     osc.release()
   }
 
+  test("label propagation converge: ONE Spark job per round (scalar rides the materializing action)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val sc = spark.sparkContext
+    // AQE off so each action is exactly one job (AQE materializes shuffle
+    // stages as their own jobs and would blur the census); restored after
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ids = (0L to 15L).toDF("id")
+      val edges = (ids.filter($"id" % 8 >= 1).select(($"id" - 1).as("src"), $"id".as("dst")))
+        .union(ids.filter($"id" % 8 >= 2).select(($"id" - 2).as("src"), $"id".as("dst")))
+      sc.setJobGroup("lp-census", "lp-census", interruptOnCancel = false)
+      val res = graft.queries.SimQ.labelPropagateConverge(ids, edges, maxRounds = 20)
+      sc.clearJobGroup()
+      assert(res.rounds == 5 && res.changedLast == 0L)
+      Thread.sleep(1000) // listener bus drains async
+      val jobs = sc.statusTracker.getJobIdsForGroup("lp-census").length
+      assert(jobs == res.rounds,
+        s"each round must launch exactly one job (changed-count folded into " +
+          s"the checkpoint materialization): $jobs jobs for ${res.rounds} rounds")
+      res.release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   // ---------------------------------------------------- split leakage
 
   test("split leakage: source-aware assignment, planted cross-source boilerplate detected") {

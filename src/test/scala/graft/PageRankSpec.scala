@@ -122,6 +122,31 @@ class PageRankSpec extends AnyFunSuite {
     assertClose(pure, exp)
   }
 
+  test("tol path: ONE Spark job per iteration (delta rides the materializing action)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = 40
+      val nodes = (0L until n.toLong).toDF("id")
+      val e = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+      sc.setJobGroup("pr-census", "pr-census", interruptOnCancel = false)
+      val res = PageRank.run(nodes, e, tol = 1e-6, maxIter = 50)
+      sc.clearJobGroup()
+      assert(res.iterations < 50 && res.delta <= 1e-6)
+      Thread.sleep(1000) // listener bus drains async
+      val jobs = sc.statusTracker.getJobIdsForGroup("pr-census").length
+      // fixed setup = 3 jobs (node count, edge-index checkpoint, dangling
+      // probe); after that the delta aggregate IS each iteration's only job
+      assert(jobs == 3 + res.iterations,
+        s"tol iteration must launch exactly one job: $jobs jobs for " +
+          s"${res.iterations} iterations (+3 setup)")
+      res.release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("iterative joins stay shuffle-hash (no SMJ) in pure-lineage mode") {
     val spark0 = spark
     import spark0.implicits._
