@@ -337,6 +337,61 @@ object CorpusQ {
   def q96DomainCapBucketed(spark: SparkSession, dir: String): DataFrame =
     domainCapBucketed(Tables.documents(spark, dir), 20)
 
+  /** Hot-partition bound for [[domainCapAuto]]'s dispatch: past this many
+    * rows in ONE source, the plain window's per-source partition task is
+    * sorting a macroscopic corpus share (4M (doc_id, source, md5) rows ≈
+    * hundreds of MB in one task's sorter — spill territory) and the
+    * two-phase plan wins; under it, DomainCapBench measures the single
+    * window FASTER (one shuffle + one sort vs two windows + a verdict
+    * join). The same number at 100 TB: domains are millions, so only a
+    * degenerate mega-domain ever crosses it.
+    */
+  val DOMAIN_CAP_HOT: Long = 1L << 22
+
+  /** Adaptive [[domainCap]]: probe the source-size distribution — ONE
+    * map-side-combined count aggregate reduced to a single driver Long
+    * (the bounded-scalar class) — and dispatch: plain window when no
+    * source exceeds `hotThreshold`, [[domainCapBucketed]] when one does.
+    * Both branches produce BIT-IDENTICAL verdicts (q96 proves it
+    * cross-engine; the dispatch spec pins the plan flip), so the probe is
+    * purely a physical-plan decision — the q72/q73 dual-regime doctrine
+    * applied to plan choice instead of broadcast shape. The probe costs
+    * one extra corpus scan; at the scales where the choice matters the
+    * mis-planned window costs a hot task sorting half the corpus.
+    */
+  def domainCapAuto(docs: DataFrame, k: Int,
+                    hotThreshold: Long = DOMAIN_CAP_HOT,
+                    buckets: Int = 32): DataFrame = {
+    val maxShare = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("m"))
+      .collect()(0).getLong(0)
+    if (maxShare > hotThreshold) domainCapBucketed(docs, k, buckets)
+    else domainCap(docs, k)
+  }
+
+  /** q108 — [[domainCapAuto]] at the NATURAL corpus shape (many modest
+    * sources — the probe picks the plain window at the production
+    * threshold), gated against the one-phase oracle.
+    */
+  def q108DomainCapAuto(spark: SparkSession, dir: String): DataFrame =
+    domainCapAuto(Tables.documents(spark, dir), 20)
+
+  /** q109 — [[domainCapAuto]] at the DEGENERATE shape: every even doc_id
+    * re-sourced to one mega-domain (half the corpus), with the threshold
+    * scaled to the test corpus (500) so the probe dispatches the
+    * two-phase plan from sf0.01 up. The oracle replays the same remap and
+    * runs the one-phase window over it — so the gate proves dispatch +
+    * two-phase selection == the plain window, cross-engine, at the very
+    * shape the dispatch exists for.
+    */
+  def q109DomainCapAutoSkewed(spark: SparkSession, dir: String): DataFrame = {
+    val remapped = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mega.example"))
+          .otherwise(col("source")).as("source"))
+    domainCapAuto(remapped, 20, hotThreshold = 500L)
+  }
+
   // ---------------------------------------------------------------- q87
 
   /** q87 — trained linear bag-of-words classifier (the fastText-shaped
@@ -633,6 +688,8 @@ object CorpusQ {
     "q85_zorder"              -> q85Zorder _,
     "q86_domain_cap"          -> q86DomainCap _,
     "q96_domain_cap_bucketed" -> q96DomainCapBucketed _,
+    "q108_domain_cap_auto"    -> q108DomainCapAuto _,
+    "q109_domain_cap_auto_skewed" -> q109DomainCapAutoSkewed _,
     "q87_classifier"          -> q87Classifier _,
     "q88_corpus_overlap"      -> q88CorpusOverlap _,
     "q89_pipeline"            -> q89Pipeline _,
@@ -762,6 +819,28 @@ object CorpusQ {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
+        |SELECT doc_id, source, rn <= 20 AS kept FROM r ORDER BY doc_id""".stripMargin,
+    // adaptive dispatch at the natural shape: the oracle is the one-phase
+    // window (whichever branch the probe picks must equal it)
+    "q108_domain_cap_auto" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn <= 20 AS kept FROM r ORDER BY doc_id""".stripMargin,
+    // adaptive dispatch at the degenerate shape: same mega-domain remap,
+    // same one-phase window — proves dispatch + two-phase == plain window
+    "q109_domain_cap_auto_skewed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mega.example' ELSE source END AS source
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM d)
         |SELECT doc_id, source, rn <= 20 AS kept FROM r ORDER BY doc_id""".stripMargin,
     // two-phase (bucketed) domain cap: the oracle is deliberately the
     // ONE-PHASE window — the gate proves the exact-top-k equivalence

@@ -372,6 +372,40 @@ class CorpusSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("domain cap auto: probe flips the physical plan at the threshold; branches bit-identical") {
+    val spark0 = spark
+    import spark0.implicits._
+    val C = graft.queries.CorpusQ
+    // 1 mega source (60 docs) + 20 modest sources (3 docs each)
+    val docs = (0L until 120L).map { i =>
+      (i, if (i < 60) "mega.example" else s"s${i % 20}.example")
+    }.toDF("doc_id", "source")
+    val hot = C.domainCapAuto(docs, 5, hotThreshold = 10L)        // probe trips
+    val cold = C.domainCapAuto(docs, 5, hotThreshold = Long.MaxValue) // never trips
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(rows(hot) == rows(cold),
+      "two-phase and window branches must produce identical verdicts")
+    // plan pins: the cold branch is ONE window, no join; the hot branch is
+    // the bucketed two-phase — two windows plus the shuffle-hash verdict
+    // join, never a sort-merge fallback
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — census the
+    // final section only or every node double-counts
+    def finalPlan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val coldPlan = finalPlan(cold)
+    val hotPlan = finalPlan(hot)
+    def nWindows(p: String) = "\\bWindow\\b".r.findAllIn(p).length
+    assert(nWindows(coldPlan) == 1 && !coldPlan.contains("Join"),
+      s"below threshold the auto plan must be the plain window:\n$coldPlan")
+    assert(nWindows(hotPlan) == 2 && hotPlan.contains("ShuffledHashJoin"),
+      s"above threshold the auto plan must be the bucketed two-phase:\n$hotPlan")
+    assert(!hotPlan.contains("SortMergeJoin") && !hotPlan.contains("CartesianProduct"))
+    // every source capped at 5 kept
+    val kept = rows(hot).filter(_._3).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept("mega.example") == 5 && kept.values.forall(_ <= 5))
+  }
+
   // ---------------------------------------------------- split leakage
 
   test("split leakage: source-aware assignment, planted cross-source boilerplate detected") {
