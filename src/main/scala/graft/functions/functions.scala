@@ -103,6 +103,13 @@ object functions {
   def kmv_sketch(text: Column, k: Int): Column =
     native(graft.sql.KmvSketch(ex(text), k).toAggregateExpression())
 
+  /** KMV sketch RE-AGGREGATION: union stored `array<bigint>` sketches
+    * under the same k-smallest trim — merge-of-sketches == sketch-of-
+    * union (spec-pinned), the rollup that never re-scans raw data.
+    */
+  def kmv_merge(sketch: Column, k: Int): Column =
+    native(graft.sql.KmvMerge(ex(sketch), k).toAggregateExpression())
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

@@ -1152,6 +1152,42 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** q110 — KMV sketch ROLLUP ([[graft.sql.KmvMerge]]): per-(language,
+    * shard) sketches (shard = doc_id % 4 — the per-day/per-partition
+    * sketch a real pipeline persists between runs) re-aggregated to
+    * per-language by `kmv_merge`, WITHOUT touching raw tokens again. The
+    * sketch algebra guarantees merge-of-sketches == sketch-of-union, so
+    * the oracle is q105's direct ranked-hash replay — the gate proves the
+    * rollup lands on the identical sketch content AND the identical
+    * exact-decimal estimate, cross-engine.
+    *
+    * Scale shape: stage 1 is the q105 map-side pass at finer grouping;
+    * stage 2 aggregates |groups|·k longs — raw data is scanned once and
+    * never re-shuffled, the whole point of a mergeable sketch at 100 TB.
+    */
+  def q110KmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val k = 64
+    val shardSketches = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 4).as("shard"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"))
+    shardSketches
+      .groupBy(col("lang"))
+      .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+      .select(col("lang"),
+        size(col("kmv")).cast("long").as("kmv_n"),
+        expr("element_at(kmv, -1)").as("kth"),
+        expr(
+          s"""CASE WHEN size(kmv) < $k THEN CAST(size(kmv) AS BIGINT) * 1000000
+             |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
+             |     * CAST(1000000 AS DECIMAL(38,0))
+             |     div CAST(element_at(kmv, -1) AS DECIMAL(38,0)) END""".stripMargin)
+          .cast("long").as("est_millionths"))
+      .orderBy(col("lang"))
+  }
+
   /** q106 — largest-remainder (Hamilton) budget apportionment: allocate a
     * fixed token budget across languages exactly proportionally — each
     * language gets ⌊B·nᵢ/N⌋ and the leftover B − Σ⌊·⌋ tokens go +1 each
@@ -1189,6 +1225,7 @@ object TextQ {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
+    "q110_kmv_rollup"    -> q110KmvRollup _,
     "q106_apportion"     -> q106Apportion _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
@@ -1328,6 +1365,25 @@ object TextQ {
         |FROM r ORDER BY lang""".stripMargin,
     // KMV sketch: 60-bit md5 hashes re-derived with the hex fold, ranked;
     // the estimate replayed in HUGEINT — the sketch's error is pinned too
+    // sketch rollup: the oracle is deliberately the DIRECT ranked-hash
+    // replay — merge-of-sketches must equal sketch-of-union exactly
+    "q110_kmv_rollup" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |d AS (SELECT DISTINCT lang, tok FROM toks),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(tok), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM d),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |k AS (SELECT lang, count(*) AS kmv_n, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT lang, kmv_n, kth,
+        |  CAST(CASE WHEN kmv_n < 64 THEN kmv_n * 1000000
+        |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT * 1000000::HUGEINT) // kth
+        |       END AS BIGINT) AS est_millionths
+        |FROM k ORDER BY lang""".stripMargin,
     "q105_kmv_distinct" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

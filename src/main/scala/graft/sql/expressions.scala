@@ -726,40 +726,25 @@ final case class RollingHash(child: Expression)
   * bit-for-bit (the q74/q102 doctrine: approximate algorithms, exact
   * semantics). Null inputs are ignored (COUNT DISTINCT semantics).
   */
-final case class KmvSketch(
-    child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+abstract class KmvAggregate
   extends org.apache.spark.sql.catalyst.expressions.aggregate
     .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  def child: Expression
+  def k: Int
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "kmv_sketch"
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
-    else if (k < 1) TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires k >= 1, got $k")
-    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+  protected final def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
     // skip adds that cannot enter the k smallest — O(log k) either way,
     // but avoids churn on the common (large) hash
     if (buf.size < k) { buf.add(h); () }
     else if (h < buf.last()) { buf.add(h); if (buf.size > k) { buf.pollLast(); () } }
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) add(buf, KmvFunction.hash60(v.asInstanceOf[UTF8String]))
-    buf
   }
 
   override def merge(b1: java.util.TreeSet[java.lang.Long],
@@ -793,6 +778,29 @@ final case class KmvSketch(
     while (i < n) { buf.add(bb.getLong); i += 1 }
     buf
   }
+}
+
+final case class KmvSketch(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvAggregate {
+
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, KmvFunction.hash60(v.asInstanceOf[UTF8String]))
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(n: Int): KmvSketch =
     copy(mutableAggBufferOffset = n)
@@ -800,6 +808,53 @@ final case class KmvSketch(
     copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}
+
+/** KMV sketch RE-AGGREGATION — the scale win of a mergeable sketch made
+  * first-class: input rows are STORED sketches (the `array<bigint>` the
+  * [[KmvSketch]] aggregate emits, e.g. one per partition / day / shard,
+  * persisted between pipeline runs), and the aggregate unions them under
+  * the same k-smallest trim, so `kmv_merge(kmv_sketch(...))` over any
+  * grouping refinement is IDENTICAL to `kmv_sketch` over the raw union —
+  * the sketch-algebra contract (spec-pinned) that lets 100 TB roll up
+  * from per-shard sketches without ever re-scanning raw data. Null rows
+  * are ignored; element order inside a stored sketch is irrelevant (set
+  * union). Streaming-safe through the state store like its parent.
+  */
+final case class KmvMerge(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvAggregate {
+
+  override def prettyName: String = "kmv_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> sketch column, got ${other.catalogString}")
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < a.numElements()) { add(buf, a.getLong(i)); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMerge =
     copy(child = newChildren.head)
 }
 
@@ -1590,6 +1645,10 @@ object GraftExtensions {
     // k must be a foldable int literal (it bounds the per-group state)
     ("kmv_sketch", new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (c: Seq[Expression]) => KmvSketch(s(c(0)),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    // child is the stored array<bigint> sketch — no string cast
+    ("kmv_merge", new ExpressionInfo(classOf[KmvMerge].getName, "kmv_merge"),
+      (c: Seq[Expression]) => KmvMerge(c(0),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     // n must be a foldable int literal (it shapes the per-row loop)
     ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),

@@ -546,6 +546,50 @@ class SqlExprSpec extends AnyFunSuite {
       .collect().head.getInt(0) == 8)
   }
 
+  test("kmv_merge: merge-of-sketches == sketch-of-union under any sharding; nulls; SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 5000
+    val k = 32
+    val df = spark.range(n.toLong)
+      .select(col("id"), concat(lit("value "), col("id")).as("s"))
+    // direct sketch of the whole set
+    val direct = df.agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    // shard → per-shard sketches → kmv_merge rollup, across several
+    // shardings (including one with sub-k shards)
+    for (shards <- Seq(2, 7, 64)) {
+      val merged = df.groupBy((col("id") % shards).as("shard"))
+        .agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+        .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+        .collect().head.getSeq[Long](0)
+      assert(merged == direct,
+        s"rollup over $shards shards must equal the direct sketch")
+    }
+    // merge of merges (a second rollup level) is still the same sketch
+    val twoLevel = df
+      .groupBy((col("id") % 16).as("shard"))
+      .agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+      .groupBy((col("shard") % 4).as("coarse"))
+      .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+      .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(twoLevel == direct, "re-merging merged sketches must be idempotent")
+    // null sketch rows are ignored
+    val withNull = Seq(Some(Seq(1L, 5L)), None, Some(Seq(3L))).toDF("kmv")
+    assert(withNull.agg(graft.functions.kmv_merge(col("kmv"), 8))
+      .collect().head.getSeq[Long](0) == Seq(1L, 3L, 5L))
+    // SQL-registered, composes with kmv_sketch in one statement
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("kmvm_in")
+    val viaSql = spark.sql(
+      s"""SELECT kmv_merge(kmv, $k) AS kmv FROM (
+         |  SELECT id % 5 AS shard, kmv_sketch(s, $k) AS kmv
+         |  FROM kmvm_in GROUP BY id % 5)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == direct)
+  }
+
   test("nfc: composes decomposed sequences, identity on normalized, SQL + codegen, nulls") {
     val spark0 = spark
     import spark0.implicits._

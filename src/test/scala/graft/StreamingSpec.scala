@@ -252,6 +252,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.forall(v => v.length == 16 && v == v.sorted))
   }
 
+  test("streaming KMV sketch ROLLUP (kmv_merge through the state store) == direct batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // arriving rows are STORED per-shard sketches (the persisted-sketch
+    // stream a rollup pipeline consumes); kmv_merge's state must survive
+    // the state store and land on the direct sketch of the raw union
+    val raw = (0 until 3000).map(i => (i % 7, s"g${i % 3}", s"tok ${i % 800}"))
+    val direct = raw.toDF("shard", "g", "s").groupBy("g")
+      .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val shardSketches = raw.toDF("shard", "g", "s").groupBy("shard", "g")
+      .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2)))
+    val input = MemoryStream[(Int, String, Seq[Long])]
+    val q = input.toDF.toDF("shard", "g", "kmv").groupBy("g")
+      .agg(graft.functions.kmv_merge(org.apache.spark.sql.functions.col("kmv"), 16).as("kmv"))
+      .writeStream.format("memory").queryName("kmvm").outputMode("complete").start()
+    try {
+      input.addData(shardSketches.take(10).toIndexedSeq); q.processAllAvailable()
+      input.addData(shardSketches.drop(10).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmvm").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == direct,
+      "cross-micro-batch sketch rollup must equal the direct batch sketch exactly")
+  }
+
   test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
     val spark0 = spark
     import spark0.implicits._
