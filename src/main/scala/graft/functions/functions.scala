@@ -110,6 +110,13 @@ object functions {
   def kmv_merge(sketch: Column, k: Int): Column =
     native(graft.sql.KmvMerge(ex(sketch), k).toAggregateExpression())
 
+  /** Element-wise sum of `array<bigint>` vectors per group — d longs of
+    * map-side-combined state instead of a corpus×d (row, pos) explode;
+    * the Lloyd-update aggregate (see [[graft.sql.VecSumLong]]).
+    */
+  def vec_sum_long(vec: Column): Column =
+    native(graft.sql.VecSumLong(ex(vec)).toAggregateExpression())
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   *   - **Packed regime** (k·d ≤ [[PACKED_MAX_KD]]): Lloyd iterations are
   *     map-side — the k×d centroid table rides one broadcast row,
   *     assignment is a single `aggregate` fold per vector (the
-  *     [[Ann.assignCells]] plan), and the update is ONE shuffle of
-  *     (cluster, pos) partial sums + a k·d-long driver collect per
-  *     iteration — bounded, documented driver state. Zero corpus shuffles.
+  *     [[Ann.assignCells]] plan), and the update is ONE map-side-combined
+  *     vector-sum aggregate (d longs of state per (task, cluster)) + a
+  *     k-row driver collect per iteration — bounded, documented driver
+  *     state. Zero corpus shuffles.
   *   - **Distributed regime** (k·d above the pin): centroids stay a
   *     DataFrame end-to-end — no per-iteration driver collect, no single
   *     packed row. The corpus hash-partitions on the id ONCE up front;
@@ -46,10 +47,10 @@ import org.apache.spark.sql.functions._
   *     rows (bounded row size — no 2 GB single-object ceiling) and folds
   *     per bucket, and the per-id argmin aggregate REUSES the corpus
   *     partitioning (no exchange — vectors never re-shuffle, iteration
-  *     after iteration). The Lloyd update is the same (cluster, pos)
-  *     partial-sum aggregate JOINED back to the previous centroids
-  *     (k-row frames on both sides; `coalesce` keeps emptied clusters) —
-  *     the driver never materializes centroids. The irreducible cost of
+  *     after iteration). The Lloyd update is the same vector-sum
+  *     aggregate JOINED back to the previous centroids (k-row frames on
+  *     both sides; `coalesce` keeps emptied clusters) — the driver never
+  *     materializes centroids. The irreducible cost of
   *     EXACT assignment is k·d bytes visible to every task (every vector
   *     needs its distance to every centroid); when even that exceeds
   *     executor broadcast budgets, exactness itself is the thing to drop —
@@ -188,26 +189,25 @@ object SemDedup {
       .drop("cells", "best", "n2q")
   }
 
-  /** One Lloyd update: per-cluster exact component sums (one partial-agged
-    * shuffle of (cluster, pos) rows) → floor-divided centroids on the
-    * driver (k·d longs). Clusters that lost every member keep their
-    * previous centroid.
+  /** One Lloyd update: per-cluster exact component sums — ONE map-side-
+    * combined [[graft.sql.VecSumLong]] aggregate with d longs of state per
+    * (task, cluster), NOT a corpus×d posexplode (integer addition is
+    * associative/commutative, so the packed sum is bit-identical to the
+    * per-position one) — then floor-divided centroids on the driver (k
+    * rows of k·d longs total, the bounded collect). Clusters that lost
+    * every member keep their previous centroid.
     */
   def lloydUpdate(assigned: DataFrame, prev: Centroids): Centroids = {
+    org.apache.spark.sql.graft.GraftFunctions.register(assigned.sparkSession)
     val sums = assigned
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.vec_sum_long(col("qv")).as("sv"), count(lit(1)).as("n"))
       .collect()
-      .groupBy(_.getLong(0))
-      .map { case (cid, rows) =>
-        val d = rows.length
-        val cv = new Array[Long](d)
-        rows.foreach { r =>
-          cv(r.getInt(1)) = Math.floorDiv(r.getLong(2) * CENTROID_SCALE, r.getLong(3))
-        }
-        cid -> cv
-      }
+      .map { r =>
+        val sv = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        r.getLong(0) -> sv.map(s => Math.floorDiv(s * CENTROID_SCALE, n)).toArray
+      }.toMap
     prev.map { case (cid, cv) => (cid, sums.getOrElse(cid, cv)) }
   }
 
@@ -361,45 +361,54 @@ object SemDedup {
   }
 
   /** The shuffle-hash centroid join + per-id argmin over probed rows —
-    * the stage where the fine table is touched WITHOUT ever broadcasting:
-    * an equi-join on the coarse cell id, then `min(struct(d, cid))` per
-    * id (ties to the lower centroid, the [[assignDF]] rule).
+    * the stage where the fine table is touched WITHOUT ever broadcasting.
+    * Each coarse cell's fine centroids pack into ONE sorted (ccid, cells)
+    * row (cell-bounded — ~k/coarseEvery · d longs, the per-task footprint
+    * the whole route exists to bound), the equi-join on the coarse cell
+    * id streams each probe row ONCE, and [[bestCellFold]] folds the
+    * cell's centroids in place — no |probes|×|cell| row materialization
+    * with the d-long vector replicated per candidate (the unpacked join
+    * measured ~3× slower wall at the bench shape from exactly that
+    * blowup). Per-cell fold then `min(struct(d, cid))` across the nProbe
+    * winners — ties to the lower centroid, bit-identical to a flat
+    * argmin over all candidates (the [[assignDF]] rule; spec-pinned).
     */
   def argminOverProbed(probed: DataFrame, idCol: String,
                        routedCen: DataFrame): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(probed.sparkSession)
-    probed.hint("shuffle_hash").join(routedCen, Seq("ccid"))
-      .withColumn("d", expr(
-        s"n2q * CAST(${CENTROID_SCALE * CENTROID_SCALE} AS BIGINT) + n2" +
-          s" - CAST(${2 * CENTROID_SCALE} AS BIGINT) * vec_dot_long(qv, cv)"))
+    val packedCells = routedCen
+      .groupBy(col("ccid"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("n2"))))
+        .as("cells"))
+    probed.hint("shuffle_hash").join(packedCells, Seq("ccid"))
+      .withColumn("best", expr(bestCellFold))
       .groupBy(col(idCol))
-      .agg(min(struct(col("d").as("d"), col("cid").as("id"))).as("bst"),
+      .agg(min(struct(col("best.d").as("d"), col("best.id").as("id"))).as("bst"),
         first(col("qv")).as("qv"))
       .select(col(idCol), col("qv"),
         col("bst.id").as("cluster"), col("bst.d").as("cdist"))
   }
 
-  /** [[lloydUpdate]] with the centroid sums left DISTRIBUTED: the same
-    * (cluster, pos) partial-sum aggregate, floor-divided as a column
-    * (exact `Math.floorDiv` semantics: truncated `div` stepped down when
-    * the remainder is negative — counts are always positive), re-assembled
-    * into cv arrays by a d-bounded collect_list, and LEFT-joined back to
-    * the previous centroids so emptied clusters keep theirs. k-row frames
-    * on both join sides; the driver never sees a centroid.
+  /** [[lloydUpdate]] with the centroid sums left DISTRIBUTED: one
+    * map-side-combined [[graft.sql.VecSumLong]] aggregate (d longs of
+    * state per (task, cluster) — NOT a corpus×d posexplode; the packed
+    * integer sum is bit-identical to the per-position one), floor-divided
+    * as an element-wise transform (exact `Math.floorDiv` semantics:
+    * truncated `div` stepped down when the remainder is negative — counts
+    * are always positive), and LEFT-joined back to the previous centroids
+    * so emptied clusters keep theirs. k-row frames on both join sides;
+    * the driver never sees a centroid.
     */
   def lloydUpdateDF(assigned: DataFrame, prev: DataFrame): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(assigned.sparkSession)
     val upd = assigned
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", expr(
-        s"""(s * $CENTROID_SCALE) div n -
-           | (CASE WHEN (s * $CENTROID_SCALE) % n != 0 AND s < 0
-           |       THEN 1 ELSE 0 END)""".stripMargin))
       .groupBy(col("cluster"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), p -> p.c)")
-        .as("cv2"))
+      .agg(graft.functions.vec_sum_long(col("qv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cluster"), expr(
+        s"""transform(sv, s ->
+           |  (s * $CENTROID_SCALE) div n -
+           |  (CASE WHEN (s * $CENTROID_SCALE) % n != 0 AND s < 0
+           |        THEN 1 ELSE 0 END))""".stripMargin).as("cv2"))
     prev.select(col("cid"), col("cv"))
       .join(upd.hint("shuffle_hash"), col("cid") === col("cluster"), "left")
       .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))

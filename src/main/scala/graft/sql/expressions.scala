@@ -858,6 +858,85 @@ final case class KmvMerge(
     copy(child = newChildren.head)
 }
 
+/** Element-wise sum of `array<bigint>` vectors per group — the aggregate
+  * that keeps k-means' Lloyd update from exploding the corpus into
+  * corpus×d (cluster, pos) rows: state is ONE d-length long array per
+  * (task, group), partially aggregated map-side, merged element-wise —
+  * exactly the bounded-mergeable-state shape [[KmvSketch]] establishes,
+  * applied to centroid sums (integer addition is associative and
+  * commutative, so the result is partition-order independent and EXACT).
+  * All arrays in a group must share one length (the embedding-dimension
+  * contract); a mismatched row fails loudly rather than mis-summing.
+  * Null rows are ignored; an all-null group yields an empty array.
+  */
+final case class VecSumLong(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sum_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def addInto(buf: Array[Long], get: Int => Long, n: Int): Array[Long] =
+    if (buf.length == 0) Array.tabulate(n)(get)
+    else {
+      require(buf.length == n,
+        s"$prettyName: vector length $n != group's ${buf.length}")
+      var i = 0
+      while (i < n) { buf(i) += get(i); i += 1 }
+      buf
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      addInto(buf, a.getLong, a.numElements())
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b2.length == 0) b1 else addInto(b1, b2.apply, b2.length)
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecSumLong =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecSumLong =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumLong =
+    copy(child = newChildren.head)
+}
+
 object KmvFunction {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1650,6 +1729,8 @@ object GraftExtensions {
     ("kmv_merge", new ExpressionInfo(classOf[KmvMerge].getName, "kmv_merge"),
       (c: Seq[Expression]) => KmvMerge(c(0),
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
+    ("vec_sum_long", new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_long"),
+      (c: Seq[Expression]) => VecSumLong(c(0))),
     // n must be a foldable int literal (it shapes the per-row loop)
     ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
       (c: Seq[Expression]) => NgramRepStats(s(c(0)),

@@ -590,6 +590,47 @@ class SqlExprSpec extends AnyFunSuite {
     assert(viaSql == direct)
   }
 
+  test("vec_sum_long: element-wise sums, partition-independent, nulls skipped, length mismatch fails") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 4000
+    val d = 16
+    val df = spark.range(n.toLong).select(col("id"),
+      expr(s"transform(sequence(0, ${d - 1}), j -> id * j - 7)").as("v"))
+    def summed(dd: org.apache.spark.sql.DataFrame): Seq[Long] =
+      dd.agg(graft.functions.vec_sum_long(col("v"))).collect().head.getSeq[Long](0)
+    val expected = (0 until d).map(j => (0L until n.toLong).map(i => i * j - 7).sum)
+    assert(summed(df.repartition(11)) == expected)
+    assert(summed(df.coalesce(1)) == expected,
+      "merge path must equal the single-partition path")
+    // grouped: per-cluster sums match a driver-side replay
+    val byG = df.groupBy((col("id") % 3).as("g"))
+      .agg(graft.functions.vec_sum_long(col("v")).as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until 3).foreach { g =>
+      val exp = (0 until d).map(j =>
+        (0L until n.toLong).filter(_ % 3 == g).map(i => i * j - 7).sum)
+      assert(byG(g.toLong) == exp, s"group $g")
+    }
+    // nulls ignored; all-null group yields an empty array
+    val withNulls = Seq(Some(Seq(1L, 2L)), None, Some(Seq(10L, 20L))).toDF("v")
+    assert(withNulls.agg(graft.functions.vec_sum_long(col("v")))
+      .collect().head.getSeq[Long](0) == Seq(11L, 22L))
+    assert(Seq(Option.empty[Seq[Long]]).toDF("v")
+      .agg(graft.functions.vec_sum_long(col("v")))
+      .collect().head.getSeq[Long](0).isEmpty)
+    // mismatched lengths fail loudly, never mis-sum
+    val bad = Seq(Seq(1L, 2L), Seq(3L)).toDF("v").coalesce(1)
+    intercept[Exception] {
+      bad.agg(graft.functions.vec_sum_long(col("v"))).collect()
+    }
+    // SQL-registered
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vsum_in")
+    assert(spark.sql("SELECT vec_sum_long(v) FROM vsum_in")
+      .collect().head.getSeq[Long](0) == expected)
+  }
+
   test("nfc: composes decomposed sequences, identity on normalized, SQL + codegen, nulls") {
     val spark0 = spark
     import spark0.implicits._
