@@ -117,6 +117,14 @@ object functions {
   def vec_sum_long(vec: Column): Column =
     native(graft.sql.VecSumLong(ex(vec)).toAggregateExpression())
 
+  /** Count-min sketch over a string column: row-major depth×width counter
+    * grid as `array<bigint>` — frequency estimation in one map-side pass;
+    * stored sketches re-aggregate with [[vec_sum_long]] (counter addition
+    * IS the merge). See [[graft.sql.CmSketch]].
+    */
+  def cm_sketch(value: Column, depth: Int, width: Int): Column =
+    native(graft.sql.CmSketch(ex(value), depth, width).toAggregateExpression())
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

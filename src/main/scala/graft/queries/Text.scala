@@ -1188,6 +1188,87 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** Count-min grid shape shared by q111/q112 (and their DuckDB oracles):
+    * 4 rows × 32 buckets — small enough that the oracle pins EVERY counter
+    * and collisions actually occur at test scale (the estimate-vs-exact
+    * gap is exercised, not just the no-collision identity).
+    */
+  private val CM_D = 4
+  private val CM_W = 32
+
+  /** The declarative point-estimate over a stored CM sketch: min over the
+    * depth rows of the counter at the item's bucket — the bucket hash is
+    * the same 60-bit md5 prefix of `"r:item"` the aggregate used (the
+    * Bloom hex-parse convention, replayed by `conv(substring(md5(..)))`
+    * inside codegen — approximate sketch, exact semantics).
+    */
+  private def cmEstimate(cm: String, item: String): org.apache.spark.sql.Column =
+    expr(
+      s"""array_min(transform(sequence(0, ${CM_D - 1}), r ->
+         |  element_at($cm, r * $CM_W + CAST(pmod(
+         |    CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', $item)), 1, 15), 16, 10) AS BIGINT),
+         |    $CM_W) AS INT) + 1)))""".stripMargin)
+
+  /** q111 — count-min sketch frequency estimation ([[graft.sql.CmSketch]],
+    * the second custom `TypedImperativeAggregate` family member): per-
+    * language token-frequency sketching with a 4×32 counter grid, plus the
+    * point estimate for the language's modal token (ties to the
+    * lexicographically smallest — a groupBy argmin, no window). The gate
+    * pins the ENTIRE counter grid cross-engine (the DuckDB oracle rebuilds
+    * all depth×width cells from the same md5 bucket hashes) AND the
+    * estimate — so the sketch's overestimation error reproduces
+    * bit-for-bit, the q105 doctrine.
+    *
+    * Scale shape: ONE map-side-combined pass with depth·width longs of
+    * state per (task, group) — frequency estimation at 100 TB without
+    * shuffling tokens; the exact per-token counts ride along only because
+    * the gate wants the comparison.
+    */
+  def q111CmHeavy(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val sketches = toks.groupBy(col("lang"))
+      .agg(graft.functions.cm_sketch(col("tok"), CM_D, CM_W).as("cm"),
+        count(lit(1)).as("n_toks"))
+    val top = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(min(struct((-col("n")).as("neg"), col("tok").as("tok"))).as("t"))
+      .select(col("lang"), col("t.tok").as("tok"), (-col("t.neg")).as("n_exact"))
+    sketches.join(broadcast(top), Seq("lang"))
+      .select(col("lang"), col("n_toks"), col("cm"), col("tok"),
+        col("n_exact"), cmEstimate("cm", "tok").as("n_est"))
+      .orderBy(col("lang"))
+  }
+
+  /** q112 — count-min sketch ROLLUP: per-(language, shard) sketches merged
+    * to per-language with plain [[graft.sql.VecSumLong]] — counter
+    * addition IS the CM merge, so the vector-sum aggregate doubles as the
+    * sketch re-aggregator (no dedicated merge aggregate; the q110 rollup
+    * contract for frequencies). The oracle is q111's direct grid replay —
+    * the gate proves merge-of-sketches == sketch-of-union cross-engine,
+    * and is vec_sum_long's own oracle gate (it is the Lloyd-update
+    * workhorse elsewhere, where centroids are only pinned end-to-end).
+    *
+    * Scale shape: stage 1 is the q111 map-side pass at finer grouping;
+    * stage 2 aggregates |groups|·depth·width longs — raw data scanned
+    * once, never re-shuffled.
+    */
+  def q112CmRollup(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 4).as("shard"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.cm_sketch(col("tok"), CM_D, CM_W).as("cm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shards"),
+        graft.functions.vec_sum_long(col("cm")).as("cm"))
+      .select(col("lang"), col("n_shards"), col("cm"))
+      .orderBy(col("lang"))
+  }
+
   /** q106 — largest-remainder (Hamilton) budget apportionment: allocate a
     * fixed token budget across languages exactly proportionally — each
     * language gets ⌊B·nᵢ/N⌋ and the leftover B − Σ⌊·⌋ tokens go +1 each
@@ -1226,6 +1307,8 @@ object TextQ {
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
+    "q111_cm_heavy"      -> q111CmHeavy _,
+    "q112_cm_rollup"     -> q112CmRollup _,
     "q106_apportion"     -> q106Apportion _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
@@ -1328,7 +1411,55 @@ object TextQ {
     sb.result()
   }
 
+  // the CM grid replay shared by q111/q112: every depth×width cell from
+  // the same 60-bit md5("r:tok") bucket hashes the aggregate uses
+  private val cmGridCtes: String =
+    s"""toks AS (
+       |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |hb AS (
+       |  SELECT lang, tok, c, rr.r AS r,
+       |    list_reduce(list_transform(range(1, 16),
+       |      i -> strpos('0123456789abcdef',
+       |                  substr(md5(rr.r::VARCHAR || ':' || tok), i, 1))::BIGINT - 1),
+       |      (a, x) -> a * 16 + x) % $CM_W AS b
+       |  FROM cnt, range($CM_D) AS rr(r)),
+       |cells AS (SELECT lang, r, b, sum(c)::BIGINT AS s FROM hb GROUP BY 1, 2, 3),
+       |grid AS (SELECT l.lang, rr.r AS r, bb.b AS b
+       |         FROM (SELECT DISTINCT lang FROM cnt) l,
+       |              range($CM_D) AS rr(r), range($CM_W) AS bb(b)),
+       |dense AS (SELECT g.lang, g.r, g.b, coalesce(c.s, 0)::BIGINT AS v
+       |          FROM grid g LEFT JOIN cells c
+       |            ON c.lang = g.lang AND c.r = g.r AND c.b = g.b),
+       |cm AS (SELECT lang, list(v ORDER BY r, b) AS cm FROM dense GROUP BY lang)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    // rebuilds the full count-min counter grid from the same md5 bucket
+    // hashes, then replays the modal-token point estimate (min over rows)
+    "q111_cm_heavy" ->
+      s"""WITH $cmGridCtes,
+         |tot AS (SELECT lang, count(*)::BIGINT AS n_toks FROM toks GROUP BY lang),
+         |top AS (SELECT lang, tok, c AS n_exact FROM (
+         |  SELECT lang, tok, c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+         |  FROM cnt) WHERE rn = 1),
+         |est AS (SELECT t.lang, min(d.v)::BIGINT AS n_est
+         |        FROM top t
+         |        JOIN hb h ON h.lang = t.lang AND h.tok = t.tok
+         |        JOIN dense d ON d.lang = t.lang AND d.r = h.r AND d.b = h.b
+         |        GROUP BY t.lang)
+         |SELECT cm.lang, tot.n_toks, cm.cm, top.tok, top.n_exact, est.n_est
+         |FROM cm JOIN tot USING (lang) JOIN top USING (lang) JOIN est USING (lang)
+         |ORDER BY cm.lang""".stripMargin,
+    // the rollup must land on the DIRECT grid: counter addition == merge
+    "q112_cm_rollup" ->
+      s"""WITH $cmGridCtes,
+         |sh AS (SELECT lang, count(DISTINCT doc_id % 4)::BIGINT AS n_shards
+         |       FROM toks GROUP BY lang)
+         |SELECT cm.lang, sh.n_shards, cm.cm
+         |FROM cm JOIN sh USING (lang)
+         |ORDER BY cm.lang""".stripMargin,
     // replays trainBatched round by round: ranked slice, greedy conflict
     // skip, in-order guarded-string replace application — generated with
     // the SAME (nMerges, batch) the Spark side trains with

@@ -937,6 +937,97 @@ final case class VecSumLong(
     copy(child = newChildren.head)
 }
 
+/** Count-min sketch (Cormode & Muthukrishnan '05) over a string column —
+  * the frequency-estimation twin of [[KmvSketch]]'s distinct-count: state
+  * is a FIXED depth×width counter grid (row-major `array<bigint>`),
+  * partially aggregated map-side, merged by element-wise sum — which
+  * means STORED sketches re-aggregate with plain [[VecSumLong]] (counter
+  * addition IS the sketch merge; no dedicated merge aggregate needed).
+  * Point estimates never undercount: `min` over each row's counter at
+  * the item's bucket bounds the true frequency from above.
+  *
+  * Deliberately ORACLE-REPLICABLE like KMV: bucket r of item x is the
+  * 60-bit md5 prefix of the string `"r:x"` mod width (the
+  * [[graft.llm.Bloom]] hex-parse convention, identical in DuckDB), the
+  * sketch VALUE is the raw counter array, and estimates are declarative
+  * `array_min(transform(...))` downstream — the estimation ERROR itself
+  * reproduces bit-for-bit. Null inputs are ignored; counters are exact
+  * longs (no saturation — 2⁶³ occurrences is beyond any corpus).
+  */
+final case class CmSketch(
+    child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cm_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+    else if (depth < 1 || width < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires depth >= 1 and width >= 1, got ($depth, $width)")
+    else if (depth.toLong * width > (1L << 24)) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName grid $depth x $width exceeds the 2^24-counter state budget")
+    else TypeCheckResult.TypeCheckSuccess
+
+  // per-row hash prefixes "r:" — built once per task, not per input row
+  @transient private lazy val prefixes: Array[UTF8String] =
+    Array.tabulate(depth)(r => UTF8String.fromString(r + ":"))
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var r = 0
+      while (r < depth) {
+        val h = KmvFunction.hash60(UTF8String.concat(prefixes(r), s))
+        buf(r * width + (h % width).toInt) += 1
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): CmSketch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmSketch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmSketch =
+    copy(child = newChildren.head)
+}
+
 object KmvFunction {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1731,6 +1822,11 @@ object GraftExtensions {
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("vec_sum_long", new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_long"),
       (c: Seq[Expression]) => VecSumLong(c(0))),
+    // depth/width must be foldable int literals (they size the state grid)
+    ("cm_sketch", new ExpressionInfo(classOf[CmSketch].getName, "cm_sketch"),
+      (c: Seq[Expression]) => CmSketch(c(0),
+        c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     // n must be a foldable int literal (it shapes the per-row loop)
     ("ngram_rep_stats", new ExpressionInfo(classOf[NgramRepStats].getName, "ngram_rep_stats"),
       (c: Seq[Expression]) => NgramRepStats(s(c(0)),

@@ -631,6 +631,63 @@ class SqlExprSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0) == expected)
   }
 
+  test("cm_sketch: exact replay, partition-independent, never undercounts, vec_sum_long merge == direct") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = 4
+    val w = 32
+    val n = 20000
+    // zipfish token stream: token j appears ~n/(j+1) times
+    val df = spark.range(n.toLong).select(col("id"),
+      expr("concat('tok', CAST(CAST(pow(id % 997 + 1, 0.5) AS INT) AS STRING))").as("tok"))
+    def grid(dd: org.apache.spark.sql.DataFrame): Seq[Long] =
+      dd.agg(graft.functions.cm_sketch(col("tok"), d, w)).collect().head.getSeq[Long](0)
+    val g1 = grid(df.repartition(13))
+    assert(g1 == grid(df.coalesce(1)), "merge path must equal single-partition path")
+    assert(g1.length == d * w)
+    // row sums are each the total count (every row counts every token once)
+    (0 until d).foreach { r =>
+      assert(g1.slice(r * w, (r + 1) * w).sum == n, s"row $r total")
+    }
+    // driver replay: same md5-60-bit bucket per (r, tok)
+    val exact = df.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val replay = new Array[Long](d * w)
+    exact.foreach { case (tok, c) =>
+      (0 until d).foreach { r =>
+        val h = graft.sql.KmvFunction.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$r:$tok"))
+        replay(r * w + (h % w).toInt) += c
+      }
+    }
+    assert(g1 == replay.toSeq, "grid must equal the driver replay")
+    // point estimates never undercount, for EVERY token
+    exact.foreach { case (tok, c) =>
+      val est = (0 until d).map { r =>
+        val h = graft.sql.KmvFunction.hash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$r:$tok"))
+        g1(r * w + (h % w).toInt)
+      }.min
+      assert(est >= c, s"$tok: est $est < exact $c")
+    }
+    // rollup: vec_sum_long over shard sketches == direct sketch
+    val rolled = df.groupBy((col("id") % 7).as("shard"))
+      .agg(graft.functions.cm_sketch(col("tok"), d, w).as("cm"))
+      .agg(graft.functions.vec_sum_long(col("cm")))
+      .collect().head.getSeq[Long](0)
+    assert(rolled == g1, "counter addition IS the CM merge")
+    // nulls ignored
+    val withNulls = Seq(Some("a"), None, Some("a")).toDF("tok")
+    val gN = withNulls.agg(graft.functions.cm_sketch(col("tok"), d, w))
+      .collect().head.getSeq[Long](0)
+    assert(gN.sum == 2 * d && gN.max == 2)
+    // SQL-registered
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cm_in")
+    assert(spark.sql(s"SELECT cm_sketch(tok, $d, $w) FROM cm_in")
+      .collect().head.getSeq[Long](0) == g1)
+  }
+
   test("nfc: composes decomposed sequences, identity on normalized, SQL + codegen, nulls") {
     val spark0 = spark
     import spark0.implicits._
