@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * or a convergence delta), ranks are eagerly materialized each iteration
   * through a typed-RDD localCheckpoint and the PREVIOUS iteration's blocks
   * are released immediately — O(1) executor storage across any number of
-  * iterations (the ExploreExec epoch-hygiene discipline). When no scalars
+  * iterations (the ExploreExec epoch-hygiene discipline). The scalars ride
+  * the materializing `rdd.aggregate` itself — the dangling flag is a
+  * column of the rank vector and the previous ranks a lineage column — so
+  * every scalar-needing regime launches exactly ONE Spark job per
+  * iteration (census-pinned); the FIRST iteration's dangling mass is
+  * `nDangling · 1.0` by construction and needs no job at all. When no scalars
   * are needed (no dangling nodes, tol = 0), iterations stay PURE LINEAGE
   * and only every `checkpointEvery`-th iteration truncates — so a short
   * fixed-iteration run like q62 remains fully declarative (Catalyst sees
@@ -82,6 +87,10 @@ object PageRank {
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
     val tuple3Enc = Encoders.tuple(
       Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    val tupleDEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaBoolean)
+    val tuple4Enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+      Encoders.scalaDouble, Encoders.scalaBoolean)
 
     // out-degree rides the edge list once; the loop never recounts it.
     // Plain DataFrame localCheckpoint (no typed-RDD round trip — an
@@ -100,41 +109,67 @@ object PageRank {
     // (assumes src ⊆ nodes — the crawl-graph invariant; a foreign src
     // would contribute rank it never held)
     val nDangling = n - withDeg.select(col("src")).distinct().count()
-    // materialized only when dangling nodes exist (it feeds a per-
-    // iteration aggregate — without the checkpoint every dm job would
-    // re-run the anti-join)
-    val dangling =
+    // when dangling nodes exist, the per-node flag rides the RANK VECTOR
+    // itself (built once, node-scale, checkpointed): the next iteration's
+    // dangling mass then falls out of THIS iteration's materializing
+    // aggregate — one Spark job per iteration, not a mass job plus a
+    // materialization (the labelPropagateConverge discipline)
+    val idsD =
       if (nDangling == 0) null
       else ids.join(
-        withDeg.select(col("src").as("id")).distinct().hint("shuffle_hash"),
-        Seq("id"), "left_anti").localCheckpoint()
+          withDeg.select(col("src").as("id")).distinct()
+            .withColumn("em", lit(true)).hint("shuffle_hash"),
+          Seq("id"), "left_outer")
+        .select(col("id"), (!coalesce(col("em"), lit(false))).as("dang"))
+        .localCheckpoint()
     // scalars force a materialized rank vector every iteration; without
     // them the loop stays declarative and only truncates on the cadence
     val needScalars = nDangling > 0 || tol > 0
 
     var ranks = ids.select(col("id"), lit(1.0).as("pr"))
+    // initial ranks are EXACTLY 1.0 each, so the first iteration's mass
+    // needs no job: Σ over dangling nodes of 1.0 is exact in any order
+    var dm = nDangling.toDouble
     var prevCp: RDD[_] = null
     var iter = 0
     var delta = Double.NaN
     var converged = false
     while (iter < maxIter && !converged) {
       iter += 1
-      val dm =
-        if (nDangling == 0) 0.0
-        else ranks.join(dangling.hint("shuffle_hash"), Seq("id"))
-          .agg(coalesce(sum(col("pr")), lit(0.0))).collect()(0).getDouble(0)
       val contribs = withDeg
         .join(ranks.hint("shuffle_hash"), withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
       val inflowTotal = coalesce(col("inflow"), lit(0.0)) +
         (if (nDangling == 0) lit(0.0) else lit(dm / n))
-      var next = ids.join(contribs.hint("shuffle_hash"), Seq("id"), "left_outer")
-        .select(col("id"), (lit(base) + lit(damping) * inflowTotal).as("pr"))
+      val pr2 = (lit(base) + lit(damping) * inflowTotal).as("pr")
+      var next = (if (nDangling == 0) ids else idsD)
+        .join(contribs.hint("shuffle_hash"), Seq("id"), "left_outer")
+        .select(col("id") +: pr2 +:
+          (if (nDangling == 0) Seq.empty else Seq(col("dang"))): _*)
       if (needScalars || iter % checkpointEvery == 0) {
         // typed-RDD checkpoint: materializes + truncates lineage AND hands
-        // us the RDD so the previous epoch's blocks release NOW
-        if (tol > 0) {
+        // us the RDD so the previous epoch's blocks release NOW. In every
+        // scalar-needing regime the scalars (convergence delta and/or next
+        // dangling mass) ride the SAME rdd.aggregate that populates the
+        // checkpoint blocks — exactly one job per iteration.
+        if (tol > 0 && nDangling > 0) {
+          val rdd4 = next.as("b")
+            .join(ranks.as("a").hint("shuffle_hash"), col("a.id") === col("b.id"))
+            .select(col("b.id"), col("b.pr"), col("a.pr").as("prev"), col("b.dang"))
+            .as[(Long, Double, Double, Boolean)](tuple4Enc).rdd
+          rdd4.localCheckpoint()
+          val (d, m) = rdd4.aggregate((0.0, 0.0))(
+            (acc, t) => (acc._1 + math.abs(t._2 - t._3),
+              acc._2 + (if (t._4) t._2 else 0.0)),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+          delta = d; dm = m
+          converged = delta <= tol
+          next = spark.createDataset(rdd4)(tuple4Enc)
+            .toDF("id", "pr", "prev", "dang").drop("prev")
+          if (prevCp != null) prevCp.unpersist(blocking = false)
+          prevCp = rdd4
+        } else if (tol > 0) {
           // the delta scalar IS the materializing action: the previous
           // ranks ride the lineage as a third column (the same
           // shuffle-hash join the old separate delta job ran — moved
@@ -153,6 +188,15 @@ object PageRank {
             .toDF("id", "pr", "prev").drop("prev")
           if (prevCp != null) prevCp.unpersist(blocking = false)
           prevCp = rdd3
+        } else if (nDangling > 0) {
+          // next iteration's dangling mass rides the materialization
+          val rddD = next.as[(Long, Double, Boolean)](tupleDEnc).rdd
+          rddD.localCheckpoint()
+          dm = rddD.aggregate(0.0)(
+            (acc, t) => acc + (if (t._3) t._2 else 0.0), _ + _)
+          next = spark.createDataset(rddD)(tupleDEnc).toDF("id", "pr", "dang")
+          if (prevCp != null) prevCp.unpersist(blocking = false)
+          prevCp = rddD
         } else {
           val rdd = next.as[(Long, Double)](tupleEnc).rdd
           rdd.localCheckpoint()
@@ -166,7 +210,9 @@ object PageRank {
     }
     // rank-checkpoint blocks hand over to release(); the edge index (a
     // DataFrame localCheckpoint) frees via the ContextCleaner once the
-    // Result is unreferenced
-    new Result(ranks, iter, delta, Option(prevCp).toSeq)
+    // Result is unreferenced. Callers see the (id, pr) contract — the
+    // dangling flag is loop plumbing.
+    val outRanks = if (nDangling == 0) ranks else ranks.select(col("id"), col("pr"))
+    new Result(outRanks, iter, delta, Option(prevCp).toSeq)
   }
 }

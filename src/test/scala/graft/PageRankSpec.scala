@@ -147,6 +147,35 @@ class PageRankSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("dangling path: ONE Spark job per iteration (mass rides the materializing action)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = 40
+      val nodes = (0L until n.toLong).toDF("id")
+      // every 5th node dangles (q64's shape)
+      val e = (0L until n.toLong).filter(_ % 5 != 0)
+        .map(i => (i, (i * 3 + 1) % n)).toDF("src", "dst")
+      sc.setJobGroup("pr-dang-census", "pr-dang-census", interruptOnCancel = false)
+      val res = PageRank.run(nodes, e, maxIter = 4)
+      res.ranks.count() // consume so the lazy final frame doesn't add jobs later
+      sc.clearJobGroup()
+      Thread.sleep(1000) // listener bus drains async
+      val jobs = sc.statusTracker.getJobIdsForGroup("pr-dang-census").length
+      // fixed setup = 4 jobs (node count, edge-index checkpoint, dangling
+      // probe, flagged-id checkpoint) + the final consuming count; after
+      // that each iteration's mass aggregate IS its only job — iteration
+      // 1's mass is nDangling * 1.0 by construction, zero jobs
+      assert(jobs == 4 + 4 + 1,
+        s"dangling iteration must launch exactly one job: $jobs jobs for " +
+          s"${res.iterations} iterations (+4 setup, +1 consume)")
+      res.release()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("iterative joins stay shuffle-hash (no SMJ) in pure-lineage mode") {
     val spark0 = spark
     import spark0.implicits._
