@@ -280,6 +280,46 @@ class StreamingSpec extends AnyFunSuite {
       "cross-micro-batch sketch rollup must equal the direct batch sketch exactly")
   }
 
+  test("streaming CM sketch + vec_sum_long rollup (state store) == direct batch grid") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // cm_sketch's counter grid must survive state-store serialize across
+    // micro-batches; and a stream of STORED per-shard grids must roll up
+    // through vec_sum_long to the direct sketch (counter addition == merge)
+    val raw = (0 until 3000).map(i => (i % 5, s"g${i % 3}", s"tok${i % 97}"))
+    val direct = raw.toDF("shard", "g", "s").groupBy("g")
+      .agg(graft.functions.cm_sketch(org.apache.spark.sql.functions.col("s"), 4, 32).as("cm"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val input = MemoryStream[(Int, String, String)]
+    val q = input.toDF.toDF("shard", "g", "s").groupBy("g")
+      .agg(graft.functions.cm_sketch(org.apache.spark.sql.functions.col("s"), 4, 32).as("cm"))
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      input.addData(raw.take(1200): _*); q.processAllAvailable()
+      input.addData(raw.drop(1200): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == direct,
+      "cross-micro-batch CM state must equal the batch grid exactly")
+    val shardGrids = raw.toDF("shard", "g", "s").groupBy("shard", "g")
+      .agg(graft.functions.cm_sketch(org.apache.spark.sql.functions.col("s"), 4, 32).as("cm"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2)))
+    val input2 = MemoryStream[(Int, String, Seq[Long])]
+    val q2 = input2.toDF.toDF("shard", "g", "cm").groupBy("g")
+      .agg(graft.functions.vec_sum_long(org.apache.spark.sql.functions.col("cm")).as("cm"))
+      .writeStream.format("memory").queryName("cmm").outputMode("complete").start()
+    try {
+      input2.addData(shardGrids.take(7).toIndexedSeq); q2.processAllAvailable()
+      input2.addData(shardGrids.drop(7).toIndexedSeq); q2.processAllAvailable()
+    } finally q2.stop()
+    val rolled = spark.table("cmm").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rolled == direct,
+      "streamed grid rollup must equal the direct batch sketch exactly")
+  }
+
   test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
     val spark0 = spark
     import spark0.implicits._
