@@ -1269,6 +1269,36 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  private val QUOTA_B = 100L
+
+  /** q113 — exact-budget stratified sampling: [[apportion]]'s Hamilton
+    * quotas (per-language doc counts, budget [[QUOTA_B]]) DRIVE the q49
+    * per-stratum deterministic draw — each language contributes exactly
+    * its quota of docs (md5-permutation order), and Σ rows = B exactly,
+    * by the apportionment invariant. This is the full mixture-draw
+    * primitive: q106 decides HOW MUCH each stratum gets, q49's machinery
+    * decides WHICH rows — composed, with the budget landed to the row.
+    *
+    * Scale shape: quotas are a |langs|-row aggregate (broadcast); the
+    * per-language rank is the bucketed prefix-sum (a dominant language
+    * never concentrates into one window partition); the corpus shuffles
+    * once. All integer arithmetic.
+    */
+  def q113QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val quotas = apportion(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_toks")), QUOTA_B)
+      .select(col("lang"), col("quota"))
+    distributedRunningSum(
+      docs.select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hkey"), lit(1L).as("one")),
+      "lang", "one")
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("cum") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("cum").as("rn"), col("quota"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** q106 — largest-remainder (Hamilton) budget apportionment: allocate a
     * fixed token budget across languages exactly proportionally — each
     * language gets ⌊B·nᵢ/N⌋ and the leftover B − Σ⌊·⌋ tokens go +1 each
@@ -1309,6 +1339,7 @@ object TextQ {
     "q110_kmv_rollup"    -> q110KmvRollup _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
+    "q113_quota_sample"  -> q113QuotaSample _,
     "q106_apportion"     -> q106Apportion _,
     "q20_token_stats" -> q20TokenStats _,
     "q72_lm_quality"  -> q72LmQuality _,
@@ -1863,6 +1894,31 @@ object TextQ {
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
         |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4) AS dup_fraction
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // Hamilton quotas over per-language doc counts (the q106 replay),
+    // joined to the q49 md5-permutation rank — exactly quota rows per
+    // language, exactly B rows total
+    "q113_quota_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, n,
+        |    (n * 100) // (SELECT sum(n) FROM c) AS base,
+        |    (n * 100) % (SELECT sum(n) FROM c) AS rem
+        |  FROM c),
+        |q AS (
+        |  SELECT lang,
+        |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |                     <= 100 - (SELECT sum(base) FROM t)
+        |                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id, CAST(r.rn AS BIGINT) AS rn, q.quota
+        |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+        |ORDER BY r.lang, r.rn""".stripMargin,
     "q49_mixture_sample" ->
       """WITH t AS (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
