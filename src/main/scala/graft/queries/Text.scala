@@ -1236,9 +1236,13 @@ object TextQ {
       .groupBy(col("lang"))
       .agg(min(struct((-col("n")).as("neg"), col("tok").as("tok"))).as("t"))
       .select(col("lang"), col("t.tok").as("tok"), (-col("t.neg")).as("n_exact"))
+    // The full depth×width grid is pinned as a comma-joined string: the
+    // gate's comparator hashes scalar cells, so the array itself can't ride
+    // in the result — the textual grid carries identical information.
     sketches.join(broadcast(top), Seq("lang"))
-      .select(col("lang"), col("n_toks"), col("cm"), col("tok"),
-        col("n_exact"), cmEstimate("cm", "tok").as("n_est"))
+      .select(col("lang"), col("n_toks"),
+        expr("array_join(transform(cm, x -> CAST(x AS STRING)), ',')").as("cm"),
+        col("tok"), col("n_exact"), cmEstimate("cm", "tok").as("n_est"))
       .orderBy(col("lang"))
   }
 
@@ -1265,7 +1269,9 @@ object TextQ {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_shards"),
         graft.functions.vec_sum_long(col("cm")).as("cm"))
-      .select(col("lang"), col("n_shards"), col("cm"))
+      .select(col("lang"), col("n_shards"),
+        // string-pinned grid: see q111 — the comparator needs scalar cells
+        expr("array_join(transform(cm, x -> CAST(x AS STRING)), ',')").as("cm"))
       .orderBy(col("lang"))
   }
 
@@ -1462,7 +1468,8 @@ object TextQ {
        |dense AS (SELECT g.lang, g.r, g.b, coalesce(c.s, 0)::BIGINT AS v
        |          FROM grid g LEFT JOIN cells c
        |            ON c.lang = g.lang AND c.r = g.r AND c.b = g.b),
-       |cm AS (SELECT lang, list(v ORDER BY r, b) AS cm FROM dense GROUP BY lang)"""
+       |cm AS (SELECT lang, string_agg(v::VARCHAR, ',' ORDER BY r, b) AS cm
+       |       FROM dense GROUP BY lang)"""
       .stripMargin
 
   val oracles: Map[String, String] = Map(
