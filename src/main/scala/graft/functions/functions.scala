@@ -97,15 +97,19 @@ object functions {
     native(graft.sql.NfcNormalize(ex(text)))
 
   /** KMV distinct-count sketch AGGREGATE: the k smallest 60-bit md5
-    * hashes per group as a sorted array<bigint> — bounded mergeable
-    * state, oracle-replicable estimate (see [[graft.sql.KmvSketch]]).
+    * hashes per group as `struct(k int, hs array<bigint>)` (hs sorted
+    * ascending; k travels with the sketch so rollups are validatable) —
+    * bounded mergeable state, oracle-replicable estimate (see
+    * [[graft.sql.KmvSketch]]).
     */
   def kmv_sketch(text: Column, k: Int): Column =
     native(graft.sql.KmvSketch(ex(text), k).toAggregateExpression())
 
-  /** KMV sketch RE-AGGREGATION: union stored `array<bigint>` sketches
-    * under the same k-smallest trim — merge-of-sketches == sketch-of-
-    * union (spec-pinned), the rollup that never re-scans raw data.
+  /** KMV sketch RE-AGGREGATION: union stored `struct(k, hs)` sketches
+    * under the k-smallest trim — merge-of-sketches == sketch-of-union
+    * (spec-pinned), the rollup that never re-scans raw data. Requires
+    * merge-k <= every SATURATED input's stored k (checked; an unsaturated
+    * sketch is the exhaustive hash set and merges at any k).
     */
   def kmv_merge(sketch: Column, k: Int): Column =
     native(graft.sql.KmvMerge(ex(sketch), k).toAggregateExpression())

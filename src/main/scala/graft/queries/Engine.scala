@@ -161,6 +161,64 @@ object EngineQ {
     r.trajectory.findAll("a").flatMap(_.href).map(h => (Trace.of(Wget(h)), h))
 
   // -------------------------------------------------------------------------
+  // q114 — exploreBestFirst: budgeted priority crawl over the q33 tree
+  // -------------------------------------------------------------------------
+
+  private val BF_BUDGET = 25
+
+  /** Page i's crawl priority: (i·37) mod 63 — a PERMUTATION of 0..62
+    * (37 ⊥ 63), so the best-first order is total (no ties) and decidedly
+    * non-BFS: the greedy frontier reaches depth-5 leaves while depth-1
+    * nodes are still open, which is exactly what the gate must pin (a BFS
+    * traversal under the same budget visits a different set).
+    */
+  private def bestFirstScore(u: String): Double =
+    "page_([0-9]+)\\.html".r.findFirstMatchIn(u)
+      .map(m => (m.group(1).toLong * 37 % TREE_N).toDouble).getOrElse(-1.0)
+
+  /** The q33 binary-tree site crawled BEST-FIRST under a fetch budget of
+    * [[BF_BUDGET]] of the 63 pages (batchSize 1 — the classic sequential
+    * priority crawl; reference dsl/PathPlanning.scala:9-90's non-BFS
+    * ordering semantics). The gate pins the VISITED SET — a strong
+    * function of the priority order under a tight budget — plus each
+    * page's discovery depth and its language recovered from the fetched
+    * title. The oracle REPLAYS the traversal: a recursive CTE carries the
+    * open frontier as a list value, pops the max-priority node, and pushes
+    * its unvisited children — the same greedy loop the engine distributes.
+    */
+  def q114ExploreBestFirst(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q114")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < TREE_N)
+
+    FixtureClock.timed {
+    docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val kids = Seq(2 * id + 1, 2 * id + 2).filter(_ < TREE_N)
+        val links = kids.map(k => s"""<a href="page_$k.html">child $k</a>""").mkString("\n")
+        val html =
+          s"""<html><head><title>doc $id ${r.getString(1)}</title></head>
+             |<body>$links</body></html>""".stripMargin
+        graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
+      }
+    }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$fix/page_0.html"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        linkExpand,
+        priority = (_, u) => bestFirstScore(u),
+        fetchBudget = BF_BUDGET, batchSize = 1)
+      .select { r =>
+        val parts = r.row.trajectory.texts("title").mkString.split(" ")
+        (parts(1).toLong, parts(2), r.depth)
+      }
+    explored.asDataFrame.toDF("doc_id", "lang", "depth").orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q34 — IVF ANN (the scale path; q29 brute force is its recall oracle)
   // -------------------------------------------------------------------------
 
@@ -1211,6 +1269,7 @@ object EngineQ {
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
     "q33_explore"     -> q33Explore _,
+    "q114_explore_bestfirst" -> q114ExploreBestFirst _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1257,6 +1316,35 @@ object EngineQ {
     "q33_explore" ->
       s"""SELECT doc_id, CAST(floor(log2(doc_id + 1)) AS INT) AS depth
         |FROM documents WHERE doc_id < $TREE_N ORDER BY doc_id""".stripMargin,
+    // replays the greedy best-first loop itself: the recursive CTE carries
+    // the open frontier as a list value, pops the max-priority node
+    // ((id*37) mod TREE_N — tie-free), pushes its unvisited children, and
+    // stops at the fetch budget; lang re-joined from the source table
+    "q114_explore_bestfirst" ->
+      s"""WITH RECURSIVE sim AS (
+        |  SELECT 0 AS step,
+        |         [{'id': 0::BIGINT, 'depth': 0}] AS frontier,
+        |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS depth
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    list_concat(
+        |      list_filter(frontier, x -> x.id <> best.id),
+        |      list_filter([{'id': best.id*2+1, 'depth': best.depth+1},
+        |                   {'id': best.id*2+2, 'depth': best.depth+1}],
+        |                  c -> c.id < $TREE_N)),
+        |    best.id, best.depth
+        |  FROM (
+        |    SELECT step, frontier,
+        |      (list_sort(list_transform(frontier,
+        |         x -> {'p': (x.id*37)%$TREE_N, 'x': x}))[-1]).x AS best
+        |    FROM sim
+        |    WHERE step < $BF_BUDGET AND len(frontier) > 0
+        |  )
+        |)
+        |SELECT v.doc_id, d.lang, CAST(v.depth AS INT) AS depth
+        |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
+        |JOIN documents d USING (doc_id)
+        |ORDER BY v.doc_id""".stripMargin,
     "q34_ann_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

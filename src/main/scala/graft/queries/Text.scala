@@ -1141,13 +1141,13 @@ object TextQ {
       .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"),
         countDistinct(col("tok")).as("n_exact"))
       .select(col("lang"), col("n_exact"),
-        size(col("kmv")).cast("long").as("kmv_n"),
-        expr("element_at(kmv, -1)").as("kth"),
+        size(col("kmv.hs")).cast("long").as("kmv_n"),
+        expr("element_at(kmv.hs, -1)").as("kth"),
         expr(
-          s"""CASE WHEN size(kmv) < $k THEN CAST(size(kmv) AS BIGINT) * 1000000
+          s"""CASE WHEN size(kmv.hs) < $k THEN CAST(size(kmv.hs) AS BIGINT) * 1000000
              |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
              |     * CAST(1000000 AS DECIMAL(38,0))
-             |     div CAST(element_at(kmv, -1) AS DECIMAL(38,0)) END""".stripMargin)
+             |     div CAST(element_at(kmv.hs, -1) AS DECIMAL(38,0)) END""".stripMargin)
           .cast("long").as("est_millionths"))
       .orderBy(col("lang"))
   }
@@ -1177,13 +1177,13 @@ object TextQ {
       .groupBy(col("lang"))
       .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
       .select(col("lang"),
-        size(col("kmv")).cast("long").as("kmv_n"),
-        expr("element_at(kmv, -1)").as("kth"),
+        size(col("kmv.hs")).cast("long").as("kmv_n"),
+        expr("element_at(kmv.hs, -1)").as("kth"),
         expr(
-          s"""CASE WHEN size(kmv) < $k THEN CAST(size(kmv) AS BIGINT) * 1000000
+          s"""CASE WHEN size(kmv.hs) < $k THEN CAST(size(kmv.hs) AS BIGINT) * 1000000
              |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
              |     * CAST(1000000 AS DECIMAL(38,0))
-             |     div CAST(element_at(kmv, -1) AS DECIMAL(38,0)) END""".stripMargin)
+             |     div CAST(element_at(kmv.hs, -1) AS DECIMAL(38,0)) END""".stripMargin)
           .cast("long").as("est_millionths"))
       .orderBy(col("lang"))
   }
@@ -1208,6 +1208,15 @@ object TextQ {
          |  element_at($cm, r * $CM_W + CAST(pmod(
          |    CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', $item)), 1, 15), 16, 10) AS BIGINT),
          |    $CM_W) AS INT) + 1)))""".stripMargin)
+
+  /** The gate's pinning format for a CM grid: the full row-major counter
+    * array as a comma-joined string (the harness comparator hashes scalar
+    * cells only), plus — wherever this rides — a `n_cells = size(cm)`
+    * scalar so the grid's CARDINALITY stays pinned as a typed fact, not
+    * just its textual rendering. Single definition shared by q111/q112.
+    */
+  private def cmAsString(cm: String): org.apache.spark.sql.Column =
+    expr(s"array_join(transform($cm, x -> CAST(x AS STRING)), ',')")
 
   /** q111 — count-min sketch frequency estimation ([[graft.sql.CmSketch]],
     * the second custom `TypedImperativeAggregate` family member): per-
@@ -1236,13 +1245,16 @@ object TextQ {
       .groupBy(col("lang"))
       .agg(min(struct((-col("n")).as("neg"), col("tok").as("tok"))).as("t"))
       .select(col("lang"), col("t.tok").as("tok"), (-col("t.neg")).as("n_exact"))
-    // The full depth×width grid is pinned as a comma-joined string: the
-    // gate's comparator hashes scalar cells, so the array itself can't ride
-    // in the result — the textual grid carries identical information.
+    // n_est reads the ARRAY grid, so it is computed in its own select
+    // BEFORE the string re-alias — the array-vs-string distinction is
+    // structural, not a lean on resolver semantics (r16 ADVICE)
     sketches.join(broadcast(top), Seq("lang"))
+      .select(col("lang"), col("n_toks"), col("cm"), col("tok"), col("n_exact"),
+        cmEstimate("cm", "tok").as("n_est"))
       .select(col("lang"), col("n_toks"),
-        expr("array_join(transform(cm, x -> CAST(x AS STRING)), ',')").as("cm"),
-        col("tok"), col("n_exact"), cmEstimate("cm", "tok").as("n_est"))
+        size(col("cm")).cast("long").as("n_cells"),
+        cmAsString("cm").as("cm"),
+        col("tok"), col("n_exact"), col("n_est"))
       .orderBy(col("lang"))
   }
 
@@ -1270,8 +1282,8 @@ object TextQ {
       .agg(count(lit(1)).as("n_shards"),
         graft.functions.vec_sum_long(col("cm")).as("cm"))
       .select(col("lang"), col("n_shards"),
-        // string-pinned grid: see q111 — the comparator needs scalar cells
-        expr("array_join(transform(cm, x -> CAST(x AS STRING)), ',')").as("cm"))
+        size(col("cm")).cast("long").as("n_cells"),
+        cmAsString("cm").as("cm")) // string-pinned grid: see cmAsString
       .orderBy(col("lang"))
   }
 
@@ -1280,10 +1292,16 @@ object TextQ {
   /** q113 — exact-budget stratified sampling: [[apportion]]'s Hamilton
     * quotas (per-language doc counts, budget [[QUOTA_B]]) DRIVE the q49
     * per-stratum deterministic draw — each language contributes exactly
-    * its quota of docs (md5-permutation order), and Σ rows = B exactly,
-    * by the apportionment invariant. This is the full mixture-draw
-    * primitive: q106 decides HOW MUCH each stratum gets, q49's machinery
-    * decides WHICH rows — composed, with the budget landed to the row.
+    * its quota of docs (md5-permutation order). For B ≤ corpus size,
+    * Σ rows = B exactly: apportioning by the strata's OWN row counts can
+    * never overshoot a stratum (⌊B·nᵢ/N⌋ + 1 ≤ nᵢ whenever B < N, and
+    * B = N has no remainders), so every quota is drawable. Quotas are
+    * nevertheless capped at the stratum size on BOTH engines, so the
+    * degenerate B > N input degrades to a full per-stratum draw rather
+    * than an unfillable quota (r16 verdict #4). This is the full
+    * mixture-draw primitive: q106 decides HOW MUCH each stratum gets,
+    * q49's machinery decides WHICH rows — composed, with the budget
+    * landed to the row.
     *
     * Scale shape: quotas are a |langs|-row aggregate (broadcast); the
     * per-language rank is the bucketed prefix-sum (a dominant language
@@ -1294,7 +1312,7 @@ object TextQ {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val quotas = apportion(
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_toks")), QUOTA_B)
-      .select(col("lang"), col("quota"))
+      .select(col("lang"), least(col("quota"), col("n_toks")).as("quota"))
     distributedRunningSum(
       docs.select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("hkey"), lit(1L).as("one")),
@@ -1468,7 +1486,8 @@ object TextQ {
        |dense AS (SELECT g.lang, g.r, g.b, coalesce(c.s, 0)::BIGINT AS v
        |          FROM grid g LEFT JOIN cells c
        |            ON c.lang = g.lang AND c.r = g.r AND c.b = g.b),
-       |cm AS (SELECT lang, string_agg(v::VARCHAR, ',' ORDER BY r, b) AS cm
+       |cm AS (SELECT lang, count(*)::BIGINT AS n_cells,
+       |              string_agg(v::VARCHAR, ',' ORDER BY r, b) AS cm
        |       FROM dense GROUP BY lang)"""
       .stripMargin
 
@@ -1487,7 +1506,7 @@ object TextQ {
          |        JOIN hb h ON h.lang = t.lang AND h.tok = t.tok
          |        JOIN dense d ON d.lang = t.lang AND d.r = h.r AND d.b = h.b
          |        GROUP BY t.lang)
-         |SELECT cm.lang, tot.n_toks, cm.cm, top.tok, top.n_exact, est.n_est
+         |SELECT cm.lang, tot.n_toks, cm.n_cells, cm.cm, top.tok, top.n_exact, est.n_est
          |FROM cm JOIN tot USING (lang) JOIN top USING (lang) JOIN est USING (lang)
          |ORDER BY cm.lang""".stripMargin,
     // the rollup must land on the DIRECT grid: counter addition == merge
@@ -1495,7 +1514,7 @@ object TextQ {
       s"""WITH $cmGridCtes,
          |sh AS (SELECT lang, count(DISTINCT doc_id % 4)::BIGINT AS n_shards
          |       FROM toks GROUP BY lang)
-         |SELECT cm.lang, sh.n_shards, cm.cm
+         |SELECT cm.lang, sh.n_shards, cm.n_cells, cm.cm
          |FROM cm JOIN sh USING (lang)
          |ORDER BY cm.lang""".stripMargin,
     // replays trainBatched round by round: ranked slice, greedy conflict
@@ -1902,8 +1921,9 @@ object TextQ {
         |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4) AS dup_fraction
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // Hamilton quotas over per-language doc counts (the q106 replay),
+    // capped at the stratum size (load-bearing only for B > corpus size),
     // joined to the q49 md5-permutation rank — exactly quota rows per
-    // language, exactly B rows total
+    // language, exactly B rows total for B <= corpus size
     "q113_quota_sample" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -1914,9 +1934,9 @@ object TextQ {
         |  FROM c),
         |q AS (
         |  SELECT lang,
-        |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |    CAST(LEAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
         |                     <= 100 - (SELECT sum(base) FROM t)
-        |                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |                THEN 1 ELSE 0 END, n) AS BIGINT) AS quota
         |  FROM t),
         |r AS (
         |  SELECT lang, doc_id,

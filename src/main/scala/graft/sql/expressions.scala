@@ -720,11 +720,18 @@ final case class RollingHash(child: Expression)
   *
   * Deliberately ORACLE-REPLICABLE, unlike HLL±: the hash is the first 15
   * hex chars of md5 (the [[graft.llm.Bloom]] convention — identical on
-  * both engines), the sketch VALUE is the sorted hash array itself, and
-  * the estimate `(k−1)·2⁶⁰ / h_k` is computed declaratively downstream in
-  * exact decimal arithmetic — so even the estimation ERROR reproduces
+  * both engines), the sketch VALUE is a `struct(k, hs)` carrying the k it
+  * was built with alongside the sorted hash array, and the estimate
+  * `(k−1)·2⁶⁰ / h_k` is computed declaratively downstream in exact
+  * decimal arithmetic — so even the estimation ERROR reproduces
   * bit-for-bit (the q74/q102 doctrine: approximate algorithms, exact
   * semantics). Null inputs are ignored (COUNT DISTINCT semantics).
+  *
+  * Why the struct: a bare hash array can't be validated on re-aggregation
+  * — a SATURATED sketch stored with k' < merge-k has irreversibly dropped
+  * hashes that a k-merge would need, yet looks identical to a low-
+  * cardinality exact sketch. Carrying k makes [[KmvMerge]] able to DETECT
+  * that unsound rollup instead of silently under-merging.
   */
 abstract class KmvAggregate
   extends org.apache.spark.sql.catalyst.expressions.aggregate
@@ -735,7 +742,7 @@ abstract class KmvAggregate
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = KmvAggregate.sketchType
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -759,7 +766,10 @@ abstract class KmvAggregate
     var i = 0
     val it = buf.iterator()
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new GenericArrayData(arr) // ascending — TreeSet iteration order
+    val row = new GenericInternalRow(2)
+    row.update(0, k)
+    row.update(1, new GenericArrayData(arr)) // ascending — TreeSet iteration order
+    row
   }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
@@ -778,6 +788,16 @@ abstract class KmvAggregate
     while (i < n) { buf.add(bb.getLong); i += 1 }
     buf
   }
+}
+
+object KmvAggregate {
+  /** The sketch wire shape: `k` (the trim parameter the sketch was built
+    * with — the merge-soundness witness) + `hs` (the ascending k-minimum
+    * 60-bit hashes). Both non-null by construction.
+    */
+  val sketchType: StructType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("hs", ArrayType(LongType, containsNull = false), nullable = false)))
 }
 
 final case class KmvSketch(
@@ -812,7 +832,7 @@ final case class KmvSketch(
 }
 
 /** KMV sketch RE-AGGREGATION — the scale win of a mergeable sketch made
-  * first-class: input rows are STORED sketches (the `array<bigint>` the
+  * first-class: input rows are STORED sketches (the `struct(k, hs)` the
   * [[KmvSketch]] aggregate emits, e.g. one per partition / day / shard,
   * persisted between pipeline runs), and the aggregate unions them under
   * the same k-smallest trim, so `kmv_merge(kmv_sketch(...))` over any
@@ -821,6 +841,14 @@ final case class KmvSketch(
   * from per-shard sketches without ever re-scanning raw data. Null rows
   * are ignored; element order inside a stored sketch is irrelevant (set
   * union). Streaming-safe through the state store like its parent.
+  *
+  * Soundness checks (r16 verdict #1/#3): a SATURATED input sketch stored
+  * with k' < merge-k fails loudly — its dropped hashes might belong in a
+  * k-minimum, so the merge==union contract is unrecoverable (an UNSATURATED
+  * one is the exhaustive hash set and merges soundly at any k); and a null
+  * hash slot (reachable only through hand-built SQL structs — stored
+  * sketches are containsNull=false) fails loudly instead of being read as
+  * hash 0, which would poison the global minimum forever.
   */
 final case class KmvMerge(
     child: Expression, k: Int,
@@ -831,20 +859,43 @@ final case class KmvMerge(
   override def prettyName: String = "kmv_merge"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires k >= 1, got $k")
+    case StructType(Array(
+        StructField("k", IntegerType, _, _),
+        StructField("hs", ArrayType(LongType, _), _, _))) =>
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $k")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<bigint> sketch column, got ${other.catalogString}")
+      s"$prettyName requires a struct<k:int, hs:array<bigint>> sketch column " +
+        s"(the kmv_sketch output shape), got ${other.catalogString}")
+  }
+
+  // only hand-built SQL structs can carry nullable slots; the fast path
+  // (stored sketches) skips the per-element isNullAt probe entirely
+  @transient private lazy val mayContainNull: Boolean = child.dataType match {
+    case StructType(Array(_, StructField(_, ArrayType(_, cn), _, _))) => cn
+    case _ => false
   }
 
   override def update(buf: java.util.TreeSet[java.lang.Long],
                       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val a = v.asInstanceOf[ArrayData]
+      val row = v.asInstanceOf[InternalRow]
+      val storedK = row.getInt(0)
+      val a = row.getArray(1)
+      val n = a.numElements()
+      if (storedK < k && n >= storedK) throw new IllegalArgumentException(
+        s"$prettyName(k=$k): input sketch is saturated at stored k=$storedK < $k — " +
+          "its k-minima cannot reconstruct the merged sketch (merge-k must be " +
+          "<= the smallest stored k)")
       var i = 0
-      while (i < a.numElements()) { add(buf, a.getLong(i)); i += 1 }
+      while (i < n) {
+        if (mayContainNull && a.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null hash at sketch slot $i — a stored sketch is never " +
+            "null-slotted; refusing to read it as hash 0 (the global minimum)")
+        add(buf, a.getLong(i)); i += 1
+      }
     }
     buf
   }
@@ -866,8 +917,15 @@ final case class KmvMerge(
   * applied to centroid sums (integer addition is associative and
   * commutative, so the result is partition-order independent and EXACT).
   * All arrays in a group must share one length (the embedding-dimension
-  * contract); a mismatched row fails loudly rather than mis-summing.
-  * Null rows are ignored; an all-null group yields an empty array.
+  * contract); a mismatched row fails loudly rather than mis-summing, and a
+  * null ELEMENT (reachable only through hand-built SQL arrays — framework
+  * vectors are containsNull=false) also fails loudly instead of silently
+  * summing as 0 (r16 verdict #1). Null rows and ZERO-LENGTH vectors are
+  * ignored — uniformly, regardless of what the buffer has seen, so the
+  * same group can never succeed or throw depending on row order (r16
+  * verdict #2; this also keeps update consistent with merge, where an
+  * empty partial buffer is already the identity). An all-null/all-empty
+  * group yields an empty array.
   */
 final case class VecSumLong(
     child: Expression,
@@ -889,6 +947,7 @@ final case class VecSumLong(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
+  // n == 0 callers are filtered out before addInto (empty == identity)
   private def addInto(buf: Array[Long], get: Int => Long, n: Int): Array[Long] =
     if (buf.length == 0) Array.tabulate(n)(get)
     else {
@@ -899,12 +958,32 @@ final case class VecSumLong(
       buf
     }
 
+  // only hand-built SQL arrays can carry nullable slots; framework vectors
+  // (cm_sketch grids, Lloyd qv encodings) skip the per-element probe
+  @transient private lazy val mayContainNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
     else {
       val a = v.asInstanceOf[ArrayData]
-      addInto(buf, a.getLong, a.numElements())
+      val n = a.numElements()
+      if (n == 0) buf // empty == identity, independent of buffer state
+      else {
+        if (mayContainNull) {
+          var i = 0
+          while (i < n) {
+            if (a.isNullAt(i)) throw new IllegalArgumentException(
+              s"$prettyName: null element at vector slot $i — refusing to sum " +
+                "it as 0 (the fails-loudly contract)")
+            i += 1
+          }
+        }
+        addInto(buf, a.getLong, n)
+      }
     }
   }
 

@@ -520,7 +520,10 @@ class SqlExprSpec extends AnyFunSuite {
     val df = spark.range(n.toLong).select(concat(lit("value "), col("id")).as("s"))
     def sk(d: org.apache.spark.sql.DataFrame, k: Int = 32): Seq[Long] =
       d.agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
-        .collect().head.getSeq[Long](0)
+        .collect().head.getStruct(0).getSeq[Long](1)
+    // the sketch carries its k (the merge-soundness witness)
+    assert(df.agg(graft.functions.kmv_sketch(col("s"), 32).as("kmv"))
+      .select(col("kmv.k")).collect().head.getInt(0) == 32)
     val a = sk(df.repartition(13))
     assert(a == sk(df.coalesce(1)), "merge path must equal the single-partition path")
     assert(a.length == 32 && a == a.sorted)
@@ -542,7 +545,7 @@ class SqlExprSpec extends AnyFunSuite {
     // SQL-registered
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     df.createOrReplaceTempView("kmv_in")
-    assert(spark.sql("SELECT size(kmv_sketch(s, 8)) FROM kmv_in")
+    assert(spark.sql("SELECT size(kmv_sketch(s, 8).hs) FROM kmv_in")
       .collect().head.getInt(0) == 8)
   }
 
@@ -555,14 +558,14 @@ class SqlExprSpec extends AnyFunSuite {
       .select(col("id"), concat(lit("value "), col("id")).as("s"))
     // direct sketch of the whole set
     val direct = df.agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
-      .collect().head.getSeq[Long](0)
+      .collect().head.getStruct(0).getSeq[Long](1)
     // shard → per-shard sketches → kmv_merge rollup, across several
     // shardings (including one with sub-k shards)
     for (shards <- Seq(2, 7, 64)) {
       val merged = df.groupBy((col("id") % shards).as("shard"))
         .agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
         .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
-        .collect().head.getSeq[Long](0)
+        .collect().head.getStruct(0).getSeq[Long](1)
       assert(merged == direct,
         s"rollup over $shards shards must equal the direct sketch")
     }
@@ -573,12 +576,14 @@ class SqlExprSpec extends AnyFunSuite {
       .groupBy((col("shard") % 4).as("coarse"))
       .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
       .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
-      .collect().head.getSeq[Long](0)
+      .collect().head.getStruct(0).getSeq[Long](1)
     assert(twoLevel == direct, "re-merging merged sketches must be idempotent")
-    // null sketch rows are ignored
-    val withNull = Seq(Some(Seq(1L, 5L)), None, Some(Seq(3L))).toDF("kmv")
+    // null sketch rows are ignored (a null struct, as a missing shard is)
+    val withNull = Seq(Some(Seq(1L, 5L)), None, Some(Seq(3L))).toDF("hs")
+      .select(when(col("hs").isNotNull,
+        struct(lit(8).as("k"), col("hs").as("hs"))).as("kmv"))
     assert(withNull.agg(graft.functions.kmv_merge(col("kmv"), 8))
-      .collect().head.getSeq[Long](0) == Seq(1L, 3L, 5L))
+      .collect().head.getStruct(0).getSeq[Long](1) == Seq(1L, 3L, 5L))
     // SQL-registered, composes with kmv_sketch in one statement
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     df.createOrReplaceTempView("kmvm_in")
@@ -586,8 +591,41 @@ class SqlExprSpec extends AnyFunSuite {
       s"""SELECT kmv_merge(kmv, $k) AS kmv FROM (
          |  SELECT id % 5 AS shard, kmv_sketch(s, $k) AS kmv
          |  FROM kmvm_in GROUP BY id % 5)""".stripMargin)
-      .collect().head.getSeq[Long](0)
+      .collect().head.getStruct(0).getSeq[Long](1)
     assert(viaSql == direct)
+  }
+
+  test("kmv_merge soundness: saturated undersized sketches and null hash slots fail loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = spark.range(200L)
+      .select(col("id"), concat(lit("value "), col("id")).as("s"))
+    // a sketch stored with k'=8 over 200 distinct values is SATURATED:
+    // merging it at k=16 would need hashes it dropped — must be detected,
+    // not silently under-merged (r16 verdict #3)
+    val undersized = df.groupBy((col("id") % 4).as("shard"))
+      .agg(graft.functions.kmv_sketch(col("s"), 8).as("kmv"))
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    val e = intercept[Exception] {
+      undersized.agg(graft.functions.kmv_merge(col("kmv"), 16)).collect()
+    }
+    assert(chain(e).contains("saturated"), s"unexpected error: ${chain(e)}")
+    // an UNSATURATED smaller-k sketch is the exhaustive hash set — merging
+    // it at a larger k is sound and must succeed
+    val exhaustive = df.filter(col("id") < 5)
+      .agg(graft.functions.kmv_sketch(col("s"), 8).as("kmv"))
+    assert(exhaustive.agg(graft.functions.kmv_merge(col("kmv"), 16))
+      .collect().head.getStruct(0).getSeq[Long](1).length == 5)
+    // a null HASH SLOT (hand-built SQL struct) must fail loudly, never be
+    // read as hash 0 — the global minimum would poison the sketch forever
+    // (r16 verdict #1)
+    val nullSlot = spark.sql(
+      "SELECT named_struct('k', 8, 'hs', array(1L, CAST(NULL AS BIGINT), 5L)) AS kmv")
+    val e2 = intercept[Exception] {
+      nullSlot.agg(graft.functions.kmv_merge(col("kmv"), 8)).collect()
+    }
+    assert(chain(e2).contains("null hash"), s"unexpected error: ${chain(e2)}")
   }
 
   test("vec_sum_long: element-wise sums, partition-independent, nulls skipped, length mismatch fails") {
@@ -624,6 +662,23 @@ class SqlExprSpec extends AnyFunSuite {
     intercept[Exception] {
       bad.agg(graft.functions.vec_sum_long(col("v"))).collect()
     }
+    // ZERO-LENGTH vectors are the identity in EITHER row order — the same
+    // group must never succeed or throw depending on partitioning (r16
+    // verdict #2); both orderings land on the non-empty rows' sum
+    def vsum(rows: Seq[Seq[Long]]): Seq[Long] =
+      rows.toDF("v").coalesce(1)
+        .agg(graft.functions.vec_sum_long(col("v"))).collect().head.getSeq[Long](0)
+    assert(vsum(Seq(Seq.empty[Long], Seq(4L, 5L))) == Seq(4L, 5L), "empty-first")
+    assert(vsum(Seq(Seq(4L, 5L), Seq.empty[Long])) == Seq(4L, 5L), "empty-after-nonempty")
+    assert(vsum(Seq(Seq.empty[Long], Seq.empty[Long])).isEmpty, "all-empty group")
+    // a null ELEMENT fails loudly, never sums as 0 (r16 verdict #1)
+    val nullElem = spark.sql("SELECT array(1L, CAST(NULL AS BIGINT)) AS v")
+    val eN = intercept[Exception] {
+      nullElem.agg(graft.functions.vec_sum_long(col("v"))).collect()
+    }
+    val eMsg = Iterator.iterate(eN: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("; ")
+    assert(eMsg.contains("null element"), s"unexpected error: $eMsg")
     // SQL-registered
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     df.createOrReplaceTempView("vsum_in")

@@ -236,7 +236,7 @@ class StreamingSpec extends AnyFunSuite {
     val rows = (0 until 3000).map(i => (s"g${i % 3}", s"tok ${i % 800}"))
     val batch = rows.toDF("g", "s").groupBy("g")
       .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getStruct(1).getSeq[Long](1)).toMap
     val input = MemoryStream[(String, String)]
     val q = input.toDF.toDF("g", "s").groupBy("g")
       .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
@@ -246,7 +246,7 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(rows.drop(1000): _*); q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("kmvs").collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getString(0) -> r.getStruct(1).getSeq[Long](1)).toMap
     assert(streamed == batch,
       "cross-micro-batch sketch state must equal the batch sketch exactly")
     assert(batch.values.forall(v => v.length == 16 && v == v.sorted))
@@ -262,20 +262,24 @@ class StreamingSpec extends AnyFunSuite {
     val raw = (0 until 3000).map(i => (i % 7, s"g${i % 3}", s"tok ${i % 800}"))
     val direct = raw.toDF("shard", "g", "s").groupBy("g")
       .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getStruct(1).getSeq[Long](1)).toMap
     val shardSketches = raw.toDF("shard", "g", "s").groupBy("shard", "g")
       .agg(graft.functions.kmv_sketch(org.apache.spark.sql.functions.col("s"), 16).as("kmv"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getStruct(2).getSeq[Long](1)))
     val input = MemoryStream[(Int, String, Seq[Long])]
-    val q = input.toDF.toDF("shard", "g", "kmv").groupBy("g")
-      .agg(graft.functions.kmv_merge(org.apache.spark.sql.functions.col("kmv"), 16).as("kmv"))
+    // arriving rows carry the stored hashes as plain columns (the shape a
+    // persisted sketch table has); the struct is rebuilt with its stored k
+    val q = input.toDF.toDF("shard", "g", "hs").groupBy("g")
+      .agg(graft.functions.kmv_merge(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(16).as("k"),
+        org.apache.spark.sql.functions.col("hs").as("hs")), 16).as("kmv"))
       .writeStream.format("memory").queryName("kmvm").outputMode("complete").start()
     try {
       input.addData(shardSketches.take(10).toIndexedSeq); q.processAllAvailable()
       input.addData(shardSketches.drop(10).toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("kmvm").collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getString(0) -> r.getStruct(1).getSeq[Long](1)).toMap
     assert(streamed == direct,
       "cross-micro-batch sketch rollup must equal the direct batch sketch exactly")
   }
