@@ -1188,6 +1188,41 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** q115 — MIXED-k KMV rollup: per-(language, shard) sketches stored at
+    * k' = 128, re-aggregated per language at merge-k = 64 — the sound
+    * direction of the checked merge contract (merge-k ≤ stored-k: the 64
+    * smallest of stored 128-minima ARE the global 64-minima), pinned
+    * cross-engine rather than spec-only. The oracle is the q105/q110
+    * direct ranked-hash replay at k = 64 — storing finer sketches than a
+    * consumer needs (the real archival pattern: persist generously, roll
+    * up to taste) must land on the identical sketch content and estimate.
+    * The UNSOUND direction (saturated stored-k < merge-k) fails loudly —
+    * spec-pinned in SqlExprSpec, not oracle-gatable (it throws).
+    */
+  def q115KmvRollupMixedK(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val storedK = 128
+    val k = 64
+    val shardSketches = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 4).as("shard"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.kmv_sketch(col("tok"), storedK).as("kmv"))
+    shardSketches
+      .groupBy(col("lang"))
+      .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+      .select(col("lang"),
+        size(col("kmv.hs")).cast("long").as("kmv_n"),
+        expr("element_at(kmv.hs, -1)").as("kth"),
+        expr(
+          s"""CASE WHEN size(kmv.hs) < $k THEN CAST(size(kmv.hs) AS BIGINT) * 1000000
+             |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
+             |     * CAST(1000000 AS DECIMAL(38,0))
+             |     div CAST(element_at(kmv.hs, -1) AS DECIMAL(38,0)) END""".stripMargin)
+          .cast("long").as("est_millionths"))
+      .orderBy(col("lang"))
+  }
+
   /** Count-min grid shape shared by q111/q112 (and their DuckDB oracles):
     * 4 rows × 32 buckets — small enough that the oracle pins EVERY counter
     * and collisions actually occur at test scale (the estimate-vs-exact
@@ -1361,6 +1396,7 @@ object TextQ {
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
+    "q115_kmv_rollup_mixedk" -> q115KmvRollupMixedK _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -1556,6 +1592,26 @@ object TextQ {
     // sketch rollup: the oracle is deliberately the DIRECT ranked-hash
     // replay — merge-of-sketches must equal sketch-of-union exactly
     "q110_kmv_rollup" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |d AS (SELECT DISTINCT lang, tok FROM toks),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(tok), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM d),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |k AS (SELECT lang, count(*) AS kmv_n, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT lang, kmv_n, kth,
+        |  CAST(CASE WHEN kmv_n < 64 THEN kmv_n * 1000000
+        |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT * 1000000::HUGEINT) // kth
+        |       END AS BIGINT) AS est_millionths
+        |FROM k ORDER BY lang""".stripMargin,
+    // mixed-k rollup: stored k'=128, merged at k=64 — must STILL equal the
+    // direct ranked-hash replay at 64 (the 64 smallest of 128-minima are
+    // the global 64-minima); same oracle as q110
+    "q115_kmv_rollup_mixedk" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |d AS (SELECT DISTINCT lang, tok FROM toks),
