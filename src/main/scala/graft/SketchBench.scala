@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sketch-aggregate scale-stress (the BloomBench mold for q105/q110-q112):
+  * exact `count(distinct)` must SHUFFLE every distinct (group, token) pair
+  * — at 100 TB that shuffle is the job — while `kmv_sketch` carries k
+  * longs of map-side-combined state per (task, group) and `cm_sketch` a
+  * fixed depth×width grid, so their exchanges are measured in kilobytes
+  * regardless of corpus size. This bench pins that asymmetry as DATA: the
+  * per-leg wall clock AND the actual shuffle-write bytes (SparkListener
+  * stage metrics), plus the KMV estimate's max relative error against the
+  * exact counts — which must sit inside the Bar-Yossef standard-error
+  * envelope 1/√(k−2) (≈ 6.3% at k = 256) times a small constant.
+  *
+  * The rollup leg times `kmv_merge` over PERSISTED per-shard sketches
+  * alone — the roll-up-without-rescanning path whose input is
+  * |groups|·|shards| sketch rows, independent of corpus size.
+  *
+  * `GRAFT_SKETCH_N=50000000 sbt "runMain graft.SketchBench"`
+  */
+object SketchBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_SKETCH_N", "50000000").toLong
+    val groups = sys.env.getOrElse("GRAFT_SKETCH_GROUPS", "64").toInt
+    val universe = sys.env.getOrElse("GRAFT_SKETCH_UNIVERSE", "10000000").toLong
+    val k = 256
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+
+    // stage-level shuffle-write ledger; reset between legs (the listener
+    // bus is async — each drain waits a beat before reading)
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def drainMb(): Double = { Thread.sleep(800); shuffleW.getAndSet(0L) / 1e6 }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // formula-generated token stream: xxhash64 spreads ids over `universe`
+    // distinct tokens, round-robin over `groups` languages
+    val toks = spark.range(n).select(
+      pmod(col("id"), lit(groups.toLong)).as("lang"),
+      concat(lit("tok"), pmod(xxhash64(col("id")), lit(universe))).as("tok"))
+
+    toks.limit(1000).count() // session warm-up
+    drainMb()
+
+    // leg 1: exact distinct — the full (lang, tok) shuffle
+    val (exact, tExact) = time {
+      toks.groupBy("lang").agg(countDistinct("tok").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val mbExact = drainMb()
+
+    // leg 2: KMV sketch — k longs of state per (task, group)
+    val ((ests, tKmv), mbKmv) = {
+      val r = time {
+        toks.groupBy("lang")
+          .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"))
+          .select(col("lang"), size(col("kmv.hs")).as("m"),
+            expr("element_at(kmv.hs, -1)").as("kth"))
+          .collect()
+          .map(row => row.getLong(0) ->
+            (if (row.getInt(1) < k) row.getInt(1).toDouble
+             else (k - 1).toDouble * math.pow(2, 60) / row.getLong(2)))
+          .toMap
+      }
+      (r, drainMb())
+    }
+    val maxRelErr = exact.map { case (g, ex) =>
+      math.abs(ests(g) - ex) / ex
+    }.max
+
+    // leg 3: CM sketch — fixed 4x2048 grid per group (element_at forces
+    // the full grid; count() alone would let Spark prune the aggregate)
+    val (_, tCm) = time {
+      toks.groupBy("lang")
+        .agg(graft.functions.cm_sketch(col("tok"), 4, 2048).as("cm"))
+        .select(max(element_at(col("cm"), 1))).collect()
+    }
+    val mbCm = drainMb()
+
+    // leg 4: rollup — PERSISTED per-shard sketches re-aggregated without
+    // touching raw tokens (input = groups x shards rows, not n)
+    val stored = toks
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(64)))
+      .groupBy("lang", "shard")
+      .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"))
+      .persist()
+    val (_, tStore) = time(stored.count())
+    drainMb()
+    val (merged, tMerge) = time {
+      stored.groupBy("lang")
+        .agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+        .select(col("lang"), expr("element_at(kmv.hs, -1)").as("kth"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val mbMerge = drainMb()
+    stored.unpersist()
+
+    // rollup lands on the same k-th minimum as the direct sketch
+    val directKth = toks.groupBy("lang")
+      .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"))
+      .select(col("lang"), expr("element_at(kmv.hs, -1)").as("kth"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(merged == directKth, "rollup must equal the direct sketch")
+
+    def f(d: Double): String = f"$d%.3f"
+    println(
+      s"""{"bench":"sketch","n":$n,"groups":$groups,"universe":$universe,"k":$k,
+         |"exact_sec":${f(tExact)},"exact_shuffle_mb":${f(mbExact)},
+         |"kmv_sec":${f(tKmv)},"kmv_shuffle_mb":${f(mbKmv)},
+         |"kmv_max_rel_err":${f(maxRelErr)},"se_theory":${f(1.0 / math.sqrt(k - 2.0))},
+         |"cm_sec":${f(tCm)},"cm_shuffle_mb":${f(mbCm)},
+         |"rollup_store_sec":${f(tStore)},"rollup_merge_sec":${f(tMerge)},
+         |"rollup_merge_shuffle_mb":${f(mbMerge)}}""".stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}

@@ -308,6 +308,31 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(depths("e_20") == 2 && depths("a_10") == 1)
   }
 
+  test("best-first: THREE jobs per round (selection, budget census, frontier cut) — no hidden actions") {
+    val seedPath = scoredSite("explore10")
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.setJobGroup("bf-census", "bf-census", interruptOnCancel = false)
+    val explored = ctx.create(Seq(s"file:$seedPath"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        ExploreSpec.linkExpand,
+        priority = (t, _) => t.primaryUri.map(ExploreSpec.scoreOf).getOrElse(0.0),
+        fetchBudget = 4, batchSize = 1)
+    sc.clearJobGroup()
+    Thread.sleep(1000) // listener bus drains async
+    val jobs = sc.statusTracker.getJobIdsForGroup("bf-census").length
+    // fixed overhead = 2 jobs (seed-frontier cut + the eager final
+    // localCheckpoint); each of the 4 rounds then runs exactly 3: the
+    // takeOrdered selection (a global priority decision needs the
+    // driver), the budget census over the fetched batch (which also
+    // materializes the fetch into cache), and the next-frontier cut.
+    // A growth here means an accidental extra action snuck into the loop.
+    assert(jobs == 2 + 3 * 4,
+      s"best-first must run exactly 3 jobs per round (+2 fixed): $jobs jobs for 4 rounds")
+    assert(explored.dataset.count() == 4) // and the result is already materialized
+  }
+
   test("best-first: budget past exhaustion just visits everything once; visited set exact") {
     val seedPath = scoredSite("explore9")
     val ctx = new GraftContext(spark, GraftConf())
