@@ -595,6 +595,28 @@ class SqlExprSpec extends AnyFunSuite {
     assert(viaSql == direct)
   }
 
+  test("kmv sketch parquet round-trip: persisted struct sketches re-aggregate to the direct sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val k = 32
+    val df = spark.range(3000L)
+      .select(col("id"), concat(lit("value "), col("id")).as("s"))
+    val direct = df.agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+      .collect().head.getStruct(0).getSeq[Long](1)
+    // the archival pattern: per-shard sketches PERSISTED to parquet (the
+    // between-runs storage the struct encoding exists for), read back in
+    // a fresh scan, rolled up — k and hashes must survive the round-trip
+    val dir = java.nio.file.Files.createTempDirectory("kmv_rt").toString
+    df.groupBy((col("id") % 8).as("shard"))
+      .agg(graft.functions.kmv_sketch(col("s"), k).as("kmv"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select(col("kmv.k")).distinct().collect().map(_.getInt(0)).toSeq == Seq(k))
+    val merged = back.agg(graft.functions.kmv_merge(col("kmv"), k).as("kmv"))
+      .collect().head.getStruct(0).getSeq[Long](1)
+    assert(merged == direct, "parquet-persisted sketches must roll up to the direct sketch")
+  }
+
   test("kmv_merge soundness: saturated undersized sketches and null hash slots fail loudly") {
     val spark0 = spark
     import spark0.implicits._
