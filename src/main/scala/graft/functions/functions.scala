@@ -114,6 +114,16 @@ object functions {
   def kmv_merge(sketch: Column, k: Int): Column =
     native(graft.sql.KmvMerge(ex(sketch), k).toAggregateExpression())
 
+  /** Bounded deterministic SAMPLE aggregate: the k lexicographically
+    * smallest `(key, value)` pairs per group, ascending
+    * `array<struct<key,val>>` — with a hash key, a mergeable uniform
+    * sample (per-shard samples union-trim to the sample of the union;
+    * see [[graft.sql.BottomKPairs]]). k pairs of state per group, vs a
+    * window rank's full shuffle.
+    */
+  def bottomk_pairs(key: Column, value: Column, k: Int): Column =
+    native(graft.sql.BottomKPairs(ex(key), ex(value), k).toAggregateExpression())
+
   /** Element-wise sum of `array<bigint>` vectors per group — d longs of
     * map-side-combined state instead of a corpus×d (row, pos) explode;
     * the Lloyd-update aggregate (see [[graft.sql.VecSumLong]]).

@@ -170,6 +170,53 @@ object EventsQ {
         count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
           .as("n_view_click_purchase"))
 
+  /** q118 — the KMV distinct-count sketch run THROUGH Structured
+    * Streaming's state store ([[graft.sql.KmvSketch]] under a streaming
+    * groupBy — the custom `TypedImperativeAggregate` exercising the
+    * serialize/merge path the state store requires between micro-batches),
+    * oracle-gated end-to-end like q97: the events parquet feeds a
+    * FileStreamSource, per-event-type sketches of the user-id stream
+    * accumulate in complete mode into a memory sink, and the materialized
+    * sink must match the DuckDB ranked-hash replay bit-for-bit — sketch
+    * content (size + k-th minimum) AND exact-decimal estimate. KMV makes
+    * this gateable where most streaming aggregates are not: the k-minimum
+    * set is ORDER-INDEPENDENT, so micro-batch boundaries and state-store
+    * merge order cannot change the answer. This is the streaming cardinality
+    * surface a 100 TB ingest needs (distinct users/URLs per slice, live,
+    * in k longs of state per group) — the batch q105 semantics, unchanged
+    * under `readStream`.
+    */
+  def q118StreamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val nm = "q118_kmv_sink"
+    spark.streams.active.filter(q => Option(q.name).contains(nm)).foreach(_.stop())
+    scala.util.Try(spark.catalog.dropTempView(nm))
+    val k = 64
+    // the q97 FileStreamSource idiom: brace glob keeps the basePath
+    // injection off for a single-file table; complete mode on finite
+    // input emits the full final state — no watermark race
+    val ev = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val q = ev.groupBy(col("event_type"))
+      .agg(graft.functions.kmv_sketch(col("uid"), k).as("kmv"))
+      .select(col("event_type"),
+        size(col("kmv.hs")).cast("long").as("kmv_n"),
+        expr("element_at(kmv.hs, -1)").as("kth"),
+        expr(
+          s"""CASE WHEN size(kmv.hs) < $k THEN CAST(size(kmv.hs) AS BIGINT) * 1000000
+             |ELSE CAST(${k - 1} AS DECIMAL(38,0)) * CAST(${1L << 60} AS DECIMAL(38,0))
+             |     * CAST(1000000 AS DECIMAL(38,0))
+             |     div CAST(element_at(kmv.hs, -1) AS DECIMAL(38,0)) END""".stripMargin)
+          .cast("long").as("est_millionths"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(nm).orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_hourly"   -> q14Hourly _,
     "q15_sessionize"      -> q15Sessionize _,
@@ -178,9 +225,31 @@ object EventsQ {
     "q18_user_pivot"      -> q18UserPivot _,
     "q19_funnel"          -> q19Funnel _,
     "q97_stream_sessionize" -> q97StreamSessionize _,
+    "q118_stream_distinct" -> q118StreamDistinct _,
   )
 
   val oracles: Map[String, String] = Map(
+    // streaming KMV: the q105/q110 ranked-hash replay over distinct user
+    // ids per event type — order-independence is what makes a STREAMING
+    // aggregate exactly gateable
+    "q118_stream_distinct" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(uid), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM d),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |k AS (SELECT event_type, count(*) AS kmv_n, max(h) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, kmv_n, kth,
+        |  CAST(CASE WHEN kmv_n < 64 THEN kmv_n * 1000000
+        |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT * 1000000::HUGEINT) // kth
+        |       END AS BIGINT) AS est_millionths
+        |FROM k ORDER BY event_type""".stripMargin,
     "q14_events_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  count(*) AS n, ${moneySumSql("value")} AS total_value

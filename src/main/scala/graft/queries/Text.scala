@@ -1392,11 +1392,120 @@ object TextQ {
           when(col("rk") <= lit(budget) - col("base_total"), 1L).otherwise(0L)).as("quota"))
   }
 
+  /** The in-plan 60-bit md5 hash of a string expression — `conv` over the
+    * first 15 hex chars, the [[graft.sql.KmvFunction.hash60]] value as a
+    * column (the cmEstimate idiom); DuckDB replays it with the q105
+    * list_reduce hex fold. Shared by q116/q117's deterministic draws.
+    */
+  private def hash60Col(s: String): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)")
+
+  private val PRIO_K = 64
+
+  /** q116 — PRIORITY SAMPLING (Duffield, Lund, Thorup, JACM '07): the
+    * weighted fixed-size sample WITH an unbiased subset-sum estimator —
+    * the missing half of deterministic sampling (q49/q113 draw uniformly
+    * or by quota; neither can answer "estimate total tokens over any
+    * slice from k rows"). Each doc gets priority P = w·2⁶⁰ div (h+1)
+    * (w = token count, h = 60-bit md5 of doc_id — u = (h+1)/2⁶⁰ standing
+    * in for the uniform draw, so P is the priority w/u itself in weight
+    * units, floor'd to EXACT integer arithmetic: decimal(38,0) here,
+    * HUGEINT in the oracle, the q110 doctrine); the sample is the top-k
+    * by (P desc, doc_id), the threshold τ is the (k+1)-th priority, and
+    * each sampled doc's weight estimate is ŵ = max(w, τ) — in floor'd
+    * millionths — with E[Σŵ] = Σw (DLT's near-optimal variance; the
+    * TextOpsSpec invariant pins the estimator landing near the exact
+    * total, which a cross-engine gate alone cannot — both engines could
+    * share a mis-derived estimator). The gate pins the sample
+    * membership, every ŵ, the exact total, and the estimator's Σ.
+    *
+    * Scale shape: the global top-(k+1) is `TakeOrderedAndProject` —
+    * per-partition bounded heaps merged at the driver, NO global sort,
+    * no shuffle of the corpus; the total-weight leg is a map-side-
+    * combined scalar agg on the same scan shape. The k-row tail (τ
+    * window, estimator arithmetic) is driver-scale. At 100 TB: one scan,
+    * k+1 rows + one long to the driver.
+    */
+  def q116PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        hash60Col("CAST(doc_id AS STRING)").as("h"))
+      .withColumn("p",
+        expr(s"(CAST(w AS DECIMAL(38,0)) * ${1L << 60}L) div (CAST(h AS DECIMAL(38,0)) + 1)"))
+    val w0 = org.apache.spark.sql.expressions.Window
+    val byPrio = w0.orderBy(col("p").desc, col("doc_id"))
+    // TakeOrderedAndProject (bounded per-partition top-k); the window ranks
+    // only the k+1 survivors — single tiny partition by construction
+    val top = docs.orderBy(col("p").desc, col("doc_id")).limit(PRIO_K + 1)
+      .withColumn("rn", row_number().over(byPrio).cast("long"))
+      .localCheckpoint()
+    val tau = top.filter(col("rn") === PRIO_K + 1).select(col("p").as("tau"))
+    val tot = docs.agg(sum(col("w")).as("tot_w"))
+    top.filter(col("rn") <= PRIO_K)
+      .crossJoin(broadcast(tau))
+      .crossJoin(broadcast(tot))
+      .withColumn("west_millionths",
+        expr("""CAST(greatest(CAST(w AS DECIMAL(38,0)) * 1000000,
+               |tau * 1000000) AS BIGINT)""".stripMargin))
+      .withColumn("est_tot_millionths",
+        sum(col("west_millionths")).over(w0.partitionBy()))
+      .select(col("doc_id"), col("w"), col("rn"), col("west_millionths"),
+        col("tot_w"), col("est_tot_millionths"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val SAMPLE_K = 64
+
+  /** q117 — quantile estimation from a MERGEABLE bounded sample
+    * ([[graft.sql.BottomKPairs]], the third custom-aggregate family
+    * member): per-language token-count percentiles estimated from the k
+    * docs with the smallest md5(doc_id) hash — the KMV algebra applied to
+    * SAMPLING (bottom-k by hash of the union == union-trim of per-shard
+    * bottom-k, so per-shard samples archive and roll up like q110's
+    * sketches), with the payload (n_toks) riding the hash. One archived
+    * sample answers quantiles, means, histograms — "one sketch, many
+    * stats". Exact percentiles ride along so the gate pins the
+    * estimation error itself; interpolation parity is the q61 contract
+    * (Spark `percentile` == DuckDB `quantile_cont`).
+    *
+    * Scale shape: the sample aggregate keeps k (hash, value) pairs of
+    * state per (task, group) and collapses map-side — a window
+    * `row_number <= k` would shuffle EVERY row to its group before
+    * ranking; this ships ≤ k pairs per task per group. The percentile
+    * arithmetic runs on |langs|·k exploded rows — dimension-scale.
+    */
+  def q117SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val agg = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        hash60Col("CAST(doc_id AS STRING)").as("h"))
+      .groupBy(col("lang"))
+      .agg(
+        graft.functions.bottomk_pairs(col("h"), col("n_toks"), SAMPLE_K).as("sample"),
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_toks, 0.5)"), 4).as("ex_p50"),
+        round(expr("percentile(n_toks, 0.9)"), 4).as("ex_p90"),
+        round(expr("percentile(n_toks, 0.99)"), 4).as("ex_p99"))
+      .localCheckpoint() // |langs| rows; both tails below read these blocks
+    val est = agg
+      .select(col("lang"), explode(expr("transform(sample, p -> p.val)")).as("v"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(v, 0.5)"), 4).as("est_p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("est_p90"),
+        round(expr("percentile(v, 0.99)"), 4).as("est_p99"))
+    agg.drop("sample").join(broadcast(est), Seq("lang")).orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
     "q115_kmv_rollup_mixedk" -> q115KmvRollupMixedK _,
+    "q116_priority_sample" -> q116PrioritySample _,
+    "q117_sample_quantiles" -> q117SampleQuantiles _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -1980,6 +2089,64 @@ object TextQ {
     // capped at the stratum size (load-bearing only for B > corpus size),
     // joined to the q49 md5-permutation rank — exactly quota rows per
     // language, exactly B rows total for B <= corpus size
+    // priority sampling: the same 60-bit md5 fold as q105, priorities and
+    // the tau-threshold estimator replayed in HUGEINT (exact, like Spark's
+    // decimal(38,0)); sample = top-64 by (priority, doc_id)
+    "q116_priority_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    (w::HUGEINT * 1152921504606846976::HUGEINT) // (h::HUGEINT + 1) AS p
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, w, p,
+        |    row_number() OVER (ORDER BY p DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT p AS tau FROM r WHERE rn = 65),
+        |s AS (
+        |  SELECT r.doc_id, r.w, r.rn,
+        |    greatest(r.w::HUGEINT * 1000000, t.tau * 1000000)::BIGINT
+        |      AS west_millionths
+        |  FROM r, t WHERE r.rn <= 64)
+        |SELECT s.doc_id, s.w, s.rn, s.west_millionths,
+        |  (SELECT sum(w)::BIGINT FROM d) AS tot_w,
+        |  (SELECT sum(west_millionths)::BIGINT FROM s) AS est_tot_millionths
+        |FROM s ORDER BY s.doc_id""".stripMargin,
+    // bottom-k-by-hash sample quantiles: the sample is the k smallest
+    // (h, n_toks) pairs per lang (the BottomKPairs multiset, replayed as a
+    // row_number over the same order); interpolation parity per q61
+    "q117_sample_quantiles" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_toks,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, n_toks) AS rn
+        |  FROM d),
+        |s AS (
+        |  SELECT lang, count(*)::BIGINT AS n_sample,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.5), 4) AS est_p50,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.9), 4) AS est_p90,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.99), 4) AS est_p99
+        |  FROM r WHERE rn <= 64 GROUP BY lang),
+        |x AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.5), 4) AS ex_p50,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.9), 4) AS ex_p90,
+        |    round(quantile_cont(n_toks::DOUBLE, 0.99), 4) AS ex_p99
+        |  FROM d GROUP BY lang)
+        |SELECT x.lang, x.n_docs, x.ex_p50, x.ex_p90, x.ex_p99,
+        |  s.n_sample, s.est_p50, s.est_p90, s.est_p99
+        |FROM x JOIN s USING (lang) ORDER BY x.lang""".stripMargin,
     "q113_quota_sample" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -1107,6 +1107,137 @@ final case class CmSketch(
     copy(child = newChildren.head)
 }
 
+/** Bounded per-group SAMPLE aggregate — the k pairs with the SMALLEST
+  * `(key, value)` in lexicographic order, emitted ascending as
+  * `array<struct<key:bigint, val:bigint>>`. With `key = hash(id)` this is
+  * the KMV idea applied to SAMPLING: a deterministic uniform sample whose
+  * state is bounded at k pairs per group, collapses map-side in partial
+  * aggregation, and merges by union-then-trim — so per-shard samples roll
+  * up to EXACTLY the sample of the union (the [[KmvSketch]] algebra with a
+  * payload column riding along). That is what a window `row_number() <= k`
+  * cannot do at 100 TB: a window shuffles EVERY row to its group's
+  * partition before ranking, while this aggregate ships at most k pairs
+  * per task per group. Downstream, the sampled payloads feed any statistic
+  * — quantiles, means, histograms: one archived sample, many stats.
+  *
+  * Determinism: the result is the multiset of the k lexicographically
+  * smallest pairs — partition- and order-independent, so oracle-gateable
+  * (with an md5-derived key, DuckDB replays it as a `row_number` over the
+  * same (key, value) order). Exact duplicate pairs are KEPT up to
+  * multiplicity (they are distinct sample members; a set-trim would
+  * silently shrink the sample). A row enters the sample iff key AND value
+  * are both non-null (a null key cannot rank; a null payload cannot feed a
+  * statistic — COUNT-semantics skip, like [[KmvSketch]]'s null skip).
+  */
+final case class BottomKPairs(
+    keyChild: Expression, valChild: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]] {
+
+  override def children: Seq[Expression] = Seq(keyChild, valChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(BottomKPairs.pairType, containsNull = false)
+  override def prettyName: String = "bottomk_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (keyChild.dataType != LongType || valChild.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint key, bigint value) columns, got " +
+          s"(${keyChild.dataType.catalogString}, ${valChild.dataType.catalogString})")
+    else if (k < 1 || k > (1 << 20)) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 1 <= k <= 2^20 (the per-group state budget), got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  // max-heap on (key, value): head = the largest retained pair, the one a
+  // smaller candidate evicts. O(log k) per accepted row, O(1) reject.
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](11, BottomKPairs.descending)
+
+  private def add(buf: java.util.PriorityQueue[Array[Long]], key: Long, v: Long): Unit =
+    if (buf.size < k) { buf.add(Array(key, v)); () }
+    else {
+      val top = buf.peek()
+      if (key < top(0) || (key == top(0) && v < top(1))) {
+        buf.poll(); buf.add(Array(key, v)); ()
+      }
+    }
+
+  override def update(buf: java.util.PriorityQueue[Array[Long]],
+                      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val kv = keyChild.eval(input)
+    val vv = valChild.eval(input)
+    if (kv != null && vv != null)
+      add(buf, kv.asInstanceOf[Long], vv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[Array[Long]],
+                     b2: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+    val it = b2.iterator()
+    while (it.hasNext) { val p = it.next(); add(b1, p(0), p(1)) }
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    java.util.Arrays.sort(arr, BottomKPairs.ascending)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      val row = new GenericInternalRow(2)
+      row.update(0, arr(i)(0))
+      row.update(1, arr(i)(1))
+      out(i) = row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putLong(p(0)); bb.putLong(p(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(Array(bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BottomKPairs =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BottomKPairs =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKPairs =
+    copy(keyChild = newChildren(0), valChild = newChildren(1))
+}
+
+object BottomKPairs {
+  val pairType: StructType = StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("val", LongType, nullable = false)))
+
+  val ascending: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      }
+    }
+
+  val descending: java.util.Comparator[Array[Long]] =
+    java.util.Collections.reverseOrder(ascending)
+}
+
 object KmvFunction {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1901,6 +2032,10 @@ object GraftExtensions {
         c(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     ("vec_sum_long", new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_long"),
       (c: Seq[Expression]) => VecSumLong(c(0))),
+    // k must be a foldable int literal (it bounds the per-group state)
+    ("bottomk_pairs", new ExpressionInfo(classOf[BottomKPairs].getName, "bottomk_pairs"),
+      (c: Seq[Expression]) => BottomKPairs(c(0), c(1),
+        c(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())),
     // depth/width must be foldable int literals (they size the state grid)
     ("cm_sketch", new ExpressionInfo(classOf[CmSketch].getName, "cm_sketch"),
       (c: Seq[Expression]) => CmSketch(c(0),

@@ -795,4 +795,52 @@ class SqlExprSpec extends AnyFunSuite {
     assert(!plan.toString.contains("ScalaUDF"))
     assert(df2.collect().forall(_.getString(0).startsWith("\u00e9 id")))
   }
+
+  test("bottomk_pairs: k-smallest multiset, duplicates kept, shard rollup, nulls, SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 4000L
+    val k = 50
+    // planted key collisions: (id*37) % 1000 cycles, so every key is hit 4
+    // times with differing payloads \u2014 ties on key are broken by value
+    val df = spark.range(n).select(col("id"),
+      ((col("id") * 37) % 1000).as("h"), (col("id") % 7).as("v"))
+    def samp(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      d.agg(graft.functions.bottomk_pairs(col("h"), col("v"), k).as("s"))
+        .select(explode(col("s")).as("p"))
+        .select(col("p.key"), col("p.val")).as[(Long, Long)].collect().toSeq
+    val direct = samp(df.coalesce(1))
+    val expected = (0L until n).map(i => ((i * 37) % 1000, i % 7)).sorted.take(k)
+    assert(direct == expected, "content must be exactly the k smallest (key, value) pairs")
+    assert(samp(df.repartition(13)) == direct,
+      "merge path must equal the single-partition path")
+    // exact duplicate pairs are KEPT up to multiplicity (sample members,
+    // not set elements \u2014 unlike kmv_sketch's set semantics)
+    assert(samp(df.union(df)) == expected.flatMap(p => Seq(p, p)).take(k))
+    // archival rollup: per-shard samples explode + re-aggregate to EXACTLY
+    // the sample of the union (the KMV union-trim algebra with payloads)
+    val rolled = df.groupBy((col("id") % 8).as("shard"))
+      .agg(graft.functions.bottomk_pairs(col("h"), col("v"), k).as("s"))
+      .select(explode(col("s")).as("p"))
+      .agg(graft.functions.bottomk_pairs(col("p.key"), col("p.val"), k).as("s"))
+      .select(explode(col("s")).as("p"))
+      .select(col("p.key"), col("p.val")).as[(Long, Long)].collect().toSeq
+    assert(rolled == direct, "per-shard sample rollup must equal the direct sample")
+    // sub-k group returns every pair, ascending
+    assert(samp(df.limit(7)) ==
+      (0L until 7L).map(i => ((i * 37) % 1000, i % 7)).sorted)
+    // a row enters the sample iff key AND value are non-null
+    val withNulls = Seq((Option(1L), Option.empty[Long]),
+      (Option.empty[Long], Option(2L)), (Option(3L), Option(4L))).toDF("h", "v")
+    assert(samp(withNulls) == Seq((3L, 4L)))
+    // SQL-registered
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("bkp_in")
+    assert(spark.sql("SELECT size(bottomk_pairs(h, v, 5)) FROM bkp_in")
+      .collect().head.getInt(0) == 5)
+    // k outside the state budget fails at analysis, not silently
+    intercept[Exception] {
+      df.agg(graft.functions.bottomk_pairs(col("h"), col("v"), 0)).collect()
+    }
+  }
 }

@@ -324,6 +324,38 @@ class StreamingSpec extends AnyFunSuite {
       "streamed grid rollup must equal the direct batch sketch exactly")
   }
 
+  test("streaming bottomk_pairs sample (state store) == batch sample") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the sample aggregate's heap buffer must survive state-store
+    // serialize/deserialize across micro-batches and merge to the same
+    // k-smallest multiset the batch path computes
+    val fn = org.apache.spark.sql.functions
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 3}", (i.toLong * 37) % 911, i.toLong % 13))
+    def pairs(rowSeq: Seq[org.apache.spark.sql.Row]): Map[String, Seq[(Long, Long)]] =
+      rowSeq.map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1)))
+      }.toMap
+    val batch = pairs(rows.toDF("g", "h", "v").groupBy("g")
+      .agg(graft.functions.bottomk_pairs(fn.col("h"), fn.col("v"), 16).as("s"))
+      .collect().toIndexedSeq)
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF.toDF("g", "h", "v").groupBy("g")
+      .agg(graft.functions.bottomk_pairs(fn.col("h"), fn.col("v"), 16).as("s"))
+      .writeStream.format("memory").queryName("bkps").outputMode("complete").start()
+    try {
+      input.addData(rows.take(1000): _*); q.processAllAvailable()
+      input.addData(rows.drop(1000): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = pairs(spark.table("bkps").collect().toIndexedSeq)
+    assert(streamed == batch,
+      "cross-micro-batch sample state must equal the batch sample exactly")
+    assert(batch.values.forall(v => v.length == 16 && v == v.sorted))
+  }
+
   test("streaming MinHash signature maintenance == batch overlapSignatures (complete mode)") {
     val spark0 = spark
     import spark0.implicits._

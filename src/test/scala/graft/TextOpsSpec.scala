@@ -824,4 +824,43 @@ class TextOpsSpec extends AnyFunSuite {
       ("en", 6L, 5L, 2L, 0.3333),
       ("fr", 2L, 2L, 0L, 0.0)))
   }
+
+  // ---- priority sampling (q116) / sample quantiles (q117) ------------------
+
+  test("priority sample: DLT invariants — membership, ŵ floors, estimator in range") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextQ.all("q116_priority_sample")(spark, dir).collect()
+    assert(rows.length == 64)
+    val totW = rows.head.getAs[Long]("tot_w")
+    val estTot = rows.head.getAs[Long]("est_tot_millionths")
+    rows.foreach { r =>
+      // ŵ = max(w, τ/2^60) can never fall below the doc's own weight
+      assert(r.getAs[Long]("west_millionths") >= r.getAs[Long]("w") * 1000000L)
+    }
+    // ranks are exactly 1..64 (the top-k by priority, no gaps)
+    assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 64L))
+    // the unbiased subset-sum estimator should land near the exact total
+    // (fixed hashes -> deterministic; the band is loose but meaningful:
+    // DLT std-dev at k=64 is ~ totW/sqrt(k-1) ~ 12.5%)
+    assert(math.abs(estTot.toDouble / 1e6 - totW) < 0.5 * totW,
+      s"estimate ${estTot / 1e6} vs exact $totW")
+  }
+
+  test("sample quantiles: sub-k strata are exact; saturated strata stay in data range") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextQ.all("q117_sample_quantiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nSample) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sample"))
+      assert(nSample == math.min(nDocs, 64L))
+      // a sample quantile of n_toks can never leave the value range; and
+      // when the sample IS the stratum, estimates equal exacts identically
+      if (nSample == nDocs) {
+        assert(r.getAs[Double]("est_p50") == r.getAs[Double]("ex_p50"))
+        assert(r.getAs[Double]("est_p99") == r.getAs[Double]("ex_p99"))
+      }
+      assert(r.getAs[Double]("est_p50") <= r.getAs[Double]("est_p90") + 1e-9)
+      assert(r.getAs[Double]("est_p90") <= r.getAs[Double]("est_p99") + 1e-9)
+    }
+  }
 }
