@@ -1422,9 +1422,10 @@ object TextQ {
     * Scale shape: the global top-(k+1) is `TakeOrderedAndProject` —
     * per-partition bounded heaps merged at the driver, NO global sort,
     * no shuffle of the corpus; the total-weight leg is a map-side-
-    * combined scalar agg on the same scan shape. The k-row tail (τ
-    * window, estimator arithmetic) is driver-scale. At 100 TB: one scan,
-    * k+1 rows + one long to the driver.
+    * combined scalar agg. Two passes total, each a single-column
+    * columnar scan (text only — PushedFilters/ReadSchema audited); the
+    * k-row tail (τ window, estimator arithmetic) is driver-scale. At
+    * 100 TB: two projected scans, k+1 rows + one long to the driver.
     */
   def q116PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1453,6 +1454,75 @@ object TextQ {
       .select(col("doc_id"), col("w"), col("rn"), col("west_millionths"),
         col("tot_w"), col("est_tot_millionths"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q119 — cross-corpus SET SIMILARITY from archived KMV sketches (the
+    * k-minima Jaccard estimator, Bar-Yossef et al. '02 / Beyer et al.
+    * SIGMOD'07): for every SOURCE pair (bigram vocabularies — the
+    * grouping with non-degenerate overlap in the fixture), the union
+    * sketch is the k smallest of hs_a ∪ hs_b (pure array arithmetic on the STORED
+    * sketches — no raw data touched), m counts union-sketch members
+    * present in BOTH sides, and ρ̂ = m/|U| estimates the vocabulary
+    * Jaccard — `(m·10⁶) div |U|` in exact integers, the q110 doctrine.
+    * The exact Jaccard (distinct-token intersect/union counts) rides
+    * along so the gate pins the estimation ERROR itself, cross-engine.
+    * This is contamination/overlap screening at 100 TB: pairwise overlap
+    * of N corpus slices from N·k longs of archived sketch — no token
+    * rescan, no quadratic token join (the exact leg here exists for the
+    * gate; at scale you keep only the sketch algebra).
+    *
+    * Scale shape: sketches are one map-side-combined pass (k longs per
+    * lang); the pair frame is |langs|² rows of array arithmetic on a
+    * broadcast self-join (BNLJ over a dimension-sized frame — never the
+    * corpus). The exact leg's token self-join is shuffle-hash on tok with
+    * the (lang_a < lang_b) pregate; it drops entirely when only the
+    * estimate is needed.
+    */
+  def q119KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val k = 64
+    // word-bigram vocabulary per SOURCE (20 groups, pairwise Jaccard
+    // 0.54-0.70 at test scale — langs share one token universe, which
+    // would degenerate the gate to ρ = 1 everywhere)
+    val toks = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(w) < 2 THEN array(text)
+          |ELSE transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"""
+          .stripMargin)).as("tok"))
+    // (source, tok) distinct — the exact leg's working set, read three
+    // times (sizes, both join sides): materialize once
+    val t = toks.distinct().localCheckpoint()
+    val sk = toks
+      .groupBy(col("source"))
+      .agg(graft.functions.kmv_sketch(col("tok"), k).as("kmv"))
+      .select(col("source"), col("kmv.hs").as("hs"))
+      .localCheckpoint() // |sources| rows
+    val sizes = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = t.as("x")
+      .join(t.as("y").hint("shuffle_hash"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter_raw"))
+    sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        expr(s"slice(array_sort(array_union(a.hs, b.hs)), 1, $k)").as("u"),
+        col("a.hs").as("ahs"), col("b.hs").as("bhs"))
+      .select(col("src_a"), col("src_b"),
+        size(col("u")).cast("long").as("u_n"),
+        expr("CAST(size(array_intersect(array_intersect(u, ahs), bhs)) AS BIGINT)").as("m"))
+      .withColumn("est_jacc_millionths", expr("(m * 1000000L) div u_n"))
+      .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+      .join(broadcast(sizes.as("sa")), col("src_a") === col("sa.source"))
+      .join(broadcast(sizes.as("sb")), col("src_b") === col("sb.source"))
+      .withColumn("n_inter", coalesce(col("n_inter_raw"), lit(0L)))
+      .withColumn("n_union", col("sa.n") + col("sb.n") - col("n_inter"))
+      .withColumn("ex_jacc_millionths", expr("(n_inter * 1000000L) div n_union"))
+      .select(col("src_a"), col("src_b"), col("u_n"), col("m"),
+        col("est_jacc_millionths"), col("n_inter"), col("n_union"),
+        col("ex_jacc_millionths"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   private val SAMPLE_K = 64
@@ -1506,6 +1576,7 @@ object TextQ {
     "q115_kmv_rollup_mixedk" -> q115KmvRollupMixedK _,
     "q116_priority_sample" -> q116PrioritySample _,
     "q117_sample_quantiles" -> q117SampleQuantiles _,
+    "q119_kmv_jaccard"   -> q119KmvJaccard _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -2089,6 +2160,52 @@ object TextQ {
     // capped at the stratum size (load-bearing only for B > corpus size),
     // joined to the q49 md5-permutation rank — exactly quota rows per
     // language, exactly B rows total for B <= corpus size
+    // KMV Jaccard: per-lang ranked-hash k-minima (the q105 fold), union
+    // sketch by list arithmetic, m / |U| in exact integers; exact
+    // distinct-token Jaccard alongside
+    "q119_kmv_jaccard" ->
+      """WITH b AS (
+        |  SELECT source, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT source, CASE WHEN len(w) < 2 THEN [text]
+        |    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+        |    END AS bgs
+        |  FROM b),
+        |toks AS (SELECT DISTINCT source, unnest(bgs) AS tok FROM g),
+        |hh AS (
+        |  SELECT DISTINCT source,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef', substr(md5(tok), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM toks),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |s AS (SELECT source, list(h ORDER BY h) AS hs FROM r WHERE rn <= 64 GROUP BY source),
+        |n AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+        |i AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+        |  FROM toks x JOIN toks y ON y.tok = x.tok AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    list_sort(list_distinct(a.hs || b.hs))[1:64] AS u,
+        |    a.hs AS ahs, b.hs AS bhs
+        |  FROM s a JOIN s b ON a.source < b.source),
+        |e AS (
+        |  SELECT src_a, src_b, len(u)::BIGINT AS u_n,
+        |    len(list_intersect(list_intersect(u, ahs), bhs))::BIGINT AS m
+        |  FROM p)
+        |SELECT e.src_a, e.src_b, e.u_n, e.m,
+        |  (e.m * 1000000) // e.u_n AS est_jacc_millionths,
+        |  coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+        |  (na.n + nb.n - coalesce(i.n_inter, 0))::BIGINT AS n_union,
+        |  (coalesce(i.n_inter, 0) * 1000000) // (na.n + nb.n - coalesce(i.n_inter, 0))
+        |    AS ex_jacc_millionths
+        |FROM e
+        |LEFT JOIN i ON i.src_a = e.src_a AND i.src_b = e.src_b
+        |JOIN n na ON na.source = e.src_a
+        |JOIN n nb ON nb.source = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
     // priority sampling: the same 60-bit md5 fold as q105, priorities and
     // the tau-threshold estimator replayed in HUGEINT (exact, like Spark's
     // decimal(38,0)); sample = top-64 by (priority, doc_id)
