@@ -1525,6 +1525,72 @@ object TextQ {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  private val GPRIO_K = 16
+
+  /** q120 — per-GROUP priority sampling at bounded state: q116's DLT
+    * weighted sample, per language, via [[graft.sql.BottomKPairs]] — the
+    * regime a global `TakeOrderedAndProject` cannot reach (top-k per
+    * group either window-shuffles the corpus or needs a bounded
+    * mergeable aggregate; this is the aggregate). The priority order
+    * rides an INVERTED integer key `qinv = (h+1) div w` (bottom-k by
+    * qinv ≈ top-k by w/u, floor-quantized so both engines replay it
+    * exactly; value = doc_id, so the aggregate's (key, value) tie-break
+    * IS the oracle's `ORDER BY qinv, doc_id`). The aggregate keeps k+1
+    * pairs per group: the k sampled docs plus the threshold row, whose
+    * implied weight-units threshold is τ = 2⁶⁰ div τ_inv, giving the
+    * estimator ŵ = max(w, τ) in floor'd millionths — quantized DLT
+    * (floors add O(2⁻⁶⁰·w²) bias: nil; a group with ≤ k docs has no
+    * threshold row and is estimated EXACTLY, ŵ = w). Per-lang Σŵ and
+    * the exact Σw ride side by side, so the gate pins per-group
+    * estimator error cross-engine.
+    *
+    * Scale shape: one map-side-combined pass with k+1 (long, long)
+    * pairs of state per (task, lang); sampled ids re-join to the corpus
+    * for payloads via a broadcast hash join (the sample side is
+    * |groups|·(k+1) rows). At 100 TB: two projected scans, no window,
+    * no corpus shuffle.
+    */
+  def q120GroupPrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        hash60Col("CAST(doc_id AS STRING)").as("h"))
+      .withColumn("qinv", expr("(h + 1) div w"))
+      .localCheckpoint() // read twice: sample pass + payload re-join
+    val sampled = docs
+      .groupBy(col("lang"))
+      .agg(graft.functions.bottomk_pairs(col("qinv"), col("doc_id"), GPRIO_K + 1)
+        .as("s"),
+        sum(col("w")).as("tot_w"))
+      .select(col("lang"), col("tot_w"), explode(col("s")).as("p"))
+      .select(col("lang"), col("tot_w"),
+        col("p.key").as("qinv"), col("p.val").as("doc_id"))
+    val w0 = org.apache.spark.sql.expressions.Window
+    val ranked = sampled
+      .withColumn("rn", row_number().over(
+        w0.partitionBy(col("lang")).orderBy(col("qinv"), col("doc_id"))).cast("long"))
+    val tau = ranked.filter(col("rn") === GPRIO_K + 1)
+      .select(col("lang"), col("qinv").as("tinv"))
+    val samp = ranked.filter(col("rn") <= GPRIO_K)
+      .join(broadcast(tau), Seq("lang"), "left")
+      .select(col("lang"), col("doc_id"), col("rn"), col("tot_w"), col("tinv"))
+    // payload re-join: STREAM the corpus, broadcast the |groups|·k sample
+    val est = docs.select(col("lang"), col("doc_id"), col("w"))
+      .join(broadcast(samp), Seq("lang", "doc_id"))
+      .withColumn("west_millionths",
+        expr(s"""CAST(CASE WHEN tinv IS NULL THEN w * 1000000
+                 |ELSE greatest(CAST(w AS DECIMAL(38,0)) * 1000000,
+                 |  CAST(${1L << 60}L AS DECIMAL(38,0)) * 1000000 div tinv)
+                 |END AS BIGINT)""".stripMargin))
+    est
+      .withColumn("est_tot_millionths",
+        sum(col("west_millionths")).over(w0.partitionBy(col("lang"))))
+      .select(col("lang"), col("doc_id"), col("w"), col("rn"),
+        col("west_millionths"), col("tot_w"), col("est_tot_millionths"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   private val SAMPLE_K = 64
 
   /** q117 — quantile estimation from a MERGEABLE bounded sample
@@ -1577,6 +1643,7 @@ object TextQ {
     "q116_priority_sample" -> q116PrioritySample _,
     "q117_sample_quantiles" -> q117SampleQuantiles _,
     "q119_kmv_jaccard"   -> q119KmvJaccard _,
+    "q120_group_priority_sample" -> q120GroupPrioritySample _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -2160,6 +2227,36 @@ object TextQ {
     // capped at the stratum size (load-bearing only for B > corpus size),
     // joined to the q49 md5-permutation rank — exactly quota rows per
     // language, exactly B rows total for B <= corpus size
+    // per-group priority sampling: the q116 replay per language with the
+    // inverted integer key (h+1) // w; threshold row = rank k+1, tau in
+    // weight units = 2^60 // tinv, all in HUGEINT
+    "q120_group_priority_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS w,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents),
+        |q AS (SELECT lang, doc_id, w, (h + 1) // w AS qinv FROM d),
+        |r AS (
+        |  SELECT lang, doc_id, w, qinv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY qinv, doc_id) AS rn
+        |  FROM q),
+        |t AS (SELECT lang, qinv AS tinv FROM r WHERE rn = 17),
+        |tot AS (SELECT lang, sum(w)::BIGINT AS tot_w FROM d GROUP BY lang),
+        |s AS (
+        |  SELECT r.lang, r.doc_id, r.w, r.rn,
+        |    CASE WHEN t.tinv IS NULL THEN r.w * 1000000
+        |         ELSE greatest(r.w::HUGEINT * 1000000,
+        |                (1152921504606846976::HUGEINT * 1000000) // t.tinv)
+        |    END::BIGINT AS west_millionths
+        |  FROM r LEFT JOIN t ON t.lang = r.lang WHERE r.rn <= 16),
+        |e AS (SELECT lang, sum(west_millionths)::BIGINT AS est FROM s GROUP BY lang)
+        |SELECT s.lang, s.doc_id, s.w, s.rn, s.west_millionths, tot.tot_w,
+        |  e.est AS est_tot_millionths
+        |FROM s JOIN tot ON tot.lang = s.lang JOIN e ON e.lang = s.lang
+        |ORDER BY s.lang, s.rn""".stripMargin,
     // KMV Jaccard: per-lang ranked-hash k-minima (the q105 fold), union
     // sketch by list arithmetic, m / |U| in exact integers; exact
     // distinct-token Jaccard alongside

@@ -846,6 +846,25 @@ class TextOpsSpec extends AnyFunSuite {
       s"estimate ${estTot / 1e6} vs exact $totW")
   }
 
+  test("per-group priority sample: floors, ranks, estimator band per group") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextQ.all("q120_group_priority_sample")(spark, dir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 16, s"$lang: 16 sampled rows per saturated group")
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 16L))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("west_millionths") >= r.getAs[Long]("w") * 1000000L)
+      }
+      // k=16 -> DLT std ~ 1/sqrt(15) ~ 26%; a fixed draw must still land
+      // within a few sigma of the exact per-group total
+      val tot = rs.head.getAs[Long]("tot_w").toDouble
+      val est = rs.head.getAs[Long]("est_tot_millionths").toDouble / 1e6
+      assert(est > 0.2 * tot && est < 3.0 * tot, s"$lang: est $est vs exact $tot")
+    }
+  }
+
   test("sample quantiles: sub-k strata are exact; saturated strata stay in data range") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextQ.all("q117_sample_quantiles")(spark, dir).collect()
