@@ -119,6 +119,38 @@ object SketchBench {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(merged == directKth, "rollup must equal the direct sketch")
 
+    // leg 5: bounded-state SAMPLE (bottomk_pairs) vs the window-rank
+    // formulation of the same k-smallest-pairs-per-group answer. Spark
+    // 3.5+ bounds the window's exchange too (WindowGroupLimit pushes the
+    // rank limit below the shuffle — its shuffle-write is ~constant in n,
+    // measured), but the window still FULLY SORTS every map partition
+    // below the partial limit; the aggregate's heap is O(n log k) with no
+    // sort (measured ~4x wall at 50M rows). Results are required
+    // IDENTICAL (order-independent multiset, compared via an xor
+    // signature — xxhash64 keys are unique, so nothing self-cancels).
+    val kvs = spark.range(n).select(
+      pmod(col("id"), lit(groups.toLong)).as("lang"),
+      xxhash64(col("id")).as("h"), pmod(col("id"), lit(997L)).as("v"))
+    val (aggRes, tSampAgg) = time {
+      kvs.groupBy("lang")
+        .agg(graft.functions.bottomk_pairs(col("h"), col("v"), k).as("s"))
+        .select(col("lang"),
+          expr("aggregate(s, 0L, (a, p) -> a ^ p.key ^ p.val)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val mbSampAgg = drainMb()
+    val (winRes, tSampWin) = time {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("v"))
+      kvs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy("lang")
+        .agg(expr("bit_xor(h ^ v)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val mbSampWin = drainMb()
+    require(aggRes == winRes,
+      "bounded-state sample must equal the window-rank sample exactly")
+
     def f(d: Double): String = f"$d%.3f"
     println(
       s"""{"bench":"sketch","n":$n,"groups":$groups,"universe":$universe,"k":$k,
@@ -127,7 +159,10 @@ object SketchBench {
          |"kmv_max_rel_err":${f(maxRelErr)},"se_theory":${f(1.0 / math.sqrt(k - 2.0))},
          |"cm_sec":${f(tCm)},"cm_shuffle_mb":${f(mbCm)},
          |"rollup_store_sec":${f(tStore)},"rollup_merge_sec":${f(tMerge)},
-         |"rollup_merge_shuffle_mb":${f(mbMerge)}}""".stripMargin.replace("\n", ""))
+         |"rollup_merge_shuffle_mb":${f(mbMerge)},
+         |"sample_agg_sec":${f(tSampAgg)},"sample_agg_shuffle_mb":${f(mbSampAgg)},
+         |"sample_win_sec":${f(tSampWin)},"sample_win_shuffle_mb":${f(mbSampWin)}}"""
+        .stripMargin.replace("\n", ""))
     spark.stop()
   }
 }

@@ -118,8 +118,9 @@ object functions {
     * smallest `(key, value)` pairs per group, ascending
     * `array<struct<key,val>>` — with a hash key, a mergeable uniform
     * sample (per-shard samples union-trim to the sample of the union;
-    * see [[graft.sql.BottomKPairs]]). k pairs of state per group, vs a
-    * window rank's full shuffle.
+    * see [[graft.sql.BottomKPairs]]). k pairs of heap state per group —
+    * no per-partition sort (vs a rank window's), and stored samples
+    * re-aggregate.
     */
   def bottomk_pairs(key: Column, value: Column, k: Int): Column =
     native(graft.sql.BottomKPairs(ex(key), ex(value), k).toAggregateExpression())

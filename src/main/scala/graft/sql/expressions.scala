@@ -1114,10 +1114,15 @@ final case class CmSketch(
   * state is bounded at k pairs per group, collapses map-side in partial
   * aggregation, and merges by union-then-trim — so per-shard samples roll
   * up to EXACTLY the sample of the union (the [[KmvSketch]] algebra with a
-  * payload column riding along). That is what a window `row_number() <= k`
-  * cannot do at 100 TB: a window shuffles EVERY row to its group's
-  * partition before ranking, while this aggregate ships at most k pairs
-  * per task per group. Downstream, the sampled payloads feed any statistic
+  * payload column riding along). Against the window formulation
+  * `row_number() <= k`: Spark 3.5+ bounds the window's exchange too
+  * (`WindowGroupLimit` pushes the rank limit below the shuffle), but the
+  * window still fully SORTS every map partition below the partial limit —
+  * O(n log n) per task vs this aggregate's O(n log k) heap with no sort
+  * (measured 4.2× faster at 50M rows, SketchBench leg 5) — and a window
+  * result cannot re-aggregate: only the mergeable aggregate rolls STORED
+  * per-shard samples up to the sample of the union without rescanning.
+  * Downstream, the sampled payloads feed any statistic
   * — quantiles, means, histograms: one archived sample, many stats.
   *
   * Determinism: the result is the multiset of the k lexicographically
