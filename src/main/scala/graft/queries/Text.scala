@@ -1643,6 +1643,92 @@ object TextQ {
     agg.drop("sample").join(broadcast(est), Seq("lang")).orderBy(col("lang"))
   }
 
+  /** q121 — the [[graft.sql.BottomKPairs]] mergeable sample run THROUGH
+    * Structured Streaming's state store (q118's mold, applied to the
+    * SAMPLE family): the documents parquet feeds a FileStreamSource,
+    * per-language bottom-64-by-hash samples of (md5-hash, token-count)
+    * pairs accumulate across micro-batches in complete mode, and the
+    * materialized sink must match the DuckDB ranked replay bit-for-bit —
+    * sample cardinality, the largest retained hash, AND the sample's
+    * token sum. Like the KMV k-minima, the k smallest (key, value) pairs
+    * are ORDER-INDEPENDENT, so micro-batch boundaries and state-store
+    * merge order cannot change the answer — which is what makes a
+    * streaming sample exactly gateable. This is the live-corpus-stats
+    * surface a 100 TB ingest needs: a bounded uniform document sample
+    * per slice, maintained incrementally in k (long, long) pairs of
+    * state per group, answering quantiles/means downstream without
+    * re-reading history — the batch q117 semantics, unchanged under
+    * `readStream`.
+    */
+  def q121StreamSample(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val nm = "q121_sample_sink"
+    spark.streams.active.filter(q => Option(q.name).contains(nm)).foreach(_.stop())
+    scala.util.Try(spark.catalog.dropTempView(nm))
+    // the q97/q118 FileStreamSource idiom: brace glob keeps the basePath
+    // injection off for a single-file table; complete mode on finite
+    // input emits the full final state — no watermark race
+    val docs = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        hash60Col("CAST(doc_id AS STRING)").as("h"))
+    val q = docs.groupBy(col("lang"))
+      .agg(
+        graft.functions.bottomk_pairs(col("h"), col("n_toks"), SAMPLE_K).as("s"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        size(col("s")).cast("long").as("n_sample"),
+        expr("element_at(s, -1).key").as("kth_h"),
+        expr("aggregate(s, 0L, (a, p) -> a + p.val)").as("sample_tok_sum"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(nm).orderBy(col("lang"))
+  }
+
+  /** q122 — SAMPLE ROLLUP (the q110 archival pattern applied to
+    * [[graft.sql.BottomKPairs]]): per-(language, shard) bottom-64-by-hash
+    * samples (shard = doc_id % 4 — the per-day/per-partition sample a
+    * real pipeline persists between runs) re-aggregated to per-language
+    * by explode + a second `bottomk_pairs` pass, WITHOUT touching raw
+    * documents again. Union-then-trim makes per-shard samples roll up to
+    * EXACTLY the sample of the union (shards partition the corpus, so
+    * multiset semantics carry duplicates correctly), and the oracle is
+    * the DIRECT ranked replay over the whole corpus — the gate proves
+    * rollup-of-samples == sample-of-union cross-engine, estimator
+    * included (sample quantiles per q117's interpolation-parity
+    * contract). The window formulation cannot do this: a `row_number`
+    * sample is a result, not a mergeable state.
+    *
+    * Scale shape: stage 1 is one map-side-combined pass with k pairs of
+    * state per (task, lang, shard); stage 2 aggregates |groups|·k pairs —
+    * dimension-scale. Raw data is scanned once and never re-shuffled.
+    */
+  def q122SampleRollup(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val shardSamples = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 4).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        hash60Col("CAST(doc_id AS STRING)").as("h"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.bottomk_pairs(col("h"), col("n_toks"), SAMPLE_K).as("s"))
+    shardSamples
+      .select(col("lang"), explode(col("s")).as("p"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.bottomk_pairs(col("p.key"), col("p.val"), SAMPLE_K).as("s"))
+      .select(col("lang"), explode(col("s")).as("p"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sample"),
+        max(col("p.key")).as("kth_h"),
+        round(expr("percentile(p.val, 0.5)"), 4).as("est_p50"),
+        round(expr("percentile(p.val, 0.9)"), 4).as("est_p90"),
+        round(expr("percentile(p.val, 0.99)"), 4).as("est_p99"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
@@ -1652,6 +1738,8 @@ object TextQ {
     "q117_sample_quantiles" -> q117SampleQuantiles _,
     "q119_kmv_jaccard"   -> q119KmvJaccard _,
     "q120_group_priority_sample" -> q120GroupPrioritySample _,
+    "q121_stream_sample" -> q121StreamSample _,
+    "q122_sample_rollup" -> q122SampleRollup _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -2369,6 +2457,48 @@ object TextQ {
         |SELECT x.lang, x.n_docs, x.ex_p50, x.ex_p90, x.ex_p99,
         |  s.n_sample, s.est_p50, s.est_p90, s.est_p99
         |FROM x JOIN s USING (lang) ORDER BY x.lang""".stripMargin,
+    // streaming bottom-k sample: the q117 ranked replay — order-independence
+    // of the k smallest (h, n_toks) pairs is what makes a STREAMING sample
+    // exactly gateable (the q118 argument, applied to the sample family)
+    "q121_stream_sample" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_toks, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, n_toks) AS rn
+        |  FROM d),
+        |g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM d GROUP BY lang),
+        |s AS (
+        |  SELECT lang, count(*)::BIGINT AS n_sample, max(h) AS kth_h,
+        |    sum(n_toks)::BIGINT AS sample_tok_sum
+        |  FROM r WHERE rn <= 64 GROUP BY lang)
+        |SELECT g.lang, g.n_docs, s.n_sample, s.kth_h, s.sample_tok_sum
+        |FROM g JOIN s USING (lang) ORDER BY g.lang""".stripMargin,
+    // sample rollup: the oracle replays the DIRECT whole-corpus sample —
+    // matching it proves the per-shard union-trim rollup lands on exactly
+    // the sample of the union, estimator included
+    "q122_sample_rollup" ->
+      """WITH d AS (
+        |  SELECT lang, len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> strpos('0123456789abcdef',
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1))::BIGINT - 1),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_toks, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, n_toks) AS rn
+        |  FROM d)
+        |SELECT lang, count(*)::BIGINT AS n_sample, max(h) AS kth_h,
+        |  round(quantile_cont(n_toks::DOUBLE, 0.5), 4) AS est_p50,
+        |  round(quantile_cont(n_toks::DOUBLE, 0.9), 4) AS est_p90,
+        |  round(quantile_cont(n_toks::DOUBLE, 0.99), 4) AS est_p99
+        |FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang""".stripMargin,
     "q113_quota_sample" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
