@@ -1729,6 +1729,48 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  private val HIST_NB = 12
+
+  /** q123 — MERGEABLE HISTOGRAMS (corpus length profiling): per-language
+    * log₂-bin document-length histograms, built per-(language, shard) as
+    * one-hot long vectors summed by [[graft.sql.VecSumLong]], then rolled
+    * up per language by a second `vec_sum_long` pass — the q110/q112/q122
+    * archival algebra applied to the most basic profiling artifact.
+    * Vector addition is exact and commutative, so shard histograms
+    * persisted between pipeline runs re-aggregate to exactly the direct
+    * histogram — the oracle pins every bin (comma-joined per the q111
+    * `cmAsString` convention, with `n_bins` carrying the cardinality).
+    * The bin index is pure integer arithmetic on BOTH engines:
+    * `length(bin(n_toks)) - 1` = ⌊log₂ n⌋ with no floating log.
+    *
+    * Scale shape: one map-side-combined pass with [[HIST_NB]] longs of
+    * state per (task, lang, shard); stage 2 sums |groups| vectors —
+    * dimension-scale. The histogram lives in the same hash aggregate as
+    * any sibling stats (vs `width_bucket` + groupBy(bin), which shuffles
+    * a (group × bin) keyspace and yields rows, not an archivable vector).
+    */
+  def q123LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val shardHists = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 4).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("b", expr(s"least(length(bin(n_toks)) - 1, ${HIST_NB - 1})").cast("long"))
+      .withColumn("onehot",
+        expr(s"transform(sequence(0, ${HIST_NB - 1}), i -> IF(i = b, 1L, 0L))"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.vec_sum_long(col("onehot")).as("hist"),
+        count(lit(1)).as("n"))
+    shardHists
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_shards"),
+        graft.functions.vec_sum_long(col("hist")).as("hist"))
+      .select(col("lang"), col("n_docs"), col("n_shards"),
+        size(col("hist")).cast("long").as("n_bins"),
+        expr("array_join(transform(hist, x -> CAST(x AS STRING)), ',')").as("hist"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
@@ -1740,6 +1782,7 @@ object TextQ {
     "q120_group_priority_sample" -> q120GroupPrioritySample _,
     "q121_stream_sample" -> q121StreamSample _,
     "q122_sample_rollup" -> q122SampleRollup _,
+    "q123_length_histogram" -> q123LengthHistogram _,
     "q111_cm_heavy"      -> q111CmHeavy _,
     "q112_cm_rollup"     -> q112CmRollup _,
     "q113_quota_sample"  -> q113QuotaSample _,
@@ -2499,6 +2542,28 @@ object TextQ {
         |  round(quantile_cont(n_toks::DOUBLE, 0.9), 4) AS est_p90,
         |  round(quantile_cont(n_toks::DOUBLE, 0.99), 4) AS est_p99
         |FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang""".stripMargin,
+    // mergeable length histograms: every bin pinned (the q111/q112 grid
+    // convention); integer log2 via length(bin(n)) - 1 on both engines
+    "q123_length_histogram" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    least(length(bin(len(string_split(text, ' '))::BIGINT)) - 1, 11)::BIGINT AS b
+        |  FROM documents),
+        |c AS (SELECT lang, b, count(*)::BIGINT AS n FROM d GROUP BY lang, b),
+        |grid AS (
+        |  SELECT g.lang, i.i FROM (SELECT DISTINCT lang FROM d) g
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS i) i),
+        |f AS (
+        |  SELECT grid.lang, grid.i, coalesce(c.n, 0)::BIGINT AS n
+        |  FROM grid LEFT JOIN c ON c.lang = grid.lang AND c.b = grid.i),
+        |s AS (SELECT lang, count(*)::BIGINT AS n_shards
+        |      FROM (SELECT DISTINCT lang, doc_id % 4 FROM documents) GROUP BY lang),
+        |t AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang)
+        |SELECT f.lang, t.n_docs, s.n_shards,
+        |  count(*)::BIGINT AS n_bins,
+        |  string_agg(f.n::VARCHAR, ',' ORDER BY f.i) AS hist
+        |FROM f JOIN s ON s.lang = f.lang JOIN t ON t.lang = f.lang
+        |GROUP BY f.lang, t.n_docs, s.n_shards ORDER BY f.lang""".stripMargin,
     "q113_quota_sample" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
