@@ -132,6 +132,59 @@ class ScaleSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("sketch/sample/histogram aggregates ship bounded exchanges: shuffle write constant in input rows") {
+    // the 100 TB argument as a CI invariant (SketchBench measures it at
+    // 5M/50M rows; this pins it every run): the KMV sketch, the bottom-k
+    // sample, the CM grid, and the one-hot histogram all collapse
+    // map-side to fixed-size partial state, so the aggregation exchange
+    // is groups x state — CONSTANT in corpus size. 10x the rows must not
+    // move the shuffled bytes (tolerance covers task-overhead jitter).
+    val sc = spark.sparkContext
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    def shuffleOf(n: Long): Long = {
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val shuffled = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        // 8 native range slices — no repartition (that exchange WOULD
+        // scale with n and is not part of the aggregate's contract)
+        spark.range(0L, n, 1L, 8)
+          .select(pmod(col("id"), lit(8L)).as("g"),
+            xxhash64(col("id")).as("h"), (col("id") % 97L).as("v"),
+            col("id").cast("string").as("s"))
+          .withColumn("onehot",
+            expr("transform(sequence(0, 11), i -> IF(i = pmod(v, 12L), 1L, 0L))"))
+          .groupBy(col("g"))
+          .agg(
+            graft.functions.kmv_sketch(col("s"), 64).as("kmv"),
+            graft.functions.bottomk_pairs(col("h"), col("v"), 64).as("samp"),
+            graft.functions.cm_sketch(col("s"), 4, 32).as("cm"),
+            graft.functions.vec_sum_long(col("onehot")).as("hist"))
+          .collect()
+        // listener bus is async; settle like the disperse spec above
+        var last = -1L
+        var spins = 0
+        while (spins < 50 && (stages.get() < 1 || shuffled.get() != last)) {
+          last = shuffled.get(); Thread.sleep(200); spins += 1
+        }
+        shuffled.get()
+      } finally sc.removeSparkListener(listener)
+    }
+    val small = shuffleOf(20000L)
+    val big = shuffleOf(200000L)
+    assert(small > 0L, "the aggregation exchange should exist (partial -> final)")
+    assert(big <= small * 3 / 2,
+      s"bounded-state aggregates must not scale the exchange with rows: " +
+        s"20k rows -> $small bytes, 200k rows -> $big bytes")
+  }
+
   test("PrefixSum.runningSum == global-window oracle; no single-partition sort in the plan") {
     val s = spark
     import s.implicits._
