@@ -19,6 +19,10 @@ object Multimodal {
   /** One media row: id + opaque payload + declared mime. */
   final case class MediaRow(id: Long, media: Array[Byte], mime: String)
 
+  /** Output row of [[thumbnailDF]]: true source dims + the row-major
+    * nearest-neighbor luminance thumbnail. */
+  final case class ThumbRow(id: Long, width: Int, height: Int, thumb: Seq[Int])
+
   /** Extracted features — fixed, small, shuffle-friendly. */
   final case class MediaFeatures(
       id: Long,
@@ -484,6 +488,38 @@ object Multimodal {
       hash
     }
 
+    /** Nearest-neighbor thumbnail of the luminance plane — [[aHash64]]'s
+      * index arithmetic at arbitrary target dims: sample (yo, xo) =
+      * lum[(yo*h)/th][(xo*w)/tw], row-major. The pre-feature RESIZE every
+      * image pipeline runs, in exact integer arithmetic (no interpolation
+      * floats), so any engine that can read the same pixels reproduces the
+      * thumbnail bit-for-bit. Works for sources smaller than the target
+      * (indices stay in [0, w) x [0, h)). Malformed payloads return None —
+      * a media crawl always contains corrupt files.
+      */
+    def thumbnail(media: Array[Byte], tw: Int, th: Int): Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = luminancePlane(img)
+          val out = new Array[Int](tw * th)
+          var yo = 0
+          while (yo < th) {
+            val y = (yo * h) / th
+            var xo = 0
+            while (xo < tw) {
+              out(yo * tw + xo) = lum(y * w + (xo * w) / tw)
+              xo += 1
+            }
+            yo += 1
+          }
+          Some((w, h, out))
+        }
+      } catch { case _: Exception => None }
+
     /** Audio decode via AudioSystem: frame count, rate, RMS amplitude,
       * duration. Accepts 8/16/24-bit integer PCM (signed or unsigned — WAV's
       * unsigned 8-bit reads with its 2^(bits-1) offset removed so silence is
@@ -555,6 +591,24 @@ object Multimodal {
   def decodeMediaDF(spark: SparkSession, df: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[MediaRow]
     decodeMedia(df.selectExpr("id", "media", "mime").as[MediaRow]).toDF()
+  }
+
+  /** Batched nearest-neighbor RESIZE over a media frame — the decode +
+    * integer-NN thumbnail ([[Decode.thumbnail]]) per partition, payload
+    * bytes never leaving it; undecodable rows drop (flatMap), the q46
+    * corrupt-file contract. Input: (id: long, media: binary, mime: string).
+    */
+  def thumbnailDF(df: DataFrame, tw: Int, th: Int): DataFrame = {
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val encOut = Encoders.product[ThumbRow]
+    df.selectExpr("id", "media", "mime").as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        Decode.thumbnail(r.media, tw, th).map { case (w, h, t) =>
+          ThumbRow(r.id, w, h, t.toIndexedSeq)
+        }
+      }
+    }.toDF()
   }
 
   /** Image near-duplicate pairs over the perceptual hash — q45's hamming

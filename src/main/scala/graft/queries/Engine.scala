@@ -997,6 +997,46 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  private val THUMB_W = 4
+  private val THUMB_H = 3
+
+  /** q124 — image RESIZE (the pre-feature step of a multimodal pipeline):
+    * the q46 PNG fixture corpus decoded and nearest-neighbor downsampled
+    * to a fixed [[THUMB_W]]×[[THUMB_H]] luminance thumbnail
+    * ([[Multimodal.thumbnailDF]] — [[Multimodal.Decode.aHash64]]'s integer
+    * index arithmetic at arbitrary target dims, no interpolation floats).
+    * Every thumbnail PIXEL is pinned cross-engine (comma-joined, the q111
+    * grid convention): the oracle predicts sample (yo, xo) =
+    * `(id + 31·((yo·h) div 3) + (xo·w) div 4) mod 256` from the synth
+    * formulas alone, so the gate proves container decode → pixel read →
+    * resize index math end-to-end, bit-for-bit.
+    *
+    * Scale shape: binaryFile ingest (distributed listing, payloads read
+    * once per partition and never shuffled), decode+resize map-side; the
+    * output is 12 ints + dims per image — the shuffle carries thumbnails,
+    * not images, which is the entire point of resizing before the
+    * pipeline fans out.
+    */
+  def q124Thumbnail(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q124")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 3)
+    FixtureClock.timed {
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeBytes(fix, s"media_$id.png",
+          Multimodal.Synth.png((1 + id % 16).toInt, (1 + id % 9).toInt, id))
+      }
+    }
+    }
+    Multimodal.thumbnailDF(ingestFixtureMedia(spark, fix).toDF(), THUMB_W, THUMB_H)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        size(col("thumb")).cast("long").as("n_px"),
+        expr("aggregate(thumb, 0L, (a, x) -> a + x)").as("thumb_sum"),
+        expr("array_join(transform(thumb, x -> CAST(x AS STRING)), ',')").as("thumb"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q56 — WARC segment ingest: archived-crawl ETL through the Doc seam
   // -------------------------------------------------------------------------
@@ -1292,6 +1332,7 @@ object EngineQ {
     "q52_video_ingest" -> q52VideoIngest _,
     "q42_ann_lsh"      -> q42AnnLsh _,
     "q46_media_decode" -> q46MediaDecode _,
+    "q124_thumbnail"   -> q124Thumbnail _,
     "q56_warc_ingest"  -> q56WarcIngest _,
     "q57_url_normalize" -> q57UrlNormalize _,
     "q58_robots_gate"  -> q58RobotsGate _,
@@ -1631,6 +1672,23 @@ object EngineQ {
         |    round(n * 1.0 / rate, 4) AS duration_s
         |  FROM wav)
         |SELECT * FROM img UNION ALL SELECT * FROM aud ORDER BY doc_id""".stripMargin,
+    // image resize: every thumbnail pixel replayed from the synth formula
+    // with the same integer NN index arithmetic (tw=4, th=3)
+    "q124_thumbnail" ->
+      """WITH png AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 9 AS h
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |t AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(range(0, 12), k ->
+        |      (doc_id + 31*(((k // 4) * h) // 3) + (((k % 4) * w) // 4)) % 256) AS tb
+        |  FROM png)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(12 AS BIGINT) AS n_px,
+        |  CAST(list_sum(tb) AS BIGINT) AS thumb_sum,
+        |  list_aggregate(list_transform(tb, x -> CAST(x AS VARCHAR)),
+        |                 'string_agg', ',') AS thumb
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS head_byte,
