@@ -23,6 +23,11 @@ object Multimodal {
     * nearest-neighbor luminance thumbnail. */
   final case class ThumbRow(id: Long, width: Int, height: Int, thumb: Seq[Int])
 
+  /** Output row of [[audioResampleDF]]: source rate/frame-count + the
+    * fixed-length nearest-neighbor first-channel resample. */
+  final case class ResampleRow(id: Long, sample_rate: Int, n_frames: Long,
+                               samples: Seq[Int])
+
   /** Extracted features — fixed, small, shuffle-friendly. */
   final case class MediaFeatures(
       id: Long,
@@ -572,6 +577,60 @@ object Multimodal {
           frames.toDouble / rate)
       } finally in.close()
     }
+
+    /** One PCM sample (integer, sign- or offset-corrected) at byte `off` —
+      * the decode loop above, factored for reuse by [[audioResample]]. */
+    private def pcmSample(bytes: Array[Byte], off: Int, bytesPer: Int,
+                          big: Boolean, unsigned: Boolean, bits: Int): Int = {
+      var v = 0
+      if (big) {
+        var j = 0
+        while (j < bytesPer) { v = (v << 8) | (bytes(off + j) & 0xff); j += 1 }
+      } else {
+        var j = bytesPer - 1
+        while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xff); j -= 1 }
+      }
+      if (unsigned) v - (1 << (bits - 1))
+      else (v << (32 - bits)) >> (32 - bits) // sign-extend
+    }
+
+    /** Nearest-neighbor audio RESAMPLE to a fixed length — [[thumbnail]]'s
+      * index arithmetic on the time axis: out(i) = frame[(i·frames) div k]
+      * of the FIRST channel, exact integer index math (no interpolation),
+      * so any engine that can read the same samples reproduces the output
+      * bit-for-bit. The fixed-length downsample every audio pipeline runs
+      * before feature extraction/fingerprinting. Same PCM envelope as
+      * [[audio]] (8/16/24-bit integer, any endianness); anything else, or
+      * a malformed payload, returns None.
+      */
+    def audioResample(media: Array[Byte], k: Int): Option[(Int, Long, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val rate = math.round(fmt.getSampleRate).toInt
+          if ((!unsigned && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+            (bits != 8 && bits != 16 && bits != 24) || rate <= 0) return None
+          val bytes = in.readAllBytes()
+          val bytesPer = bits / 8
+          val big = fmt.isBigEndian
+          val channels = math.max(1, fmt.getChannels)
+          val frames = (bytes.length / bytesPer) / channels
+          if (frames == 0) return Some((rate, 0L, Array.empty[Int]))
+          val out = new Array[Int](k)
+          var i = 0
+          while (i < k) {
+            val f = ((i.toLong * frames) / k).toInt
+            out(i) = pcmSample(bytes, f * channels * bytesPer, bytesPer, big, unsigned, bits)
+            i += 1
+          }
+          Some((rate, frames.toLong, out))
+        } finally in.close()
+      } catch { case _: Exception => None }
   }
 
   /** Batched REAL decode — same per-partition contract as
@@ -606,6 +665,22 @@ object Multimodal {
       rows.flatMap { r =>
         Decode.thumbnail(r.media, tw, th).map { case (w, h, t) =>
           ThumbRow(r.id, w, h, t.toIndexedSeq)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Batched nearest-neighbor audio RESAMPLE — [[Decode.audioResample]]
+    * per partition, payload bytes never leaving it; undecodable rows drop
+    * (flatMap). Input: (id: long, media: binary, mime: string).
+    */
+  def audioResampleDF(df: DataFrame, k: Int): DataFrame = {
+    implicit val encIn = Encoders.product[MediaRow]
+    implicit val encOut = Encoders.product[ResampleRow]
+    df.selectExpr("id", "media", "mime").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        Decode.audioResample(r.media, k).map { case (rate, n, sm) =>
+          ResampleRow(r.id, rate, n, sm.toIndexedSeq)
         }
       }
     }.toDF()

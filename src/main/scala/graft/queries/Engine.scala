@@ -1037,6 +1037,42 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  private val RESAMPLE_K = 64
+
+  /** q125 — audio RESAMPLE (q124's twin on the time axis): the q46 WAV
+    * fixture corpus decoded (JDK AudioSystem) and nearest-neighbor
+    * downsampled to a fixed [[RESAMPLE_K]]-sample envelope
+    * ([[Multimodal.audioResampleDF]] — out(i) = frame[(i·frames) div k],
+    * exact integer index math, no interpolation). Every output SAMPLE is
+    * pinned cross-engine: the oracle predicts
+    * `(id + 97·((i·n) div 64)) mod 32768` from the synth formulas alone,
+    * so the gate proves PCM decode → sample read → resample index math
+    * end-to-end, bit-for-bit. With q124 this closes the multimodal
+    * decode / feature-extract / resize set over real containers.
+    *
+    * Scale shape: identical to q124 — binaryFile ingest, decode+resample
+    * map-side, the shuffle carries 64-int envelopes, not waveforms.
+    */
+  def q125AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q125")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 6)
+    FixtureClock.timed {
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeBytes(fix, s"media_$id.wav",
+          Multimodal.Synth.wav((8000 + 100 * (id % 5)).toInt, (500 + id % 100).toInt, id))
+      }
+    }
+    }
+    Multimodal.audioResampleDF(ingestFixtureMedia(spark, fix).toDF(), RESAMPLE_K)
+      .select(col("id").as("doc_id"), col("sample_rate"), col("n_frames"),
+        size(col("samples")).cast("long").as("n_out"),
+        expr("aggregate(samples, 0L, (a, x) -> a + x)").as("sample_sum"),
+        expr("array_join(transform(samples, x -> CAST(x AS STRING)), ',')").as("samples"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
   // q56 — WARC segment ingest: archived-crawl ETL through the Doc seam
   // -------------------------------------------------------------------------
@@ -1333,6 +1369,7 @@ object EngineQ {
     "q42_ann_lsh"      -> q42AnnLsh _,
     "q46_media_decode" -> q46MediaDecode _,
     "q124_thumbnail"   -> q124Thumbnail _,
+    "q125_audio_resample" -> q125AudioResample _,
     "q56_warc_ingest"  -> q56WarcIngest _,
     "q57_url_normalize" -> q57UrlNormalize _,
     "q58_robots_gate"  -> q58RobotsGate _,
@@ -1688,6 +1725,22 @@ object EngineQ {
         |  CAST(list_sum(tb) AS BIGINT) AS thumb_sum,
         |  list_aggregate(list_transform(tb, x -> CAST(x AS VARCHAR)),
         |                 'string_agg', ',') AS thumb
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // audio resample: every output sample replayed from the synth formula
+    // with the same integer NN index arithmetic (k=64, first channel)
+    "q125_audio_resample" ->
+      """WITH wav AS (
+        |  SELECT doc_id, 8000 + 100 * (doc_id % 5) AS rate, 500 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id % 10 = 6),
+        |t AS (
+        |  SELECT doc_id, rate, n,
+        |    list_transform(range(0, 64), i -> (doc_id + 97*((i * n) // 64)) % 32768) AS sm
+        |  FROM wav)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(64 AS BIGINT) AS n_out,
+        |  CAST(list_sum(sm) AS BIGINT) AS sample_sum,
+        |  list_aggregate(list_transform(sm, x -> CAST(x AS VARCHAR)),
+        |                 'string_agg', ',') AS samples
         |FROM t ORDER BY doc_id""".stripMargin,
     "q35_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
