@@ -367,13 +367,25 @@ final class FetchedView[D](val dataset: Dataset[FetchedRow[D]], val ctx: GraftCo
     */
   def fork[O: Encoder](selector: String, forkType: ForkType = ForkType.Inner)(
       extract: graft.doc.Node => O)(
+      implicit pairEnc: Encoder[(D, Option[O])]): DataView[(D, Option[O])] =
+    forkIndexed(selector, forkType)((n, _) => extract(n))
+
+  /** [[fork]] with the child's ORDINAL — its index among the selector's
+    * matches on that page (post-downsampling, document order) — passed to
+    * the extractor: the reference fork's ordinal column (execution/
+    * Delta.scala:92-126 — forked rows carry their position in the parent's
+    * match list, the key a downstream re-join or order-sensitive parse
+    * needs once the rows scatter across partitions).
+    */
+  def forkIndexed[O: Encoder](selector: String, forkType: ForkType = ForkType.Inner)(
+      extract: (graft.doc.Node, Int) => O)(
       implicit pairEnc: Encoder[(D, Option[O])]): DataView[(D, Option[O])] = {
     val down = ctx.conf.downSampling
     val ds = dataset.flatMap { r =>
       val nodes = down(r.trajectory.findAll(selector))
       if (nodes.isEmpty) {
         if (forkType == ForkType.Outer) Seq((r.data, Option.empty[O])) else Nil
-      } else nodes.map(n => (r.data, Some(extract(n))))
+      } else nodes.zipWithIndex.map { case (n, i) => (r.data, Some(extract(n, i))) }
     }
     new DataView(ds, ctx)
   }

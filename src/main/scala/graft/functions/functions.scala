@@ -140,6 +140,80 @@ object functions {
   def cm_sketch(value: Column, depth: Int, width: Int): Column =
     native(graft.sql.CmSketch(ex(value), depth, width).toAggregateExpression())
 
+  /** Mergeable ε-guaranteed QUANTILE sketch AGGREGATE over a non-negative
+    * integral column: exact counts on the integer-log bucket grid with `m`
+    * sub-bucket bits, as `struct(m int, ids array<int>, counts
+    * array<bigint>)` — canonical (order-independent), bounded at
+    * ~(64−m)·2^(m−1) counters, quantiles carry deterministic relative
+    * error ≤ 2^−m (see [[graft.sql.QhistSketch]]). Read quantiles with
+    * [[qhist_value]]; roll stored sketches up with [[qhist_merge]].
+    */
+  def qhist_sketch(value: Column, m: Int): Column =
+    native(graft.sql.QhistSketch(ex(value), m).toAggregateExpression())
+
+  /** Qhist RE-AGGREGATION: exact counter addition of stored sketches —
+    * rollup-of-sketches is bit-identical to the sketch of the union
+    * (q130 gates it); stored m must equal merge-m (checked loudly).
+    */
+  def qhist_merge(sketch: Column, m: Int): Column =
+    native(graft.sql.QhistMerge(ex(sketch), m).toAggregateExpression())
+
+  /** Total count of values in a qhist sketch (exact). */
+  def qhist_n(sketch: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(sketch.getField("counts"), lit(0L), (a, x) => a + x)
+  }
+
+  /** The `permille/1000` quantile of a qhist sketch, DECLARATIVELY (the
+    * KMV doctrine — the estimate is plain Catalyst arithmetic downstream
+    * of the aggregate, codegen'd, and an oracle replays it exactly):
+    * integer rank `permille·(n−1) div 1000` (the floor-division is exact
+    * for n < 2^43 — 8.8e12 rows per group — since 1000·n stays inside
+    * double's 2^53 integer range), a prefix walk to the first bucket whose
+    * cumulative count exceeds the rank, then the midpoint representative
+    * `(sub << s) + 2^(s−1) − 1` (exact value below 2^m). `m` must match
+    * the sketch's stored grid — a mismatch raises at runtime rather than
+    * dequantizing on the wrong grid. Null for an empty sketch.
+    */
+  def qhist_value(sketch: Column, permille: Int, m: Int): Column = {
+    require(permille >= 0 && permille <= 1000,
+      s"qhist_value: permille must be in [0, 1000], got $permille")
+    require(m >= 2 && m <= 16, s"qhist_value: 2 <= m <= 16, got $m")
+    import org.apache.spark.sql.functions._
+    val ids = sketch.getField("ids")
+    val counts = sketch.getField("counts")
+    val n = aggregate(counts, lit(0L), (a, x) => a + x)
+    val rank = floor(lit(permille.toLong) * (n - lit(1L)) / lit(1000.0)).cast("long")
+    // first bucket whose cumulative count exceeds rank: a fold over the
+    // ascending (id, count) pairs — hit stays -1 until the rank is crossed
+    val walk = aggregate(
+      zip_with(ids, counts, (i, c) => struct(i.as("id"), c.as("cnt"))),
+      struct(lit(0L).as("cum"), lit(-1).as("hit")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("cnt")
+        struct(cum.as("cum"),
+          when(acc.getField("hit") >= 0, acc.getField("hit"))
+            .otherwise(when(cum > rank, x.getField("id")).otherwise(lit(-1)))
+            .as("hit"))
+      })
+    val id = walk.getField("hit")
+    // dequantize: ids below 2^m are exact single-value buckets; above,
+    // shift s = (id >> (m−1)) − 1, sub = id − s·2^(m−1), midpoint
+    // representative (sub << s) + 2^(s−1) − 1
+    val s = shiftright(id, m - 1) - lit(1)
+    val subReal = id.cast("long") - s.cast("long") * lit(1L << (m - 1))
+    val rep = when(id < lit(1 << m), id.cast("long"))
+      .otherwise(
+        call_function("shiftleft", subReal, s) +
+          call_function("shiftleft", lit(1L), s - lit(1)) - lit(1L))
+    val checked = when(sketch.getField("m") === lit(m), rep)
+      .otherwise(raise_error(concat(
+        lit(s"qhist_value(m=$m): sketch was quantized on m="),
+        sketch.getField("m").cast("string"),
+        lit(" — dequantizing on the wrong grid is unsound"))).cast("long"))
+    when(n === lit(0L), lit(null).cast("long")).otherwise(checked)
+  }
+
   /** Distinct k-token grams whose md5 low nibble ≡ 0 (mod p) — the
     * content-defined anchor sample driving exact-substring dedup (q53).
     * p=1 keeps every gram (exhaustive span detection ≥ k tokens).

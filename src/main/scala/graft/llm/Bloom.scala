@@ -102,4 +102,85 @@ object Bloom {
     */
   def mightContain(mask: Array[Byte])(p0: Column, p1: Column, p2: Column): Column =
     graft.functions.bloom_contains(lit(mask), array(p0, p1, p2))
+
+  /** Hard ceiling on the total mask size (256 MiB ≈ 2^31 bits ≈ 1.4e8 keys
+    * at 15 bits/key): the probe ships the mask as ONE plan literal /
+    * broadcast, and past this size that distribution model itself is the
+    * bottleneck — so the build REFUSES LOUDLY instead of degrading.
+    * A benchmark suite that genuinely overflows it should fall back to the
+    * exact broadcast-semi-join (q50) per partition-of-eval-set, or raise
+    * the FP rate (fewer bits/key) — both are semantics decisions the
+    * caller must make, not ones a silent truncation may make for them.
+    */
+  val MAX_MASK_BYTES: Long = 256L << 20
+
+  /** Per-reducer bank width for [[buildBanked]] (16 MiB): bounds any single
+    * task's mask allocation regardless of total mask size.
+    */
+  val BANK_BYTES: Int = 16 << 20
+
+  /** BANKED build — [[build]]'s scale path for masks too big to fold whole.
+    *
+    * The treeAggregate build allocates the FULL mask in every map task:
+    * fine at 128 KiB, but a 1000×-larger eval suite needs ~2^30 bits and
+    * 32 tasks × 128 MiB = 4 GiB of zero-init per executor before a single
+    * bit is set. Here each position routes to bank `byteIndex / bankBytes`
+    * (a hash-partitioned shuffle of raw (bank, position) longs — map-side
+    * combine deliberately OFF, since combining map-side would re-create
+    * the all-banks-per-task allocation this exists to avoid), each REDUCER
+    * folds only its own banks (≈ 1 bank ≈ bankBytes live per task), and
+    * the driver stitches the collected banks — whose total is bounded by
+    * [[MAX_MASK_BYTES]], checked up front with a loud refusal.
+    *
+    * Bit-for-bit equal to [[build]] on the same positions (spec-pinned:
+    * bank dispatch, stitch order, sub-bank masks), so gated callers (q83)
+    * route through it unchanged.
+    */
+  def buildBanked(positions: DataFrame, posCol: String, mBits: Long = M_BITS,
+                  bankBytes: Int = BANK_BYTES,
+                  maxMaskBytes: Long = MAX_MASK_BYTES): Array[Byte] = {
+    require(mBits % 8 == 0, s"mBits must be a multiple of 8: $mBits")
+    require(bankBytes > 0, s"bankBytes must be positive: $bankBytes")
+    val totalBytes = mBits / 8
+    if (totalBytes > maxMaskBytes) throw new IllegalArgumentException(
+      s"Bloom.buildBanked: mask of $totalBytes bytes (m = $mBits bits) exceeds the " +
+        s"$maxMaskBytes-byte single-literal distribution cap — a mask this large " +
+        "should not ride the plan as one broadcast blob. Fall back to the exact " +
+        "broadcast-semi-join per eval-set partition (the q50 path), or lower " +
+        "bits/key; refusing rather than silently degrading.")
+    val nBanks = ((totalBytes + bankBytes - 1) / bankBytes).toInt
+    if (nBanks <= 1) return build(positions, posCol, mBits) // one bank IS the mask
+    val bankOf = (p: Long) => ((p >>> 3) / bankBytes).toInt
+    val banks = positions
+      .select(col(posCol).cast("long"))
+      .rdd
+      .map(r => { val p = r.getLong(0); (bankOf(p), p) })
+      .combineByKeyWithClassTag[Array[Byte]](
+        createCombiner = (p: Long) => {
+          val bs = new Array[Byte](bankBytes)
+          val off = (p >>> 3) - bankOf(p).toLong * bankBytes
+          bs(off.toInt) = (bs(off.toInt) | (1 << (p & 7).toInt)).toByte
+          bs
+        },
+        mergeValue = (bs: Array[Byte], p: Long) => {
+          val off = (p >>> 3) - bankOf(p).toLong * bankBytes
+          bs(off.toInt) = (bs(off.toInt) | (1 << (p & 7).toInt)).toByte
+          bs
+        },
+        mergeCombiners = (a: Array[Byte], b: Array[Byte]) => {
+          var i = 0
+          while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+          a
+        },
+        partitioner = new org.apache.spark.HashPartitioner(nBanks),
+        mapSideCombine = false)
+      .collect()
+    val mask = new Array[Byte](totalBytes.toInt)
+    banks.foreach { case (bank, bs) =>
+      val start = bank.toLong * bankBytes
+      val len = math.min(bankBytes.toLong, totalBytes - start).toInt
+      System.arraycopy(bs, 0, mask, start.toInt, len)
+    }
+    mask
+  }
 }

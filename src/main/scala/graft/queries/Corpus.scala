@@ -173,7 +173,10 @@ object CorpusQ {
     val gp = g.select(col("doc_id"), p0.as("p0"), p1.as("p1"), p2.as("p2"))
     val buildPos = gp.filter(col("doc_id") % 50 === 0)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
-    val mask = Bloom.build(buildPos, "p")
+    // the banked builder (single-bank fast path at this mBits — bit-identical
+    // to the treeAggregate build, spec-pinned) keeps the gated query on the
+    // same code path a 1000×-larger eval suite would exercise
+    val mask = Bloom.buildBanked(buildPos, "p")
     gp.filter(col("doc_id") % 50 =!= 0)
       .withColumn("hit", Bloom.mightContain(mask)(col("p0"), col("p1"), col("p2")))
       .groupBy(col("doc_id"))

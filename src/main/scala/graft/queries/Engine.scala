@@ -219,6 +219,217 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q126 — fork: doc-node lateral join (Inner vs Outer)
+  // -------------------------------------------------------------------------
+
+  /** Every 14th document becomes an HTML page carrying `doc_id % 3` keyword
+    * spans (14 ⊥ 3, so counts cycle 0/2/1 — zero-match pages included);
+    * [[graft.api.FetchedView.forkIndexed]] explodes the spans into child
+    * rows carrying the parent payload AND the child's ordinal — the
+    * reference legacy `fork` (execution/Delta.scala:92-126, exercised by
+    * the reference's integration fork suite + ExploreIT.scala:34-38). Inner drops the
+    * zero-match pages, Outer keeps them as a null child (explode vs
+    * explode_outer semantics — the two runs' row counts DIFFER by the
+    * k=0 page count, which is what the gate pins). Both fork types run
+    * over ONE persisted fetch; the oracle replays the fan-out from the id
+    * formulas alone (`unnest(range(doc_id % 3))`).
+    */
+  def q126Fork(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q126")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 14 === 0)
+
+    FixtureClock.timed {
+    docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val items = (0 until (id % 3).toInt)
+          .map(j => s"""<span class="kw">kw $id $j ${r.getString(1)}</span>""")
+          .mkString("\n")
+        val html =
+          s"""<html><head><title>doc $id</title></head><body>
+             |$items
+             |</body></html>""".stripMargin
+        graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
+      }
+    }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    val fetched = ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/page_$id.html")))
+      .persist() // one fetch feeds BOTH fork types
+    def run(ft: graft.api.ForkType, tag: String) =
+      fetched.forkIndexed("span.kw", ft)((n, i) => (i, n.text))
+        .map { case (id, child) => (tag, id, child.map(_._1), child.map(_._2)) }
+        .dataset
+    val out = run(graft.api.ForkType.Inner, "inner")
+      .union(run(graft.api.ForkType.Outer, "outer"))
+      .toDF("fork_type", "doc_id", "ordinal", "item")
+      .orderBy(col("fork_type"), col("doc_id"), col("ordinal").asc_nulls_first)
+      .localCheckpoint(true) // materialize before the shared fetch unpersists
+    fetched.unpersist()
+    out
+  }
+
+  // -------------------------------------------------------------------------
+  // q127 — Wpost: HTTP POST + (uri, entity) trace dedup
+  // -------------------------------------------------------------------------
+
+  /** Every 20th document (offset 5)'s text is POSTed TWICE to ONE echo
+    * endpoint (reference actions/Wpost.scala:16-103) and the echoed JSON
+    * body is recovered through the node tree. The trace key of a Wpost is
+    * (uri, entity, contentType) — so the duplicated row per document does
+    * NOT refetch (same key → one execution, both rows share the result),
+    * while every DISTINCT text does (all share the single uri) — the
+    * nonIdempotent × Wide global-dedup contract (FetchExec.scala Wide
+    * path), asserted on `pagesFetched` INSIDE the query: exactly one POST
+    * per distinct entity, per invocation (doc cache disabled so the pin is
+    * exact every run). The in-JVM HTTP stub is the oracle seam (local[*]
+    * shares the JVM — the HostLayoutBench pattern); on a cluster the
+    * target is a real service and the engine path is byte-identical.
+    */
+  def q127Wpost(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 5)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/echo", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val resp = s"""{"method":${jstr(ex.getRequestMethod)},"body":${jstr(body)}}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    // the pool MUST be shut down explicitly: server.stop() does not own a
+    // user-supplied executor, and its non-daemon threads would otherwise
+    // keep the whole JVM alive after the session ends (a hung Verify run)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}/echo"
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false))
+      import spark.implicits._
+      val rows = docs.select("doc_id", "text").as[(Long, String)]
+      val out = ctx.create(rows)
+        .flatMap(r => Seq(r, r)) // duplicate rows: FetchExec dedups (uri, entity)
+        .fetchOne { case (_, text) => Trace.of(graft.actions.Wpost(uri, entity = text)) }
+        .select { r =>
+          val root = r.trajectory.doc.get.root
+          (r.data._1, root.children("method").head.text,
+            root.children("body").head.text)
+        }
+        .asDataFrame.toDF("doc_id", "method", "echoed")
+        .distinct() // collapse the 2x duplicates after extraction
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // force the fetch while the stub is up
+      val expected = docs.select("text").distinct().count()
+      val got = ctx.metrics.pagesFetched.value
+      require(got == expected,
+        s"q127: POST dedup violated — $got POSTs for $expected distinct (uri, entity) keys")
+      out
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
+  // -------------------------------------------------------------------------
+  // q128 — exploreBestFirst, BATCHED: the q114 crawl at batchSize 4
+  // -------------------------------------------------------------------------
+
+  private val BF_BATCH = 4
+
+  /** q114's batched twin: the same 63-page tree, same priority permutation,
+    * same budget of [[BF_BUDGET]] — but each round pops min([[BF_BATCH]],
+    * remaining, |frontier|) pages at once (ExploreExec.scala's batched
+    * selection — the driver-latency amortization every real best-first
+    * crawl needs: priority is a global decision, so rounds are inherently
+    * sequential and `budget/batchSize` bounds the round count; the census
+    * spec pins the ~4× round shrink). The VISITED SET DIFFERS from q114's
+    * (a batch commits to 4 pages before seeing what the first reveals —
+    * textbook greedy-vs-batched divergence), so the gate pins the batched
+    * semantics specifically: the oracle's recursive CTE pops k=min(4,
+    * remaining, |frontier|) per step and carries the popped LIST per row.
+    */
+  def q128ExploreBestFirstBatched(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q128")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < TREE_N)
+
+    FixtureClock.timed {
+    docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val kids = Seq(2 * id + 1, 2 * id + 2).filter(_ < TREE_N)
+        val links = kids.map(k => s"""<a href="page_$k.html">child $k</a>""").mkString("\n")
+        val html =
+          s"""<html><head><title>doc $id ${r.getString(1)}</title></head>
+             |<body>$links</body></html>""".stripMargin
+        graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
+      }
+    }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$fix/page_0.html"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        linkExpand,
+        priority = (_, u) => bestFirstScore(u),
+        fetchBudget = BF_BUDGET, batchSize = BF_BATCH)
+      .select { r =>
+        val parts = r.row.trajectory.texts("title").mkString.split(" ")
+        (parts(1).toLong, parts(2), r.depth)
+      }
+    explored.asDataFrame.toDF("doc_id", "lang", "depth").orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q131 — image near-dup end-to-end: decode → aHash → Hamming pigeonhole
+  // -------------------------------------------------------------------------
+
+  /** The full image-dedup pipeline composed end-to-end over a PNG corpus
+    * with PLANTED duplicates: every 200th document renders as a q46-style
+    * PNG, each gets an identical twin at id+2304 (2304 = lcm(256, 16, 9):
+    * same pixels, same dims — found at hamming 0), and every other base
+    * gets a FAR twin at id+1152 (same dims, every pixel shifted +128 mod
+    * 256 — hamming ≈ 56, excluded by the ≤ 5 gate). Pipeline: binaryFile
+    * ingest → JDK decode → 64-bit aHash ([[Multimodal.decodeMediaDF]]) →
+    * [[Multimodal.imageNearDupPairs]] (q45's Manku-style pigeonhole block
+    * join + salted hot-bucket guard — never all-pairs). The oracle
+    * recomputes every aHash bit from the synth formulas in pure integer
+    * arithmetic (sample s(k), bit ⇔ 64·s(k) > Σs — the strict-mean test
+    * without the float) and self-joins for the exact hamming, so planted
+    * AND incidental pairs (same-dims pages whose pixel patterns coincide)
+    * reproduce bit-for-bit.
+    */
+  def q131ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q131")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 200 === 3)
+
+    FixtureClock.timed {
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        def write(fid: Long): Unit =
+          graft.agent.DocIO.writeBytes(fix, s"media_$fid.png",
+            Multimodal.Synth.png((1 + fid % 16).toInt, (1 + fid % 9).toInt, fid))
+        write(id)
+        write(id + 2304) // identical twin: lcm(256,16,9) preserves pixels+dims
+        if (id % 400 == 203) write(id + 1152) // far twin: +128 mod 256 pixels
+      }
+    }
+    }
+
+    val decoded = Multimodal.decodeMediaDF(spark, ingestFixtureMedia(spark, fix).toDF())
+      .filter(col("kind") === "image")
+    Multimodal.imageNearDupPairs(decoded, maxHamming = 5)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------------------------
   // q34 — IVF ANN (the scale path; q29 brute force is its recall oracle)
   // -------------------------------------------------------------------------
 
@@ -1346,6 +1557,10 @@ object EngineQ {
     "q32_extract"     -> q32Extract _,
     "q33_explore"     -> q33Explore _,
     "q114_explore_bestfirst" -> q114ExploreBestFirst _,
+    "q126_fork"       -> q126Fork _,
+    "q127_wpost"      -> q127Wpost _,
+    "q128_explore_bestfirst_batched" -> q128ExploreBestFirstBatched _,
+    "q131_image_neardup" -> q131ImageNearDup _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1423,6 +1638,90 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // replays fork's lateral fan-out from the id formulas: k = doc_id % 3
+    // children per page (unnest of range(k) — zero-match pages vanish,
+    // which IS Inner), plus the Outer null row per k=0 page
+    "q126_fork" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id % 14 = 0),
+        |kids AS (
+        |  SELECT doc_id, lang, CAST(unnest(range(k)) AS INT) AS ordinal FROM base),
+        |items AS (
+        |  SELECT doc_id, ordinal,
+        |    'kw ' || doc_id || ' ' || ordinal || ' ' || lang AS item FROM kids)
+        |SELECT 'inner' AS fork_type, doc_id, ordinal, item FROM items
+        |UNION ALL SELECT 'outer', doc_id, ordinal, item FROM items
+        |UNION ALL SELECT 'outer', doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+        |  FROM base WHERE k = 0
+        |ORDER BY fork_type, doc_id, ordinal NULLS FIRST""".stripMargin,
+    // the echo stub returns exactly what was POSTed, so the oracle is the
+    // source text itself; the dedup semantics are pinned by the in-query
+    // pagesFetched assertion (one POST per distinct entity)
+    "q127_wpost" ->
+      """SELECT doc_id, 'POST' AS method, text AS echoed
+        |FROM documents WHERE doc_id % 20 = 5 ORDER BY doc_id""".stripMargin,
+    // q114's greedy replay generalized to batches: each step pops
+    // k = min(4, remaining, |frontier|) top-priority nodes (the popped
+    // LIST travels on the row), pushes all their children, decrements the
+    // budget by the actual batch size
+    "q128_explore_bestfirst_batched" ->
+      s"""WITH RECURSIVE sim AS (
+        |  SELECT 0 AS step, $BF_BUDGET AS remaining,
+        |         [{'id': CAST(0 AS BIGINT), 'depth': 0}] AS frontier,
+        |         CAST(NULL AS STRUCT(id BIGINT, "depth" INTEGER)[]) AS popped
+        |  UNION ALL
+        |  SELECT step + 1, remaining - len(batch),
+        |    list_concat(rest,
+        |      list_filter(flatten(list_transform(batch,
+        |        b -> [{'id': b.id*2+1, 'depth': b.depth+1},
+        |              {'id': b.id*2+2, 'depth': b.depth+1}])),
+        |        c -> c.id < $TREE_N)),
+        |    batch
+        |  FROM (
+        |    SELECT step, remaining,
+        |      list_transform(list_slice(sorted_f, len(sorted_f) - k + 1, len(sorted_f)),
+        |                     s -> s.x) AS batch,
+        |      list_transform(list_slice(sorted_f, 1, len(sorted_f) - k), s -> s.x) AS rest
+        |    FROM (
+        |      SELECT step, remaining, frontier,
+        |        CAST(least($BF_BATCH, remaining, len(frontier)) AS INTEGER) AS k,
+        |        list_sort(list_transform(frontier,
+        |          x -> {'p': (x.id*37)%$TREE_N, 'x': x})) AS sorted_f
+        |      FROM sim WHERE remaining > 0 AND len(frontier) > 0))
+        |)
+        |SELECT v.doc_id, d.lang, v.depth
+        |FROM (
+        |  SELECT u.id AS doc_id, CAST(u.depth AS INT) AS depth
+        |  FROM (SELECT unnest(popped) AS u FROM sim WHERE popped IS NOT NULL)) v
+        |JOIN documents d USING (doc_id)
+        |ORDER BY v.doc_id""".stripMargin,
+    // recomputes every aHash bit from the synth formulas in integer
+    // arithmetic: sample s(k) = (fid + 31·((k/8·h)/8) + ((k%8·w)/8)) mod
+    // 256, bit ⇔ 64·s(k) > Σs (the strict-mean test, float-free), then
+    // self-joins the 64-bit planes for the exact hamming distance
+    "q131_image_neardup" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 200 = 3),
+        |files AS (
+        |  SELECT doc_id AS fid FROM base
+        |  UNION ALL SELECT doc_id + 2304 FROM base
+        |  UNION ALL SELECT doc_id + 1152 FROM base WHERE doc_id % 400 = 203),
+        |dims AS (SELECT fid, 1 + fid % 16 AS w, 1 + fid % 9 AS h FROM files),
+        |samp AS (
+        |  SELECT fid, k,
+        |    (fid + 31 * (((k // 8) * h) // 8) + (((k % 8) * w) // 8)) % 256 AS s
+        |  FROM dims, range(64) t(k)),
+        |bits AS (
+        |  SELECT fid, k,
+        |    CASE WHEN 64 * s > sum(s) OVER (PARTITION BY fid) THEN 1 ELSE 0 END AS b
+        |  FROM samp),
+        |pairs AS (
+        |  SELECT a.fid AS id_a, b.fid AS id_b,
+        |    CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM bits a JOIN bits b ON a.k = b.k AND a.fid < b.fid
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q34_ann_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

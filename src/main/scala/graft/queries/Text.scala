@@ -1771,7 +1771,72 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  private val QH_M = 6 // sub-bucket bits: quantile relative error <= 2^-6
+
+  /** q129 — MERGEABLE ε-GUARANTEED QUANTILES (the fifth sketch of the
+    * archival algebra — [[graft.sql.QhistSketch]], the DDSketch
+    * construction on HdrHistogram's integer power-of-two grid): per-language
+    * token-count p50/p90/p99 from ONE map-side-combined pass with ≤ ~1.9k
+    * exact bucket counters of state per (task, lang) — no global sort, no
+    * per-group value buffering, deterministic relative error ≤ 2^−[[QH_M]]
+    * (1.5625%). Unlike the q117/q122 bottom-k SAMPLE quantiles (probabilistic
+    * error, k-bounded), the grid is CANONICAL — a pure function of the value
+    * multiset — so estimates are partition-order independent and the oracle
+    * replays bucket → cumulative rank → midpoint dequantization in exact
+    * integer arithmetic (`length(bin(v))` is the bitlength on both engines),
+    * error included, bit-for-bit. The estimate itself is DECLARATIVE
+    * downstream arithmetic ([[graft.functions.qhist_value]] — the KMV
+    * doctrine), so the whole path stays inside whole-stage codegen.
+    *
+    * Scale shape: one pass, bounded state, one dimension-scale exchange
+    * (ScaleSpec pins that 10× rows do not move the aggregation exchange's
+    * shuffled bytes). At 100 TB this is THE way to get percentiles: exact
+    * percentile needs a full sort/shuffle of every value; approx_percentile
+    * (GK) is arrival-order dependent and not exactly auditable.
+    */
+  def q129QhistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.qhist_sketch(col("n_toks"), QH_M).as("sk"))
+    sk.select(col("lang"),
+        graft.functions.qhist_n(col("sk")).as("n"),
+        graft.functions.qhist_value(col("sk"), 500, QH_M).as("p50"),
+        graft.functions.qhist_value(col("sk"), 900, QH_M).as("p90"),
+        graft.functions.qhist_value(col("sk"), 990, QH_M).as("p99"))
+      .orderBy(col("lang"))
+  }
+
+  /** q130 — QHIST SHARD ROLLUP: per-(language, shard) qhist sketches
+    * (shard = doc_id % 8 — the per-day/per-partition artifact a pipeline
+    * persists between runs) re-aggregated per language by
+    * [[graft.functions.qhist_merge]] WITHOUT re-scanning raw data. Counter
+    * addition on a canonical grid makes the rollup BIT-IDENTICAL to the
+    * direct sketch — the oracle is therefore q129's direct replay verbatim,
+    * which is the gate: rollup-of-sketches == sketch-of-union, estimator
+    * and quantization error included. (Contrast GK/KLL, where merged and
+    * direct sketches differ and no such exact gate can exist.)
+    */
+  def q130QhistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val shardSketches = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(graft.functions.qhist_sketch(col("n_toks"), QH_M).as("sk"))
+    shardSketches
+      .groupBy(col("lang"))
+      .agg(graft.functions.qhist_merge(col("sk"), QH_M).as("sk"))
+      .select(col("lang"),
+        graft.functions.qhist_n(col("sk")).as("n"),
+        graft.functions.qhist_value(col("sk"), 500, QH_M).as("p50"),
+        graft.functions.qhist_value(col("sk"), 900, QH_M).as("p90"),
+        graft.functions.qhist_value(col("sk"), 990, QH_M).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_qhist_quantiles" -> q129QhistQuantiles _,
+    "q130_qhist_rollup"    -> q130QhistRollup _,
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
@@ -1913,7 +1978,49 @@ object TextQ {
        |       FROM dense GROUP BY lang)"""
       .stripMargin
 
+  /** Exact integer replay of the qhist grid (see [[q129QhistQuantiles]]):
+    * bucket = shift·2^(m−1) + (v >> shift) with shift = max(0,
+    * bitlength(v) − m) (`length(bin(v))` = bitlength for v ≥ 1), rank =
+    * permille·(n−1) div 1000 over cumulative bucket counts, midpoint
+    * dequantization in pure shifts. m = QH_M = 6 → half = 32.
+    * Shared verbatim by q129 (direct) and q130 (shard rollup) — counter
+    * addition on a canonical grid makes them bit-identical BY CONTRACT,
+    * and the shared oracle is the gate.
+    */
+  private val qhistOracle: String =
+    """WITH v AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |b AS (SELECT lang, v, greatest(0, length(bin(v)) - 6) AS s FROM v),
+      |buck AS (SELECT lang, s * 32 + (v >> s) AS id FROM b),
+      |cnt AS (SELECT lang, id, count(*) AS c FROM buck GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY 1),
+      |cum AS (SELECT lang, id, c,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY id) AS cum FROM cnt),
+      |pick AS (
+      |  SELECT cum.lang, pv.p, min(id) AS id
+      |  FROM cum JOIN tot USING (lang)
+      |  CROSS JOIN (VALUES (500), (900), (990)) pv(p)
+      |  WHERE cum > (pv.p * (n - 1)) // 1000
+      |  GROUP BY 1, 2),
+      |val AS (
+      |  SELECT lang, p,
+      |    CASE WHEN id < 64 THEN CAST(id AS BIGINT)
+      |         ELSE (CAST(id - ((id // 32) - 1) * 32 AS BIGINT) << ((id // 32) - 1))
+      |              + (CAST(1 AS BIGINT) << ((id // 32) - 2)) - 1 END AS qv
+      |  FROM pick)
+      |SELECT v.lang, CAST(t.n AS BIGINT) AS n,
+      |  max(CASE WHEN p = 500 THEN qv END) AS p50,
+      |  max(CASE WHEN p = 900 THEN qv END) AS p90,
+      |  max(CASE WHEN p = 990 THEN qv END) AS p99
+      |FROM val v JOIN tot t USING (lang)
+      |GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q129_qhist_quantiles" -> qhistOracle,
+    // the rollup is bit-identical to the direct sketch by the canonical-grid
+    // contract — the shared direct-replay oracle IS the gate
+    "q130_qhist_rollup" -> qhistOracle,
     // rebuilds the full count-min counter grid from the same md5 bucket
     // hashes, then replays the modal-token point estimate (min over rows)
     "q111_cm_heavy" ->

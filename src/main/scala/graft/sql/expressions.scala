@@ -1243,6 +1243,248 @@ object BottomKPairs {
     java.util.Collections.reverseOrder(ascending)
 }
 
+/** Mergeable ε-guaranteed QUANTILE sketch — the fifth
+  * `TypedImperativeAggregate` of the sketch algebra (KMV / CM / bottom-k /
+  * vec-sum), closing the archival-rollup family's quantile gap: per-shard
+  * sketches stored as parquet re-aggregate with [[QhistMerge]] into exactly
+  * the sketch of the union, without re-scanning raw data.
+  *
+  * Design: integer-logarithmic value buckets (the DDSketch construction —
+  * Masson/Rim/Lee, VLDB'19 "DDSketch: a fast and fully-mergeable quantile
+  * sketch with relative-error guarantees" — with HdrHistogram's
+  * power-of-two sub-bucket grid so every boundary is INTEGER arithmetic,
+  * never a float log). For v ≥ 0 with `m` sub-bucket bits:
+  * `shift = max(0, bitlength(v) − m)`, `bucket = shift·2^(m−1) + (v >> shift)`
+  * — buckets are contiguous, monotone in v, EXACT below 2^m, and one
+  * bucket spans ≤ 2^−(m−1) relative width above, so the midpoint
+  * representative carries deterministic relative error ≤ 2^−m (m = 6 →
+  * 1.5625%). State is bucket → exact count: CANONICAL (a pure function of
+  * the value multiset — partition- and merge-order independent, unlike
+  * GK/KLL whose compaction state is arrival-order dependent), mergeable by
+  * counter addition, and BOUNDED at (63−m)·2^(m−1) + 2^m counters (m = 6:
+  * 1888 longs ≈ 15 KiB) for the full non-negative long domain regardless
+  * of input size.
+  *
+  * Deliberately ORACLE-REPLICABLE (the KMV doctrine — approximate
+  * algorithm, exact semantics): bitlength is `length(bin(v))` in DuckDB,
+  * the rank walk is integer (`rank = permille·(n−1) div 1000`, first
+  * bucket with cumulative count > rank), and the dequantized
+  * representative is pure shifts — so estimates, including their ERROR,
+  * reproduce bit-for-bit across engines (q129/q130). Negative inputs fail
+  * loudly (the grid is defined on v ≥ 0 — offset signed domains first);
+  * null inputs are ignored. Wire shape: `struct(m, ids, counts)` with
+  * ascending ids, m traveling as the merge-compatibility witness.
+  */
+abstract class QhistAggregate
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  def child: Expression
+
+  /** Sub-bucket bits: relative error of the midpoint representative is
+    * ≤ 2^−m; state is ≤ (63−m)·2^(m−1) + 2^m counters.
+    */
+  def m: Int
+
+  final protected def half: Int = 1 << (m - 1)
+  final protected def nBuckets: Int = (63 - m) * half + (1 << m)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = QhistAggregate.sketchType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBuckets)
+
+  final protected def bucketOf(v: Long): Int = {
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(v) // bitlength; v=0 → 0
+    val shift = if (b > m) b - m else 0
+    (shift * half + (v >>> shift)).toInt
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var nnz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0L) nnz += 1; i += 1 }
+    val ids = new Array[Int](nnz)
+    val counts = new Array[Long](nnz)
+    var j = 0
+    i = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) { ids(j) = i; counts(j) = buf(i); j += 1 }
+      i += 1
+    }
+    val row = new GenericInternalRow(3)
+    row.update(0, m)
+    row.update(1, new GenericArrayData(ids)) // ascending — dense-scan order
+    row.update(2, new GenericArrayData(counts))
+    row
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    var nnz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0L) nnz += 1; i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(4 + 12 * nnz)
+    bb.putInt(nnz)
+    i = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) { bb.putInt(i); bb.putLong(buf(i)) }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Array[Long](nBuckets)
+    var i = 0
+    while (i < n) { buf(bb.getInt) += bb.getLong; i += 1 }
+    buf
+  }
+}
+
+object QhistAggregate {
+  /** The sketch wire shape: `m` (sub-bucket bits — the grid the sketch was
+    * quantized on, the merge-compatibility witness) + ascending bucket
+    * `ids` + their exact `counts`. All non-null by construction.
+    */
+  val sketchType: StructType = StructType(Seq(
+    StructField("m", IntegerType, nullable = false),
+    StructField("ids", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
+final case class QhistSketch(
+    child: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends QhistAggregate {
+
+  override def prettyName: String = "qhist_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType && child.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integral column, got ${child.dataType.catalogString}")
+    else if (m < 2 || m > 16) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 2 <= m <= 16, got $m")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v match {
+        case l: java.lang.Long    => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (x < 0) throw new IllegalArgumentException(
+        s"$prettyName: negative value $x — the bucket grid is defined on v >= 0; " +
+          "offset signed domains before sketching")
+      buf(bucketOf(x)) += 1L
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): QhistSketch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): QhistSketch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QhistSketch =
+    copy(child = newChildren.head)
+}
+
+/** Qhist RE-AGGREGATION: input rows are STORED `struct(m, ids, counts)`
+  * sketches (one per shard/day/partition, persisted between runs), merged
+  * by exact counter addition — `qhist_merge(qhist_sketch(...))` over any
+  * grouping refinement is IDENTICAL to `qhist_sketch` over the raw union
+  * (counts are exact and the grid is canonical, so the rollup is not just
+  * error-preserving but bit-identical — q130 gates it against q129's
+  * direct path). A stored m ≠ merge-m fails loudly (different quantization
+  * grids are not mergeable — there is no sound cross-grid rebucketing);
+  * null slots, out-of-range ids and non-positive counts (reachable only
+  * through hand-built SQL structs) also fail loudly rather than silently
+  * corrupting every downstream rank.
+  */
+final case class QhistMerge(
+    child: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends QhistAggregate {
+
+  override def prettyName: String = "qhist_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+        StructField("m", IntegerType, _, _),
+        StructField("ids", ArrayType(IntegerType, _), _, _),
+        StructField("counts", ArrayType(LongType, _), _, _))) =>
+      if (m >= 2 && m <= 16) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 2 <= m <= 16, got $m")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct<m:int, ids:array<int>, counts:array<bigint>> " +
+        s"sketch column (the qhist_sketch output shape), got ${other.catalogString}")
+  }
+
+  // only hand-built SQL structs can carry nullable slots; stored sketches
+  // are containsNull=false and skip the per-element probes
+  @transient private lazy val mayContainNull: Boolean = child.dataType match {
+    case StructType(Array(_,
+        StructField(_, ArrayType(_, cn1), _, _),
+        StructField(_, ArrayType(_, cn2), _, _))) => cn1 || cn2
+    case _ => false
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      val storedM = row.getInt(0)
+      if (storedM != m) throw new IllegalArgumentException(
+        s"$prettyName(m=$m): input sketch was quantized on m=$storedM — grids of " +
+          "different m are not mergeable (no sound cross-grid rebucketing exists); " +
+          "re-sketch the raw data on one grid")
+      val ids = row.getArray(1)
+      val counts = row.getArray(2)
+      val n = ids.numElements()
+      if (counts.numElements() != n) throw new IllegalArgumentException(
+        s"$prettyName: ids/counts length mismatch (${n} vs ${counts.numElements()})")
+      var i = 0
+      while (i < n) {
+        if (mayContainNull && (ids.isNullAt(i) || counts.isNullAt(i)))
+          throw new IllegalArgumentException(
+            s"$prettyName: null slot at $i — a stored sketch is never null-slotted")
+        val id = ids.getInt(i)
+        val c = counts.getLong(i)
+        if (id < 0 || id >= nBuckets) throw new IllegalArgumentException(
+          s"$prettyName(m=$m): bucket id $id outside [0, $nBuckets)")
+        if (c <= 0) throw new IllegalArgumentException(
+          s"$prettyName: non-positive count $c at bucket $id — a stored sketch " +
+            "only carries positive exact counts")
+        buf(id) += c
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): QhistMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): QhistMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QhistMerge =
+    copy(child = newChildren.head)
+}
+
 object KmvFunction {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -167,6 +167,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(ok)
   }
 
+  test("bloom: banked build == treeAggregate build bit-for-bit; cap refuses loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // positions spanning every bank: 2^13 bits = 1 KiB mask, 64-byte banks
+    // -> 16 banks; deterministic positions hit first/last byte of several
+    // banks so the dispatch (bank index, sub-bank offset, stitch order)
+    // is pinned, not just the aggregate popcount
+    val mBits = 1L << 13
+    val ps = ((0 until 500).map(i => (i.toLong * 2654435761L) % mBits) ++
+      Seq(0L, 7L, 511L, 512L, 519L, mBits - 1)).distinct
+    val pos = ps.toDF("p")
+    val whole = Bloom.build(pos, "p", mBits)
+    val banked = Bloom.buildBanked(pos, "p", mBits, bankBytes = 64)
+    assert(java.util.Arrays.equals(banked, whole),
+      "banked build must reproduce the treeAggregate mask bit-for-bit")
+    // single-bank fast path (the q83 shape) is the same code answer too
+    assert(java.util.Arrays.equals(
+      Bloom.buildBanked(pos, "p", mBits, bankBytes = 1 << 20), whole))
+    // above the single-literal distribution cap the build REFUSES loudly
+    // (never a silent truncation): the caller must change semantics
+    val e = intercept[IllegalArgumentException] {
+      Bloom.buildBanked(pos, "p", mBits = (Bloom.MAX_MASK_BYTES + 8) * 8)
+    }
+    assert(e.getMessage.contains("exceeds") && e.getMessage.contains("refusing"))
+  }
+
   test("bloom: sized mask (non-default mBits) probes its own modulus end-to-end") {
     val spark0 = spark
     import spark0.implicits._

@@ -156,4 +156,40 @@ class DataViewSpec extends AnyFunSuite with BeforeAndAfterEach {
     // the pre-sorted RDD — no Catalyst Sort node
     assert(!fb.dataset.queryExecution.executedPlan.toString.contains("Sort"))
   }
+
+  test("sortBy string collation: native and fallback paths agree on every BMP string; " +
+    "astral divergence is exactly the documented one") {
+    import spark.implicits._
+    // deterministic BMP corpus sweeping the ranges where UTF-8 byte order
+    // could diverge from UTF-16 code-unit order if either side mis-handled
+    // widths: ASCII incl. controls, Latin-1, 2-byte (U+0080..U+07FF),
+    // 3-byte (U+0800..U+FFFF incl. U+E000 past the surrogate gap and
+    // U+FFFD/U+FFFE/U+FFFF), prefix pairs, and the empty string
+    val rng = new scala.util.Random(42)
+    val pool: IndexedSeq[Char] =
+      (0x01 to 0x7f).map(_.toChar) ++
+        Seq(0x0080, 0x00e9, 0x0100, 0x07ff, 0x0800, 0x4e2d, 0xd7ff,
+          0xe000, 0xfffd, 0xfffe, 0xffff).map(_.toChar)
+    val bmp: Seq[String] = Seq("", "a", "ab", "b", "\u00e9", "\u00e9a", "\uffff") ++
+      (0 until 400).map(_ => (0 until 1 + rng.nextInt(6)).map(_ =>
+        pool(rng.nextInt(pool.length))).mkString)
+    val v = ctx.create(bmp)
+    val native = v.sortBy(identity[String]).collect()
+    // an opaque Ordering forces the rdd.sortBy fallback (UTF-16 compareTo)
+    val opaque: Ordering[String] = Ordering.by((s: String) => s)
+    val fallback = v.sortBy(identity[String])(opaque, implicitly).collect()
+    assert(native == fallback,
+      "for BMP strings, UTF-8 binary order must equal UTF-16 code-unit order")
+
+    // the documented divergence, pinned so it stays a KNOWN caveat: an
+    // astral char (4-byte UTF-8, so binary-greater than U+FFFD\'s 3 bytes,
+    // but a 0xD835 surrogate pair, code-unit-less than 0xFFFD, in UTF-16)
+    // sorts AFTER U+FFFD on the native path and BEFORE it on the fallback
+    val astralA = new String(Character.toChars(0x1D400)) // MATHEMATICAL BOLD CAPITAL A
+    val replacement = "\ufffd"
+    val a = ctx.create(Seq(astralA, replacement))
+    assert(a.sortBy(identity[String]).collect() == Seq(replacement, astralA))
+    assert(a.sortBy(identity[String])(opaque, implicitly).collect() ==
+      Seq(astralA, replacement))
+  }
 }

@@ -333,6 +333,45 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(explored.dataset.count() == 4) // and the result is already materialized
   }
 
+  test("best-first BATCHED: batchSize 4 shrinks the round count ~4x (job census); " +
+    "remainder batch pops min(batch, remaining, frontier)") {
+    // the 63-page q33/q114/q128 binary tree: page i links to 2i+1, 2i+2,
+    // priority (i*37) mod 63 — a tie-free permutation
+    val n = 63
+    (0 until n).foreach { i =>
+      val kids = Seq(2 * i + 1, 2 * i + 2).filter(_ < n)
+      writeFixture(s"explore11/page_$i.html",
+        s"""<html><head><title>p $i</title></head><body>${
+          kids.map(k => s"""<a href="page_$k.html">c</a>""").mkString
+        }</body></html>""")
+    }
+    val seed = fixtureRoot.resolve("explore11/page_0.html").toString
+    def prio(u: String): Double =
+      "page_([0-9]+)\\.html".r.findFirstMatchIn(u)
+        .map(m => (m.group(1).toLong * 37 % n).toDouble).getOrElse(-1.0)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.setJobGroup("bf-batch-census", "bf-batch-census", interruptOnCancel = false)
+    val explored = ctx.create(Seq(s"file:$seed"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        ExploreSpec.linkExpand,
+        priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
+        fetchBudget = 25, batchSize = 4)
+    sc.clearJobGroup()
+    Thread.sleep(1000) // listener bus drains async
+    val jobs = sc.statusTracker.getJobIdsForGroup("bf-batch-census").length
+    // batch sizes are bounded by the frontier while it is still narrow and
+    // by the remaining budget at the end: 1, 2, 4, 4, 4, 4, 4, 2 = 25
+    // fetches in 8 rounds (vs 25 rounds at batchSize 1 — the driver-latency
+    // amortization this mode exists for). 3 jobs per round + the 2 fixed
+    // (seed cut, final checkpoint) + 1 visited-keys fold at round 8.
+    assert(jobs == 2 + 3 * 8 + 1,
+      s"8 batched rounds must run 3 jobs each (+2 fixed, +1 fold): got $jobs")
+    assert(explored.dataset.count() == 25) // exactly the budget
+    assert(ctx.metrics.pagesFetched.value == 25)
+  }
+
   test("best-first: budget past exhaustion just visits everything once; visited set exact") {
     val seedPath = scoredSite("explore9")
     val ctx = new GraftContext(spark, GraftConf())

@@ -121,6 +121,13 @@ class FetchExecSpec extends AnyFunSuite with BeforeAndAfterEach {
     val outer = fetched.fork("a", ForkType.Outer)(_.text).dataset.collect()
     assert(outer.length == 3)
     assert(outer.count(_._2.isEmpty) == 1)
+    // forkIndexed: the ordinal is the child's position in the parent's
+    // match list (document order), independent of row distribution; the
+    // Outer no-match row carries no ordinal at all
+    val idx = fetched.forkIndexed("a", ForkType.Outer)((n, i) => (i, n.text))
+      .dataset.collect()
+    assert(idx.flatMap(_._2).sorted.toSeq == Seq((0, "x"), (1, "y")))
+    assert(idx.count(_._2.isEmpty) == 1)
   }
 
   test("directory Wget yields a JSON listing doc") {

@@ -166,7 +166,8 @@ class ScaleSpec extends AnyFunSuite {
             graft.functions.kmv_sketch(col("s"), 64).as("kmv"),
             graft.functions.bottomk_pairs(col("h"), col("v"), 64).as("samp"),
             graft.functions.cm_sketch(col("s"), 4, 32).as("cm"),
-            graft.functions.vec_sum_long(col("onehot")).as("hist"))
+            graft.functions.vec_sum_long(col("onehot")).as("hist"),
+            graft.functions.qhist_sketch(col("v"), 6).as("qh"))
           .collect()
         // listener bus is async; settle like the disperse spec above
         var last = -1L
