@@ -1834,9 +1834,48 @@ object TextQ {
       .orderBy(col("lang"))
   }
 
+  /** q132 — the qhist sketch run THROUGH Structured Streaming's state
+    * store (the q118/q121 mold applied to the QUANTILE family): the
+    * documents parquet feeds a FileStreamSource, per-language qhist bucket
+    * counters accumulate across micro-batches in complete mode, and the
+    * sink must match q129's bucket-exact DuckDB replay VERBATIM — the
+    * canonical grid is what makes a streaming quantile exactly gateable
+    * (micro-batch boundaries and state-store merge order cannot move an
+    * exact counter; GK/KLL under the same harness would give a
+    * batch-boundary-dependent answer no oracle could replay). This is the
+    * live-ingest telemetry surface a 100 TB pipeline needs: p50/p90/p99
+    * length percentiles maintained incrementally in ≤ ~1.9k longs of
+    * state per group, never re-reading history.
+    */
+  def q132StreamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val nm = "q132_qhist_sink"
+    spark.streams.active.filter(q => Option(q.name).contains(nm)).foreach(_.stop())
+    scala.util.Try(spark.catalog.dropTempView(nm))
+    // the q97/q118/q121 FileStreamSource idiom: brace glob keeps basePath
+    // injection off for a single-file table; complete mode on finite
+    // input emits the full final state — no watermark race
+    val docs = spark.readStream.schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val q = docs.groupBy(col("lang"))
+      .agg(graft.functions.qhist_sketch(col("n_toks"), QH_M).as("sk"))
+      .select(col("lang"),
+        graft.functions.qhist_n(col("sk")).as("n"),
+        graft.functions.qhist_value(col("sk"), 500, QH_M).as("p50"),
+        graft.functions.qhist_value(col("sk"), 900, QH_M).as("p90"),
+        graft.functions.qhist_value(col("sk"), 990, QH_M).as("p99"))
+      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(nm).orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_qhist_quantiles" -> q129QhistQuantiles _,
     "q130_qhist_rollup"    -> q130QhistRollup _,
+    "q132_stream_quantiles" -> q132StreamQuantiles _,
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
@@ -2021,6 +2060,9 @@ object TextQ {
     // the rollup is bit-identical to the direct sketch by the canonical-grid
     // contract — the shared direct-replay oracle IS the gate
     "q130_qhist_rollup" -> qhistOracle,
+    // streaming state-store accumulation of exact counters on the canonical
+    // grid == the batch sketch == the same direct replay
+    "q132_stream_quantiles" -> qhistOracle,
     // rebuilds the full count-min counter grid from the same md5 bucket
     // hashes, then replays the modal-token point estimate (min over rows)
     "q111_cm_heavy" ->

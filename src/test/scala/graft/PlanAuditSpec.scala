@@ -27,10 +27,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // sf0.001 — milliseconds) during construction; the audited plan pins
       // the map-side probe shape
       graft.queries.CorpusQ.all -
-      // q97 runs a whole Structured Streaming job during construction and
-      // its returned frame is a memory-sink scan — nothing joins to audit;
-      // its plan shape is the session_window agg StreamingSpec pins
-      "q97_stream_sessionize"
+      // q97/q132 run a whole Structured Streaming job during construction
+      // and their returned frames are memory-sink scans — nothing joins to
+      // audit; their plan shapes are pinned by StreamingSpec/QhistSpec
+      "q97_stream_sessionize" - "q132_stream_quantiles"
 
   test("no accidental CartesianProduct and no SortMergeJoin in any declarative plan") {
     declarative.foreach { case (name, f) =>
