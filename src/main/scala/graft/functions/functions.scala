@@ -151,6 +151,15 @@ object functions {
   def qhist_sketch(value: Column, m: Int): Column =
     native(graft.sql.QhistSketch(ex(value), m).toAggregateExpression())
 
+  /** WEIGHTED qhist AGGREGATE: each row contributes `weight` counts to
+    * its value's bucket — quantiles BY MASS (value = doc length, weight =
+    * token count ⇒ "the median token lives in a doc of what length").
+    * Same wire shape, same merge, same oracle-exactness as
+    * [[qhist_sketch]] (see [[graft.sql.QhistSketchW]]).
+    */
+  def qhist_sketch_weighted(value: Column, weight: Column, m: Int): Column =
+    native(graft.sql.QhistSketchW(ex(value), ex(weight), m).toAggregateExpression())
+
   /** Qhist RE-AGGREGATION: exact counter addition of stored sketches —
     * rollup-of-sketches is bit-identical to the sketch of the union
     * (q130 gates it); stored m must equal merge-m (checked loudly).

@@ -1872,10 +1872,36 @@ object TextQ {
     spark.table(nm).orderBy(col("lang"))
   }
 
+  /** q133 — WEIGHTED quantiles (quantile-by-MASS): per-language doc-length
+    * percentiles weighted by token count — "the median TOKEN lives in a
+    * document of length p50", the question a token-budgeted pipeline asks
+    * (unweighted doc-length percentiles over-represent short docs exactly
+    * in proportion to how few tokens they contribute). One
+    * [[graft.functions.qhist_sketch_weighted]] pass: each doc adds
+    * `n_toks` exact counts to its length bucket; everything else —
+    * canonical grid, bounded state, mergeability, the ε bound, the
+    * bucket-exact oracle (`sum(v)` per bucket instead of `count(*)`) —
+    * carries over from q129 unchanged.
+    */
+  def q133QhistWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.qhist_sketch_weighted(
+        col("n_toks"), col("n_toks"), QH_M).as("sk"))
+    sk.select(col("lang"),
+        graft.functions.qhist_n(col("sk")).as("total_toks"),
+        graft.functions.qhist_value(col("sk"), 500, QH_M).as("p50"),
+        graft.functions.qhist_value(col("sk"), 900, QH_M).as("p90"),
+        graft.functions.qhist_value(col("sk"), 990, QH_M).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_qhist_quantiles" -> q129QhistQuantiles _,
     "q130_qhist_rollup"    -> q130QhistRollup _,
     "q132_stream_quantiles" -> q132StreamQuantiles _,
+    "q133_qhist_weighted"  -> q133QhistWeighted _,
     "q104_nfc_normalize" -> q104NfcNormalize _,
     "q105_kmv_distinct"  -> q105KmvDistinct _,
     "q110_kmv_rollup"    -> q110KmvRollup _,
@@ -2026,13 +2052,13 @@ object TextQ {
     * addition on a canonical grid makes them bit-identical BY CONTRACT,
     * and the shared oracle is the gate.
     */
-  private val qhistOracle: String =
-    """WITH v AS (
+  private def qhistOracleSql(weightExpr: String, nAlias: String): String =
+    s"""WITH v AS (
       |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
       |  FROM documents),
       |b AS (SELECT lang, v, greatest(0, length(bin(v)) - 6) AS s FROM v),
-      |buck AS (SELECT lang, s * 32 + (v >> s) AS id FROM b),
-      |cnt AS (SELECT lang, id, count(*) AS c FROM buck GROUP BY 1, 2),
+      |buck AS (SELECT lang, s * 32 + (v >> s) AS id, v FROM b),
+      |cnt AS (SELECT lang, id, $weightExpr AS c FROM buck GROUP BY 1, 2),
       |tot AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY 1),
       |cum AS (SELECT lang, id, c,
       |          sum(c) OVER (PARTITION BY lang ORDER BY id) AS cum FROM cnt),
@@ -2048,12 +2074,14 @@ object TextQ {
       |         ELSE (CAST(id - ((id // 32) - 1) * 32 AS BIGINT) << ((id // 32) - 1))
       |              + (CAST(1 AS BIGINT) << ((id // 32) - 2)) - 1 END AS qv
       |  FROM pick)
-      |SELECT v.lang, CAST(t.n AS BIGINT) AS n,
+      |SELECT v.lang, CAST(t.n AS BIGINT) AS $nAlias,
       |  max(CASE WHEN p = 500 THEN qv END) AS p50,
       |  max(CASE WHEN p = 900 THEN qv END) AS p90,
       |  max(CASE WHEN p = 990 THEN qv END) AS p99
       |FROM val v JOIN tot t USING (lang)
       |GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
+  private val qhistOracle: String = qhistOracleSql("count(*)", "n")
 
   val oracles: Map[String, String] = Map(
     "q129_qhist_quantiles" -> qhistOracle,
@@ -2063,6 +2091,8 @@ object TextQ {
     // streaming state-store accumulation of exact counters on the canonical
     // grid == the batch sketch == the same direct replay
     "q132_stream_quantiles" -> qhistOracle,
+    // weighted replay: each doc contributes v counts to its own bucket
+    "q133_qhist_weighted" -> qhistOracleSql("sum(v)", "total_toks"),
     // rebuilds the full count-min counter grid from the same md5 bucket
     // hashes, then replays the modal-token point estimate (min over rows)
     "q111_cm_heavy" ->

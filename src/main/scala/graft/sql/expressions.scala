@@ -1401,6 +1401,68 @@ final case class QhistSketch(
     copy(child = newChildren.head)
 }
 
+/** WEIGHTED [[QhistSketch]]: each row contributes `weight` counts to its
+  * value's bucket instead of 1 — the quantile-by-mass surface (e.g. value
+  * = doc length, weight = token count answers "the median TOKEN lives in
+  * a document of what length", the question a token-budgeted pipeline
+  * actually asks; per-row weights are how dedup multiplicities and
+  * sampling rates enter a distribution without exploding rows). Exact
+  * integer weights keep every property of the unweighted sketch: canonical
+  * grid, counter-addition merge ([[QhistMerge]] works unchanged on the
+  * output), deterministic ≤ 2^−m relative error on the VALUE axis, exact
+  * oracle replay (`sum(weight)` per bucket instead of `count(*)`).
+  * Negative values and negative weights fail loudly; zero weights and
+  * null rows are no-ops (a zero-mass row cannot move a rank).
+  */
+final case class QhistSketchW(
+    child: Expression, weight: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends QhistAggregate {
+
+  override def prettyName: String = "qhist_sketch_weighted"
+  override def children: Seq[Expression] = Seq(child, weight)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((child.dataType != LongType && child.dataType != IntegerType) ||
+        (weight.dataType != LongType && weight.dataType != IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires integral (value, weight) columns, got " +
+          s"(${child.dataType.catalogString}, ${weight.dataType.catalogString})")
+    else if (m < 2 || m > 16) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 2 <= m <= 16, got $m")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long    => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val x = asLong(v)
+      val wl = asLong(w)
+      if (x < 0) throw new IllegalArgumentException(
+        s"$prettyName: negative value $x — the bucket grid is defined on v >= 0")
+      if (wl < 0) throw new IllegalArgumentException(
+        s"$prettyName: negative weight $wl — a negative mass would corrupt every " +
+          "downstream rank; pre-aggregate signed corrections before sketching")
+      if (wl > 0) buf(bucketOf(x)) += wl
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): QhistSketchW =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): QhistSketchW =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QhistSketchW =
+    copy(child = newChildren(0), weight = newChildren(1))
+}
+
 /** Qhist RE-AGGREGATION: input rows are STORED `struct(m, ids, counts)`
   * sketches (one per shard/day/partition, persisted between runs), merged
   * by exact counter addition — `qhist_merge(qhist_sketch(...))` over any

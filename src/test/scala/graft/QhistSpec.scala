@@ -175,6 +175,40 @@ class QhistSpec extends AnyFunSuite {
       "cross-micro-batch sketch state must equal the batch sketch exactly")
   }
 
+  test("qhist weighted: == unweighted sketch of the row-exploded multiset; " +
+    "zero weight is a no-op; negative weight fails loudly; merges unchanged") {
+    val s = lspark
+    import s.implicits._
+    val rows = (0 until 800).map(i => (s"g${i % 2}", (i.toLong * 97) % 5000, i.toLong % 5))
+    def sk(r: Row): (Int, Seq[Int], Seq[Long]) = {
+      val st = r.getStruct(1); (st.getInt(0), st.getSeq[Int](1), st.getSeq[Long](2))
+    }
+    val weighted = rows.toDF("g", "v", "w").groupBy("g")
+      .agg(graft.functions.qhist_sketch_weighted(col("v"), col("w"), M).as("sk"))
+      .collect().map(r => r.getString(0) -> sk(r)).toMap
+    // explode each row into w copies and sketch unweighted — must be
+    // bit-identical (incl. rows with w = 0 vanishing)
+    val exploded = rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+    val unweighted = exploded.toDF("g", "v").groupBy("g")
+      .agg(graft.functions.qhist_sketch(col("v"), M).as("sk"))
+      .collect().map(r => r.getString(0) -> sk(r)).toMap
+    assert(weighted == unweighted)
+    // weighted shard sketches roll up through the SAME qhist_merge
+    val rolled = rows.toDF("g", "v", "w").withColumn("shard", col("v") % 4)
+      .groupBy("g", "shard")
+      .agg(graft.functions.qhist_sketch_weighted(col("v"), col("w"), M).as("sk"))
+      .groupBy("g").agg(graft.functions.qhist_merge(col("sk"), M).as("sk"))
+      .collect().map(r => r.getString(0) -> sk(r)).toMap
+    assert(rolled == weighted)
+    val e = intercept[Exception] {
+      Seq((1L, -2L)).toDF("v", "w")
+        .agg(graft.functions.qhist_sketch_weighted(col("v"), col("w"), M)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative weight")))
+  }
+
   test("qhist state bound: the dense buffer never exceeds the documented counter count") {
     // the scale contract: (63-m)*2^(m-1) + 2^m counters for the FULL long
     // domain — Long.MaxValue lands in the last bucket, nothing overflows
