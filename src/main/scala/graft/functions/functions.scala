@@ -40,6 +40,13 @@ object functions {
   def json_text(json: Column, path: Column): Column =
     native(graft.sql.JsonText(ex(json), ex(path)))
 
+  /** Boilerpipe-style main-content extraction (WSDM'10 NumWordsRules) of
+    * an HTML column — native codegen, parse-cached (see
+    * [[graft.sql.BoilerPipeText]]).
+    */
+  def boilerpipe(html: Column): Column =
+    native(graft.sql.BoilerPipeText(ex(html)))
+
   /** Dot product of two float32/float64 array columns, double accumulation
     * (native codegen expression — the hot loop of the embedding queries).
     */

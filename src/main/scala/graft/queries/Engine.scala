@@ -219,6 +219,126 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q134 — boilerpipe article extraction (WSDM'10 NumWordsRules), gated
+  // -------------------------------------------------------------------------
+
+  /** Every 10th document (offset 1) renders as a REALISTIC page — link-dense
+    * nav and footer boilerplate around a short intro and the article body —
+    * and [[graft.functions.boilerpipe]] (native codegen; reference
+    * doc/Unstructured's article-extraction role) must recover the main
+    * content. The fixture is built so the published NumWordsRules tree
+    * (Kohlschütter et al., WSDM 2010, Fig. 4) has a CLOSED FORM the oracle
+    * replays exactly: nav (7 words, link density 1) and footer (6 words,
+    * ld 1) are never content (ld > 1/3); the body paragraph always is
+    * (prev = the 6-word ld-0 intro ⇒ prevWords > 4); the intro is content
+    * iff the body exceeds 17 words (prev = nav with ld 1 > 5/9 ⇒ content
+    * iff nextWords > 17) — so the expected article is a pure SQL CASE on
+    * the token count, and the corpus's 10..99-word range exercises BOTH
+    * branches. This closes the one §2.11 row (boilerPipe) that had no
+    * oracle entry.
+    */
+  def q134Boilerpipe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions._
+    val pages = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), format_string(
+        "<html><head><title>doc %d</title></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a> <a href=\"/c\">contact</a> " +
+          "<a href=\"/r\">archive</a> <a href=\"/l\">login</a> <a href=\"/g\">register</a> " +
+          "<a href=\"/s\">subscribe</a></nav>" +
+          "<p>intro section for corpus document %d</p>" +
+          "<p>%s</p>" +
+          "<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy</a> <a href=\"/f\">rss</a> " +
+          "<a href=\"/m\">sitemap</a> <a href=\"/k\">cookies</a> <a href=\"/h\">help</a></footer>" +
+          "</body></html>",
+        col("doc_id"), col("doc_id"), col("text")).as("html"))
+    pages
+      .select(col("doc_id"), boilerpipe(col("html")).as("article"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q135 — DocValidation: StatusCode2XX vs HasTitle over a live HTTP mix
+  // -------------------------------------------------------------------------
+
+  /** Post-fetch document validation (reference actions/Export.scala:32-130
+    * DocValidation) oracle-gated over a live HTTP status/content mix: every
+    * 10th document (offset 2) is served by class `doc_id % 3` — a full page
+    * with a title (0), a 200 page WITHOUT a title (1), a 404 (2) — and the
+    * same id set is fetched under TWO validation policies. `StatusCode2XX`
+    * (the default) must keep classes 0 and 1 and route class 2 to the
+    * DocError path; `HasTitle` must keep only class 0. The oracle replays
+    * the surviving id sets from the class formula alone. (Bypass/HasHead
+    * stay spec-pinned — they are the same accept() seam.)
+    */
+  def q135DocValidation(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 2)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/doc/").toLong
+      val (code, body) = (id % 3) match {
+        case 0 => (200, s"<html><head><title>doc $id</title></head><body><p>ok</p></body></html>")
+        case 1 => (200, "<html><body><p>untitled</p></body></html>")
+        case _ => (404, "gone")
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/doc"
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      def run(v: graft.doc.DocValidation, tag: String) = {
+        val ctx = new GraftContext(spark,
+          GraftConf(validation = v, cacheEnabled = false, cacheWrite = false))
+        ctx.create(ids)
+          .fetchOne(id => Trace.of(Wget(s"$base/$id")))
+          .succeeded // validation failures took the DocError path
+          .select(r => (tag, r.data))
+          .dataset
+      }
+      run(graft.doc.DocValidation.StatusCode2XX, "status2xx")
+        .union(run(graft.doc.DocValidation.HasTitle, "has_title"))
+        .toDF("validation", "doc_id")
+        .orderBy(col("validation"), col("doc_id"))
+        .localCheckpoint(true) // force both fetches while the stub is up
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
+  // -------------------------------------------------------------------------
+  // q136 — conf-driven fan-out downsampling (DownSampling.FirstN), gated
+  // -------------------------------------------------------------------------
+
+  /** The conf-driven fan-out downsampling (reference conf `DownSampling` —
+    * the preview/cost-cap knob every selectMany/flatMap honors) oracle-gated
+    * on its deterministic member: with `FirstN(3)`, exploding every 10th
+    * document (offset 6) into (position, token) rows keeps exactly the
+    * FIRST THREE tokens per document — the oracle replays
+    * `list_slice(tokens, 1, 3)` with positional zip. (ByRatio/ToSize stay
+    * spec-pinned: they are seeded-hash samples with no SQL-closed form.)
+    */
+  def q136DownsampleFirstN(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = new GraftContext(spark,
+      GraftConf(downSampling = graft.conf.DownSampling.FirstN(3)))
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 6)
+      .select("doc_id", "text").as[(Long, String)]
+    ctx.create(rows)
+      .flatMap { case (id, text) =>
+        text.split(" ").toSeq.zipWithIndex.map { case (t, i) => (id, i, t) }
+      }
+      .asDataFrame.toDF("doc_id", "pos", "token")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  // -------------------------------------------------------------------------
   // q126 — fork: doc-node lateral join (Inner vs Outer)
   // -------------------------------------------------------------------------
 
@@ -1561,6 +1681,9 @@ object EngineQ {
     "q127_wpost"      -> q127Wpost _,
     "q128_explore_bestfirst_batched" -> q128ExploreBestFirstBatched _,
     "q131_image_neardup" -> q131ImageNearDup _,
+    "q134_boilerpipe" -> q134Boilerpipe _,
+    "q135_doc_validation" -> q135DocValidation _,
+    "q136_downsample_firstn" -> q136DownsampleFirstN _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1638,6 +1761,32 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // surviving id sets replayed from the serving-class formula: 2XX keeps
+    // classes 0 and 1, HasTitle keeps only class 0
+    "q135_doc_validation" ->
+      """SELECT 'has_title' AS validation, doc_id FROM documents
+        |WHERE doc_id % 10 = 2 AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'status2xx', doc_id FROM documents
+        |WHERE doc_id % 10 = 2 AND doc_id % 3 IN (0, 1)
+        |ORDER BY validation, doc_id""".stripMargin,
+    // FirstN(3): the first three tokens per document, positions zipped
+    "q136_downsample_firstn" ->
+      """WITH ts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 = 6)
+        |SELECT doc_id,
+        |  CAST(unnest(range(least(len(toks), 3))) AS INT) AS pos,
+        |  unnest(list_slice(toks, 1, 3)) AS token
+        |FROM ts ORDER BY doc_id, pos""".stripMargin,
+    // the NumWordsRules closed form: boilerplate blocks are never content,
+    // the body always is, the intro iff the body exceeds 17 words
+    "q134_boilerpipe" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) > 17
+        |    THEN 'intro section for corpus document ' || doc_id || chr(10) || text
+        |    ELSE text END AS article
+        |FROM documents WHERE doc_id % 10 = 1 ORDER BY doc_id""".stripMargin,
     // replays fork's lateral fan-out from the id formulas: k = doc_id % 3
     // children per page (unnest of range(k) — zero-match pages vanish,
     // which IS Inner), plus the Outer null row per k=0 page

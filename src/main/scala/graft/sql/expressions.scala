@@ -56,6 +56,9 @@ object NodeFunctions {
     val r = cached(lastJson, json)(JsonNode.parse).findAll(path.toString).headOption
     if (r.isEmpty) null else UTF8String.fromString(r.get.text)
   }
+
+  def boilerPipe(html: UTF8String): UTF8String =
+    UTF8String.fromString(cached(lastHtml, html)(HtmlNode.parse(_)).boilerPipe)
 }
 
 /** First matching node's text for a CSS selector, null when absent. */
@@ -98,6 +101,31 @@ final case class CssAttr(first: Expression, second: Expression, third: Expressio
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): CssAttr = copy(f, s, t)
+}
+
+/** Boilerpipe-style article extraction (the WSDM'10 NumWordsRules decision
+  * tree over shallow block features — see [[graft.doc.HtmlNode.boilerPipe]])
+  * as a native codegen column function: block segmentation + word/link-word
+  * counting + the published classifier run per row inside whole-stage
+  * codegen, with the same per-thread parse cache as [[CssText]]. Null html
+  * → null; a page with no content-classified block falls back to its full
+  * text (the Node-method contract, q134-gated).
+  */
+final case class BoilerPipeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "boilerpipe"
+
+  protected override def nullSafeEval(html: Any): Any =
+    NodeFunctions.boilerPipe(html.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.sql.NodeFunctions.boilerPipe($h);")
+
+  override protected def withNewChildInternal(c: Expression): BoilerPipeText =
+    copy(child = c)
 }
 
 /** First JSON node text on a recursive-descent path, null when absent. */
