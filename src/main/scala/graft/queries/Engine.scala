@@ -339,6 +339,59 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q137 — sibling-window extraction + breadcrumb (the record-y doc ops)
+  // -------------------------------------------------------------------------
+
+  /** `findAllWithSiblings` (reference HtmlNode.scala:82-109 — the
+    * header-plus-its-rows extraction shape every listing/table scrape
+    * needs) and `breadcrumb` oracle-gated: every 10th document (offset 8)
+    * renders as a `<ul>` of `2 + doc_id % 3` GROUPS — a header `<li
+    * class="h">` followed by two value items — and each header match
+    * expands to a sibling window of range 0..4 that must CLIP at the next
+    * header (the neighboring-match stop rule), yielding exactly [header,
+    * va, vb] for every group including the last (where the list end, not a
+    * stop, bounds it). The window texts and the match's breadcrumb
+    * (html>body>ul>li) are id-formula-replayable.
+    */
+  def q137SiblingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q137")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)
+
+    FixtureClock.timed {
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val groups = (0 until (2 + id % 3).toInt).map { j =>
+          s"""<li class="h">h $id $j</li><li>va $id $j</li><li>vb $id $j</li>"""
+        }.mkString("\n")
+        val html =
+          s"""<html><head><title>doc $id</title></head>
+             |<body><ul>
+             |$groups
+             |</ul></body></html>""".stripMargin
+        graft.agent.DocIO.writeText(fix, s"page_$id.html", html)
+      }
+    }
+    }
+
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/page_$id.html")))
+      .selectMany { r =>
+        val root = r.trajectory.doc.get.root
+        root.findAllWithSiblings("li.h", 0 to 4).zipWithIndex.map {
+          case (win, j) =>
+            (r.data, j, win.map(_.text).mkString(" | "),
+              win.head.breadcrumb.mkString(">"))
+        }
+      }
+      .asDataFrame.toDF("doc_id", "grp", "window", "crumb")
+      .orderBy(col("doc_id"), col("grp"))
+  }
+
+  // -------------------------------------------------------------------------
   // q126 — fork: doc-node lateral join (Inner vs Outer)
   // -------------------------------------------------------------------------
 
@@ -1684,6 +1737,7 @@ object EngineQ {
     "q134_boilerpipe" -> q134Boilerpipe _,
     "q135_doc_validation" -> q135DocValidation _,
     "q136_downsample_firstn" -> q136DownsampleFirstN _,
+    "q137_sibling_windows" -> q137SiblingWindows _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1761,6 +1815,18 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // sibling windows replayed from the group formula: every group's window
+    // is [header, va, vb] (clipped at the next header match), breadcrumb is
+    // the constant element path
+    "q137_sibling_windows" ->
+      """WITH base AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS k FROM documents WHERE doc_id % 10 = 8),
+        |g AS (SELECT doc_id, CAST(unnest(range(k)) AS INT) AS grp FROM base)
+        |SELECT doc_id, grp,
+        |  'h ' || doc_id || ' ' || grp || ' | va ' || doc_id || ' ' || grp ||
+        |    ' | vb ' || doc_id || ' ' || grp AS window,
+        |  'html>body>ul>li' AS crumb
+        |FROM g ORDER BY doc_id, grp""".stripMargin,
     // surviving id sets replayed from the serving-class formula: 2XX keeps
     // classes 0 and 1, HasTitle keeps only class 0
     "q135_doc_validation" ->
