@@ -339,6 +339,85 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q138 — OAuth1-signed fetch, signature VERIFIED on the wire
+  // -------------------------------------------------------------------------
+
+  /** `OAuthV2` (reference actions/OAuthV2.scala — OAuth 1.0a HMAC-SHA1
+    * request signing) oracle-gated end-to-end: every 20th document (offset
+    * 9) fetches a per-doc uri WITH QUERY PARAMETERS through the signing
+    * interpreter, and the stub INDEPENDENTLY RE-VERIFIES the signature
+    * from the raw wire request alone — it reconstructs the RFC 5849 base
+    * string from the request line, Host header and Authorization params
+    * (minus the signature), recomputes the HMAC from the shared secrets,
+    * and grants only on an exact match. That pins the full client chain —
+    * parameter collection across header AND query string, percent-encoding
+    * rules, sorted normalization, key construction, header serialization —
+    * not just the signing math (which the RFC-vector spec already pins).
+    * Query-param values are URL-safe by construction, so the stub's raw
+    * split needs no decode pass. The oracle replays the granted set (all
+    * ids — an unsigned or mis-signed request would 401 and vanish from it).
+    */
+  def q138OAuthFetch(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import javax.crypto.Mac
+    import javax.crypto.spec.SecretKeySpec
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 9)
+    val (ck, cs, tk, ts) = ("graft-ck", "graft-cs", "graft-tk", "graft-ts")
+    def pe(x: String): String = java.net.URLEncoder.encode(x, "UTF-8")
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val hdr = """([\w%]+)="([^"]*)"""".r.findAllMatchIn(auth)
+        .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8") ->
+          java.net.URLDecoder.decode(m.group(2), "UTF-8")).toMap
+      val sig = hdr.getOrElse("oauth_signature", "")
+      val oauthParams = (hdr - "oauth_signature").toSeq
+      val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val qParams = rawQuery.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
+      }
+      val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("?")
+      val baseUrl = s"http://$host${ex.getRequestURI.getPath}"
+      val normalized = (oauthParams.map { case (k, v) => pe(k) -> pe(v) } ++ qParams)
+        .sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
+      val baseStr = Seq("GET", pe(baseUrl), pe(normalized)).mkString("&")
+      val mac = Mac.getInstance("HmacSHA1")
+      mac.init(new SecretKeySpec(s"${pe(cs)}&${pe(ts)}".getBytes("UTF-8"), "HmacSHA1"))
+      val expect = java.util.Base64.getEncoder.encodeToString(
+        mac.doFinal(baseStr.getBytes("UTF-8")))
+      val id = qParams.collectFirst { case ("doc", v) => v }.getOrElse("?")
+      val granted = auth.startsWith("OAuth ") &&
+        hdr.get("oauth_consumer_key").contains(ck) &&
+        hdr.get("oauth_signature_method").contains("HMAC-SHA1") && sig == expect
+      val body = if (granted) s"<p>granted doc $id</p>" else "<p>denied</p>"
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(if (granted) 200 else 401, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      ctx.create(ids)
+        .fetchOne(id => Trace.of(graft.actions.OAuthV2(
+          Wget(s"$base?doc=$id&tag=corpus"), ck, cs, tk, ts)))
+        .succeeded // a 401 (bad signature) takes the error path and vanishes
+        .select(r => (r.data, r.trajectory.texts("p").mkString))
+        .asDataFrame.toDF("doc_id", "grant")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // force the signed fetches while the stub is up
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
+  // -------------------------------------------------------------------------
   // q137 — sibling-window extraction + breadcrumb (the record-y doc ops)
   // -------------------------------------------------------------------------
 
@@ -1738,6 +1817,7 @@ object EngineQ {
     "q135_doc_validation" -> q135DocValidation _,
     "q136_downsample_firstn" -> q136DownsampleFirstN _,
     "q137_sibling_windows" -> q137SiblingWindows _,
+    "q138_oauth_fetch" -> q138OAuthFetch _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1815,6 +1895,11 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // the granted set: a mis-signed request would 401 and drop out, so the
+    // full id set IS the signature-validity assertion
+    "q138_oauth_fetch" ->
+      """SELECT doc_id, 'granted doc ' || doc_id AS grant
+        |FROM documents WHERE doc_id % 20 = 9 ORDER BY doc_id""".stripMargin,
     // sibling windows replayed from the group formula: every group's window
     // is [header, va, vb] (clipped at the next header match), breadcrumb is
     // the constant element path
