@@ -339,6 +339,89 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q140 — directory Wget: the JSON listing doc, gated
+  // -------------------------------------------------------------------------
+
+  /** A Wget of a DIRECTORY yields a JSON listing document (reference
+    * OmniResolver's directory shape — the crawl-seed discovery path:
+    * explore a dump tree without a manifest), oracle-gated: every 20th
+    * document (offset 15) materializes a file whose NAME carries its id,
+    * ONE fetch of the directory returns the listing doc, and the `entries`
+    * node attrs recover every (name → id) — the oracle replays the file
+    * set from the id formula. Pins listing JSON shape, entry attributes
+    * and name round-tripping in the gated suite (previously spec-only).
+    */
+  def q140DirListing(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q140")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 15)
+    FixtureClock.timed {
+    docs.select("doc_id").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        graft.agent.DocIO.writeText(fix, s"f_$id.txt", s"doc $id")
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    ctx.create(Seq(0))
+      .fetchOne(_ => Trace.of(Wget(s"file:$fix")))
+      .selectMany { r =>
+        r.trajectory.findAll("entries").flatMap(_.attr("name"))
+          .filter(_.startsWith("f_"))
+          .map(n => (n.stripPrefix("f_").stripSuffix(".txt").toLong, n))
+      }
+      .asDataFrame.toDF("doc_id", "name")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q141 — Trajectory.save → readFiles round-trip (the sink AND bulk source)
+  // -------------------------------------------------------------------------
+
+  /** The save sink and the bulk-ingest source gated TOGETHER as a
+    * round-trip: every 20th document (offset 11) renders as a page, a
+    * distributed fetch SAVES every doc body to a second directory
+    * (reference AgentContext.scala:134-148 — executor-side writes, no
+    * driver collect), and `readFiles` (the binaryFile bulk path:
+    * distributed listing, partition-batched payloads) re-ingests the saved
+    * corpus through the same Node seam. The recovered (id, message) set
+    * must replay from the source formulas — which it can only do if the
+    * save wrote intact bytes under resolvable names AND the bulk reader
+    * re-parsed them identically to the original fetch.
+    */
+  def q141SaveRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val fixA = fixtureDir(dir, "q141-src")
+    val fixB = fixtureDir(dir, "q141-saved")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 11)
+    FixtureClock.timed {
+    docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val html =
+          s"""<html><head><title>doc $id</title></head>
+             |<body><p>saved $id ${r.getString(1)}</p></body></html>""".stripMargin
+        graft.agent.DocIO.writeText(fixA, s"page_$id.html", html)
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fixA/page_$id.html")))
+      .save(fixB) // distributed DFS sink — body bytes, no driver round-trip
+    ctx.readFiles(fixB, glob = Some("*.html"))
+      .selectMany { r =>
+        r.trajectory.texts("p").map { msg =>
+          (msg.split(" ")(1).toLong, msg)
+        }
+      }
+      .asDataFrame.toDF("doc_id", "msg")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q138 — OAuth1-signed fetch, signature VERIFIED on the wire
   // -------------------------------------------------------------------------
 
@@ -1818,6 +1901,8 @@ object EngineQ {
     "q136_downsample_firstn" -> q136DownsampleFirstN _,
     "q137_sibling_windows" -> q137SiblingWindows _,
     "q138_oauth_fetch" -> q138OAuthFetch _,
+    "q140_dir_listing" -> q140DirListing _,
+    "q141_save_roundtrip" -> q141SaveRoundTrip _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1895,6 +1980,14 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // the listing must surface exactly the formula-named files
+    "q140_dir_listing" ->
+      """SELECT doc_id, 'f_' || doc_id || '.txt' AS name
+        |FROM documents WHERE doc_id % 20 = 15 ORDER BY doc_id""".stripMargin,
+    // save -> bulk re-ingest must reconstruct the source messages exactly
+    "q141_save_roundtrip" ->
+      """SELECT doc_id, 'saved ' || doc_id || ' ' || lang AS msg
+        |FROM documents WHERE doc_id % 20 = 11 ORDER BY doc_id""".stripMargin,
     // the granted set: a mis-signed request would 401 and drop out, so the
     // full id set IS the signature-validity assertion
     "q138_oauth_fetch" ->
