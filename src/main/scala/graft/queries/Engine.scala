@@ -296,8 +296,13 @@ object EngineQ {
       import spark.implicits._
       val ids = docs.select("doc_id").as[Long]
       def run(v: graft.doc.DocValidation, tag: String) = {
+        // remoteRetries = 0: a deterministic 404/untitled page never heals,
+        // and the default 2 retries would triple every planned failure's
+        // round-trips — the gate pins CLASSIFICATION, not retry policy
+        // (which CacheSpec/HttpSpec cover)
         val ctx = new GraftContext(spark,
-          GraftConf(validation = v, cacheEnabled = false, cacheWrite = false))
+          GraftConf(validation = v, cacheEnabled = false, cacheWrite = false,
+            remoteRetries = 0))
         ctx.create(ids)
           .fetchOne(id => Trace.of(Wget(s"$base/$id")))
           .succeeded // validation failures took the DocError path
