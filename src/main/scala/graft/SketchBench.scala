@@ -151,6 +151,57 @@ object SketchBench {
     require(aggRes == winRes,
       "bounded-state sample must equal the window-rank sample exactly")
 
+    // leg 6: QUANTILES — exact percentile() buffers EVERY value per group
+    // (the OOM-at-scale formulation) vs qhist's canonical bounded grid
+    // (<= 1888 counters per group, deterministic <= 2^-6 value error).
+    // The rollup confluence is also required AT SCALE: per-shard sketches
+    // must merge to the bit-identical direct sketch on 50M rows.
+    val vals = spark.range(n).select(
+      pmod(col("id"), lit(groups.toLong)).as("lang"),
+      (pmod(xxhash64(col("id")), lit(1000000L)) + 1L).as("v"))
+    val (exactQ, tQexact) = time {
+      vals.groupBy("lang")
+        .agg(expr("percentile(v, array(0.5, 0.9, 0.99))").as("qs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+    val mbQexact = drainMb()
+    val ((qh, tQh), mbQh) = {
+      val r = time {
+        vals.groupBy("lang")
+          .agg(graft.functions.qhist_sketch(col("v"), 6).as("sk"))
+          .select(col("lang"),
+            graft.functions.qhist_value(col("sk"), 500, 6).as("p50"),
+            graft.functions.qhist_value(col("sk"), 900, 6).as("p90"),
+            graft.functions.qhist_value(col("sk"), 990, 6).as("p99"))
+          .collect()
+          .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+      }
+      (r, drainMb())
+    }
+    val qhMaxRelErr = exactQ.map { case (g, ex) =>
+      ex.zip(qh(g)).map { case (e, q) => math.abs(q - e) / e }.max
+    }.max
+    require(qhMaxRelErr <= 1.0 / 32,
+      s"qhist quantiles must sit inside the 2^-6 value-error envelope: $qhMaxRelErr")
+    def skOf(r: org.apache.spark.sql.Row): (Seq[Int], Seq[Long]) = {
+      val st = r.getStruct(1); (st.getSeq[Int](1), st.getSeq[Long](2))
+    }
+    val qhDirect = vals.groupBy("lang")
+      .agg(graft.functions.qhist_sketch(col("v"), 6).as("sk"))
+      .collect().map(r => r.getLong(0) -> skOf(r)).toMap
+    val (qhRolled, tQhMerge) = time {
+      vals.withColumn("shard", pmod(col("v"), lit(32L)))
+        .groupBy("lang", "shard")
+        .agg(graft.functions.qhist_sketch(col("v"), 6).as("sk"))
+        .groupBy("lang")
+        .agg(graft.functions.qhist_merge(col("sk"), 6).as("sk"))
+        .collect().map(r => r.getLong(0) -> skOf(r)).toMap
+    }
+    drainMb()
+    require(qhRolled == qhDirect,
+      "qhist rollup must be bit-identical to the direct sketch at scale")
+
     def f(d: Double): String = f"$d%.3f"
     println(
       s"""{"bench":"sketch","n":$n,"groups":$groups,"universe":$universe,"k":$k,
@@ -161,7 +212,10 @@ object SketchBench {
          |"rollup_store_sec":${f(tStore)},"rollup_merge_sec":${f(tMerge)},
          |"rollup_merge_shuffle_mb":${f(mbMerge)},
          |"sample_agg_sec":${f(tSampAgg)},"sample_agg_shuffle_mb":${f(mbSampAgg)},
-         |"sample_win_sec":${f(tSampWin)},"sample_win_shuffle_mb":${f(mbSampWin)}}"""
+         |"sample_win_sec":${f(tSampWin)},"sample_win_shuffle_mb":${f(mbSampWin)},
+         |"qhist_exact_sec":${f(tQexact)},"qhist_exact_shuffle_mb":${f(mbQexact)},
+         |"qhist_sec":${f(tQh)},"qhist_shuffle_mb":${f(mbQh)},
+         |"qhist_max_rel_err":${f(qhMaxRelErr)},"qhist_merge_sec":${f(tQhMerge)}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
