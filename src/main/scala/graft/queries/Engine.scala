@@ -344,6 +344,71 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q142 — Wayback: per-action cache time travel, gated
+  // -------------------------------------------------------------------------
+
+  /** `Wget.wayback` (reference actions/Wayback.scala:7-33 — per-action time
+    * travel over the versioned doc cache) oracle-gated end-to-end: every
+    * 20th document (offset 17) is fetched at VERSION 1, the source mutates,
+    * a cache-bypassing refetch records VERSION 2, and then (a) a wayback
+    * read pinned between the two timestamps must return v1 and (b) an
+    * unpinned read must return v2 — BOTH served entirely from the cache's
+    * version list (asserted: zero remote fetches in either read). Wayback
+    * is deliberately NOT part of the trace key (it selects WHICH cached
+    * version to read, not what the action is), which is exactly why the
+    * pinned read can hit the same key's older version. The memory tier is
+    * cleared on entry so every invocation replays the same two-version
+    * history (the cache is JVM-global).
+    */
+  def q142Wayback(spark: SparkSession, dir: String): DataFrame = {
+    graft.cache.InMemoryDocCache.clear()
+    val fix = fixtureDir(dir, "q142")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 17)
+    def writeVersion(tag: String): Unit = {
+      FixtureClock.timed {
+      docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          graft.agent.DocIO.writeText(fix, s"page_$id.html",
+            s"<html><body><p>$tag $id ${r.getString(1)}</p></body></html>")
+        }
+      }
+      }
+    }
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    def fetchAll(ctx: GraftContext, wayback: Option[Long]) =
+      ctx.create(ids)
+        .fetchOne(id => Trace.of(Wget(s"file:$fix/page_$id.html", wayback = wayback)))
+        .select(r => (r.data, r.trajectory.texts("p").mkString))
+        .asDataFrame
+
+    writeVersion("v1")
+    fetchAll(new GraftContext(spark, GraftConf()), None).count() // v1 cached
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20) // strict v2 timestamp separation from the pin
+    writeVersion("v2")
+    // bypass the read tier (a hit would serve v1) but WRITE the new version
+    fetchAll(new GraftContext(spark, GraftConf(cacheEnabled = false)), None).count()
+
+    val ctxPinned = new GraftContext(spark, GraftConf())
+    val pinned = fetchAll(ctxPinned, Some(tMid))
+      .toDF("doc_id", "snapshot").withColumn("version", lit("wayback"))
+    val ctxLatest = new GraftContext(spark, GraftConf())
+    val latest = fetchAll(ctxLatest, None)
+      .toDF("doc_id", "snapshot").withColumn("version", lit("latest"))
+    val out = latest.union(pinned)
+      .select(col("version"), col("doc_id"), col("snapshot"))
+      .orderBy(col("version"), col("doc_id"))
+      .localCheckpoint(true)
+    require(ctxPinned.metrics.pagesFetched.value == 0,
+      "q142: the wayback read must be served from the cache's version list")
+    require(ctxLatest.metrics.pagesFetched.value == 0,
+      "q142: the latest read must be a plain cache hit")
+    out
+  }
+
+  // -------------------------------------------------------------------------
   // q140 — directory Wget: the JSON listing doc, gated
   // -------------------------------------------------------------------------
 
@@ -1908,6 +1973,7 @@ object EngineQ {
     "q138_oauth_fetch" -> q138OAuthFetch _,
     "q140_dir_listing" -> q140DirListing _,
     "q141_save_roundtrip" -> q141SaveRoundTrip _,
+    "q142_wayback" -> q142Wayback _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -1985,6 +2051,15 @@ object EngineQ {
         |FROM (SELECT doc_id, depth FROM sim WHERE doc_id IS NOT NULL) v
         |JOIN documents d USING (doc_id)
         |ORDER BY v.doc_id""".stripMargin,
+    // the pinned read sees version 1, the unpinned read version 2 — both
+    // from the cache (zero remote fetches asserted in-query)
+    "q142_wayback" ->
+      """SELECT 'latest' AS version, doc_id, 'v2 ' || doc_id || ' ' || lang AS snapshot
+        |FROM documents WHERE doc_id % 20 = 17
+        |UNION ALL
+        |SELECT 'wayback', doc_id, 'v1 ' || doc_id || ' ' || lang
+        |FROM documents WHERE doc_id % 20 = 17
+        |ORDER BY version, doc_id""".stripMargin,
     // the listing must surface exactly the formula-named files
     "q140_dir_listing" ->
       """SELECT doc_id, 'f_' || doc_id || '.txt' AS name
