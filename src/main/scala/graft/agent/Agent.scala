@@ -243,27 +243,48 @@ object Agent {
           Seq(Doc(DocUID(key, name = as), driver.currentUri, driver.screenshot,
             Some("image/png"), timestampMillis = now))
         case Loop(body, limit) =>
-          // repeat until exception or limit; observations concatenated and
+          // repeat until failure or limit; observations concatenated and
           // re-indexed. DELIBERATELY keeps a failing iteration's partial
           // output, byte-for-byte the reference semantics (ControlBlock.scala
           // Loop.doExeNoUID: `pages ++= action.exe` straight into the shared
           // buffer, catch aborts but keeps the buffer) — pagination relies on
           // it: Loop(Snapshot, ClickNext) must keep the LAST page's snapshot
-          // taken just before ClickNext exhausts.
+          // taken just before ClickNext exhausts. FAILURE is an exception OR
+          // an error observation: the reference's fetch path THROWS on a bad
+          // response, while this engine's driverless fetch path reports a
+          // DocError (the q135 classification seam) — so an action whose
+          // result carries an error is the same terminator, its errored
+          // output dropped exactly as a throwing reference action
+          // contributes nothing to the shared buffer.
           val out = Seq.newBuilder[Observation]
           var i = 0
           var done = false
           while (i < limit && !done) {
-            try body.actions.foreach(a => out ++= perform(a, now))
+            try body.actions.foreach { a =>
+              val res = perform(a, now)
+              if (res.exists(!_.isSuccess)) { done = true }
+              else out ++= res
+            }
             catch { case scala.util.control.NonFatal(_) => done = true }
             i += 1
           }
           out.result()
         case LocalRetry(body, retries) =>
+          // an attempt fails on exception OR on an error observation (same
+          // driverless-DocError seam as Loop); exhaustion throws — engaging
+          // the trace-level retry + whole-trace DocError route exactly as
+          // the reference's re-raise (ControlBlock.scala:74-120)
           var attempt = 0
           var res: Seq[Observation] = null
           while ({
-            try { res = body.actions.flatMap(a => perform(a, now)); false }
+            try {
+              res = body.actions.flatMap(a => perform(a, now))
+              res.collectFirst { case er: DocError => er }.foreach { er =>
+                throw new IllegalStateException(
+                  s"LocalRetry body failed: ${er.message}")
+              }
+              false
+            }
             catch {
               case scala.util.control.NonFatal(e) =>
                 attempt += 1

@@ -289,11 +289,13 @@ final class DataView[D](val dataset: Dataset[D], val ctx: GraftContext)(
       fetchBudget: Long,
       batchSize: Int = 64,
       minDepth: Int = 0, maxDepth: Int = Int.MaxValue,
-      layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey)(
+      layout: graft.exec.FetchLayout = graft.exec.FetchLayout.ByKey,
+      foldEvery: Int = 8)(
       implicit ord: Ordering[D] = null): ExploredView[D] = {
     implicit val pairEnc: Encoder[(Trace, D)] = Encoders.kryo[(Trace, D)]
     val seeds = dataset.map(d => (seed(d), d))
-    val params = ExploreParams(minDepth, maxDepth, layout = layout)
+    val params = ExploreParams(minDepth, maxDepth, layout = layout,
+      foldEvery = foldEvery)
     new ExploredView(
       ExploreExec.exploreBestFirst(dataset.sparkSession, seeds, next, ctx.env,
         priority, fetchBudget, batchSize, params, Option(ord)), ctx)

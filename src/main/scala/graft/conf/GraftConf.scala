@@ -1,7 +1,5 @@
 package graft.conf
 
-import java.util.Random
-
 /** Batch down-sampling applied at every fan-out point — selectMany, fork,
   * explore children (reference dsl/DownSampling.scala:9-56). Deterministic:
   * randomized variants are seeded so replays sample identically.
@@ -21,28 +19,45 @@ object DownSampling {
     override def apply[T](xs: Seq[T]): Seq[T] = xs.take(n)
   }
 
-  /** Seeded shuffle then ratio slice (reference DownsamplingByRatio). */
+  /** Seeded CANONICAL draw of ceil(ratio·n) elements (reference
+    * DownsamplingByRatio's contract: a deterministic seeded sample of that
+    * exact size). The draw is a pure function of (seed, n, index) — element
+    * i is ranked by `md5("seed:n:i")` and the ceil(ratio·n) smallest keys
+    * are kept, in original order — so unlike a seeded Fisher–Yates shuffle
+    * (arrival-order-opaque) an external engine can replay the kept POSITION
+    * set exactly: `row_number() OVER (ORDER BY md5(seed||':'||n||':'||i), i)
+    * <= k` in DuckDB, the same lowercase-hex md5 on both sides (the
+    * oracle-design doctrine: canonical state beats order-dependent state).
+    */
   final case class ByRatio(ratio: Double, seed: Long = 42L) extends DownSampling {
     override def apply[T](xs: Seq[T]): Seq[T] =
-      shuffled(xs, seed).take(math.ceil(xs.size * ratio).toInt)
+      bottomByHash(xs, seed, math.ceil(xs.size * ratio).toInt)
   }
 
-  /** Seeded shuffle then fixed-size slice (reference DownsamplingToSize). */
+  /** Seeded canonical draw of min(n, size) elements (reference
+    * DownsamplingToSize) — the same md5 rank as [[ByRatio]], bottom-n.
+    */
   final case class ToSize(n: Int, seed: Long = 42L) extends DownSampling {
-    override def apply[T](xs: Seq[T]): Seq[T] = shuffled(xs, seed).take(n)
+    override def apply[T](xs: Seq[T]): Seq[T] = bottomByHash(xs, seed, n)
   }
 
-  private def shuffled[T](xs: Seq[T], seed: Long): Seq[T] = {
-    val r = new Random(seed ^ xs.size)
-    val buf = xs.toBuffer
-    var i = buf.size - 1
-    while (i > 0) {
-      val j = r.nextInt(i + 1)
-      val t = buf(i); buf(i) = buf(j); buf(j) = t
-      i -= 1
+  /** Keep the k elements whose md5("seed:n:i") hex keys sort smallest
+    * (tie-broken by index — unreachable short of an md5 collision), emitted
+    * in ORIGINAL index order. Matches DuckDB's md5() byte-for-byte:
+    * lowercase hex over the UTF-8 string.
+    */
+  private def bottomByHash[T](xs: Seq[T], seed: Long, k: Int): Seq[T] =
+    if (k >= xs.size) xs
+    else if (k <= 0) Seq.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val n = xs.size
+      val keys = xs.indices.map { i =>
+        (md.digest(s"$seed:$n:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i)
+      }
+      val keep = keys.sorted.take(k).map(_._2).toSet
+      xs.indices.collect { case i if keep(i) => xs(i) }
     }
-    buf.toSeq
-  }
 }
 
 /** Engine configuration (reference conf/SpookyConf.scala). Serializable —

@@ -48,7 +48,16 @@ final case class ExploreParams(
     minDepth: Int = 0,
     maxDepth: Int = Int.MaxValue,
     epochInterval: Int = 0,
-    layout: FetchLayout = FetchLayout.ByKey
+    layout: FetchLayout = FetchLayout.ByKey,
+    /** Best-first visited-key fold cadence (rounds between merges of the
+      * recent per-round key RDDs into the single localCheckpointed
+      * accumulator — see the FoldEvery note in [[ExploreExec
+      * .exploreBestFirst]]). Live RDD handles stay O(foldEvery); each fold
+      * is a keys-only job amortized over foldEvery rounds — raise it when
+      * rounds are cheap relative to a keys materialization, lower it when
+      * per-round task-setup cost (rounds × partitions) dominates.
+      */
+    foldEvery: Int = 8
 )
 
 /** The flagship operator: bounded breadth-first traversal of the implicit
@@ -353,8 +362,10 @@ object ExploreExec {
     // accumulator (a narrow PartitionerAwareUnion — everything shares
     // `partitioner`) and the folded handles release. Per-round cost stays
     // O(visited) with O(1) live handles; the fold's own materialization is
-    // a keys-only job amortized over FoldEvery rounds.
-    val FoldEvery = 8
+    // a keys-only job amortized over FoldEvery rounds. Cadence is an
+    // [[ExploreParams]] knob (r19 verdict #6).
+    val FoldEvery = params.foldEvery
+    require(FoldEvery >= 1, s"foldEvery must be >= 1: $FoldEvery")
     var foldedKeys: RDD[String] = null
     val recentKeys = scala.collection.mutable.Buffer.empty[RDD[String]]
     def allVisitedKeys: Seq[RDD[String]] = Option(foldedKeys).toSeq ++ recentKeys

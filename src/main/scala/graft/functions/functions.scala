@@ -183,9 +183,11 @@ object functions {
   /** The `permille/1000` quantile of a qhist sketch, DECLARATIVELY (the
     * KMV doctrine — the estimate is plain Catalyst arithmetic downstream
     * of the aggregate, codegen'd, and an oracle replays it exactly):
-    * integer rank `permille·(n−1) div 1000` (the floor-division is exact
-    * for n < 2^43 — 8.8e12 rows per group — since 1000·n stays inside
-    * double's 2^53 integer range), a prefix walk to the first bucket whose
+    * integer rank `permille·(n−1) div 1000` in DECIMAL arithmetic — the
+    * product fits decimal(25,0) for the full long domain of n and the
+    * quotient's 3 fractional digits fit the division's result scale, so
+    * the floor is exact unconditionally, matching the oracle's integer
+    * `// 1000` with no double anywhere — a prefix walk to the first bucket whose
     * cumulative count exceeds the rank, then the midpoint representative
     * `(sub << s) + 2^(s−1) − 1` (exact value below 2^m). `m` must match
     * the sketch's stored grid — a mismatch raises at runtime rather than
@@ -199,7 +201,8 @@ object functions {
     val ids = sketch.getField("ids")
     val counts = sketch.getField("counts")
     val n = aggregate(counts, lit(0L), (a, x) => a + x)
-    val rank = floor(lit(permille.toLong) * (n - lit(1L)) / lit(1000.0)).cast("long")
+    val rank = floor(lit(permille).cast("decimal(4,0)") * (n - lit(1L)).cast("decimal(20,0)")
+      / lit(1000).cast("decimal(4,0)")).cast("long")
     // first bucket whose cumulative count exceeds rank: a fold over the
     // ascending (id, count) pairs — hit stays -1 until the rank is crossed
     val walk = aggregate(

@@ -344,6 +344,39 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q145 — seeded ByRatio/ToSize downsampling, canonically gated
+  // -------------------------------------------------------------------------
+
+  /** The SEEDED downsampling members (reference DownsamplingByRatio /
+    * DownsamplingToSize — previously spec-only "no SQL-closed form"),
+    * gated after the round-20 canonicalization: the draw is now a pure
+    * function of (seed, fan-out size, index) via md5 rank, so the oracle
+    * replays the kept positions exactly with the same md5. Every 10th
+    * document (offset 4) explodes into (pos, token) rows under
+    * `ByRatio(0.5)` (keeps ceil(n/2) = (n+1)//2 — ratio 1/2 is exact in
+    * binary, so engine `ceil(n·0.5)` and oracle `(n+1)//2` agree
+    * unconditionally; 0.4 would NOT: DuckDB parses it as DECIMAL while
+    * Scala multiplies doubles) and `ToSize(2)`, seed 7 for both.
+    */
+  def q145DownsampleSeeded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 4)
+      .select("doc_id", "text").as[(Long, String)]
+    def run(ds: graft.conf.DownSampling, tag: String) = {
+      val ctx = new GraftContext(spark, GraftConf(downSampling = ds))
+      ctx.create(rows)
+        .flatMap { case (id, text) =>
+          text.split(" ").toSeq.zipWithIndex.map { case (t, i) => (tag, id, i, t) }
+        }
+        .dataset
+    }
+    run(graft.conf.DownSampling.ByRatio(0.5, seed = 7L), "by_ratio")
+      .union(run(graft.conf.DownSampling.ToSize(2, seed = 7L), "to_size"))
+      .toDF("mode", "doc_id", "pos", "token")
+      .orderBy(col("mode"), col("doc_id"), col("pos"))
+  }
+
+  // -------------------------------------------------------------------------
   // q142 — Wayback: per-action cache time travel, gated
   // -------------------------------------------------------------------------
 
@@ -489,6 +522,75 @@ object EngineQ {
       }
       .asDataFrame.toDF("doc_id", "msg")
       .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q146 — auditing auto-save + error-dump trails, gated via readFiles
+  // -------------------------------------------------------------------------
+
+  /** The two side-effect trails (reference Trace.scala:177-186 auditing
+    * auto-save; Action.scala:109-129 error dump) oracle-gated together by
+    * the q141 pattern — run a fetch mix with both dirs configured, then
+    * `readFiles`-scan each dir and recover the id sets from the written
+    * BODIES. Every 20th document (offset 7) is served by class
+    * `doc_id % 3` (3 ⊥ 20, so the class varies): classes 0/1 are clean
+    * pages that must land in the AUDIT dir exactly once each, class 2 is
+    * a 404 whose body the validation-failure path must dump to the ERROR
+    * dir — and neither set may leak into the other. Both dirs are wiped
+    * on entry: audit names embed the stub's (random) port and dump names
+    * a timestamp, so stale files from a prior invocation would otherwise
+    * leak extra rows.
+    */
+  def q146AuditTrails(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val auditDir = fixtureDir(dir, "q146-audit")
+    val errDir = fixtureDir(dir, "q146-errors")
+    def wipe(d: String): Unit = {
+      val s = Files.list(Paths.get(d))
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+    }
+    wipe(auditDir); wipe(errDir)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 7)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/doc/").toLong
+      val (code, body) =
+        if (id % 3 == 2) (404, s"<p>gone $id</p>")
+        else (200,
+          s"<html><head><title>doc $id</title></head><body><p>audited $id</p></body></html>")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/doc"
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false, remoteRetries = 0,
+          auditDir = Some(auditDir), errorDumpDir = Some(errDir)))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      // force every trace (and its executor-side trail writes) while the
+      // stub is up; the scan below reads only the dirs
+      ctx.create(ids)
+        .fetchOne(id => Trace.of(Wget(s"$base/$id")))
+        .select(r => r.data).asDataFrame.count()
+    } finally { server.stop(0); pool.shutdown() }
+    val scanCtx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val audit = scanCtx.readFiles(auditDir, glob = Some("*.html"))
+      .selectMany(r => r.trajectory.texts("p").filter(_.startsWith("audited "))
+        .map(m => ("audit", m.split(" ")(1).toLong)))
+    val errs = scanCtx.readFiles(errDir, glob = Some("*.html"))
+      .selectMany(r => r.trajectory.texts("p").filter(_.startsWith("gone "))
+        .map(m => ("error", m.split(" ")(1).toLong)))
+    audit.dataset.union(errs.dataset)
+      .toDF("tier", "doc_id")
+      .orderBy(col("tier"), col("doc_id"))
   }
 
   // -------------------------------------------------------------------------
@@ -788,6 +890,158 @@ object EngineQ {
         (parts(1).toLong, parts(2), r.depth)
       }
     explored.asDataFrame.toDF("doc_id", "lang", "depth").orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q143 — Loop: cursor pagination until failure or limit, UIDs re-indexed
+  // -------------------------------------------------------------------------
+
+  private val LOOP_LIMIT = 3
+
+  /** `Loop` (reference ControlBlock.scala:133-163 — repeat the body trace
+    * until failure or `limit`, observations CONCATENATED and UIDs
+    * RE-INDEXED over the concatenation) oracle-gated against a live
+    * cursor-paginated endpoint: every 20th document (offset 13) owns a
+    * server-side cursor that serves page k on the k-th request and a 404
+    * once the formula depth `doc_id % 7` is exhausted (7 ⊥ 20, so the
+    * depth VARIES across the subset — 4|20 and 5|20 would freeze it).
+    * `Loop(Wget(next), limit = 3)` must keep exactly `min(depth, 3)` pages
+    * per id — the 404 becomes a DocError through the q135 validation seam,
+    * which terminates the loop with the errored iteration's output dropped
+    * (the reference's throwing-fetch terminator, translated) — and the
+    * exported `(block_index, block_total)` pins the re-indexing: page k
+    * carries index k over a total of min(depth, 3). Fetch count asserted
+    * in-query: Σ min(d,3) + [d < 3] (the terminating probe costs one
+    * request; ids that hit the limit never probe). The in-JVM stateful
+    * stub is the oracle seam (the HostLayoutBench pattern); on a cluster
+    * the cursor lives server-side and the engine path is byte-identical.
+    */
+  def q143Loop(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 13)
+    val cursors = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/next", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/next/").toLong
+      val k = cursors.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .getAndIncrement()
+      val depth = (id % 7).toInt
+      val (code, body) =
+        if (k < depth) (200, s"<html><body><p>page $id $k</p></body></html>")
+        else (404, s"exhausted $id")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/next"
+      // cache off: every iteration re-requests the SAME uri and must reach
+      // the server's cursor; retries off: the 404 terminator is deterministic
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false, remoteRetries = 0))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      // persist: orderBy's range-partitioner SAMPLES its input, which would
+      // re-run an unpersisted fetch — against a stateful cursor stub the
+      // second pass sees different pages (and double-counts requests)
+      val fetched = ctx.create(ids)
+        .fetchOne(id => Trace.of(graft.actions.Loop(
+          Trace.of(Wget(s"$base/$id")), limit = LOOP_LIMIT)))
+        .persist()
+      val out = fetched
+        .selectMany { r =>
+          r.trajectory.docs.map { d =>
+            (r.data, d.uid.blockIndex, d.uid.blockTotal,
+              d.root.findAll("p").head.text)
+          }
+        }
+        .asDataFrame.toDF("doc_id", "page_no", "total", "msg")
+        .orderBy(col("doc_id"), col("page_no"))
+        .localCheckpoint(true) // force the fetch while the stub is up
+      fetched.unpersist()
+      val expected = docs
+        .select(sum(least(col("doc_id") % 7, lit(LOOP_LIMIT)) +
+          when(col("doc_id") % 7 < LOOP_LIMIT, 1L).otherwise(0L)))
+        .first().getLong(0)
+      val got = ctx.metrics.pagesFetched.value
+      require(got == expected,
+        s"q143: Loop fetch count — $got requests, expected $expected " +
+          s"(sum of min(depth, limit) + one terminating probe below the limit)")
+      out
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
+  // -------------------------------------------------------------------------
+  // q144 — LocalRetry: bounded in-trace retry, success set + request count
+  // -------------------------------------------------------------------------
+
+  /** `LocalRetry` (reference ControlBlock.scala:74-120 — re-run the body on
+    * failure up to `retries` times, re-raise on exhaustion) oracle-gated
+    * against a per-key flaky endpoint: every 20th document (offset 19)
+    * fails its first `doc_id % 7` requests (404) and succeeds from then on
+    * (a server-side request counter). Under `LocalRetry(retries = 2)` with
+    * trace retries OFF, ids with fail_count ≤ 2 must succeed on attempt
+    * fail_count + 1 and the rest must exhaust into the whole-trace
+    * DocError route (the reference's re-raise) — `.succeeded` keeps
+    * exactly the ids with `doc_id % 7 ≤ 2`. The request count is asserted
+    * in-query: Σ min(fail_count, 2) + 1 per id (failures cost exactly the
+    * retry budget, survivors exactly their heal point).
+    */
+  def q144LocalRetry(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 19)
+    val counters = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/flaky/").toLong
+      val c = counters.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .getAndIncrement()
+      val (code, body) =
+        if (c < (id % 7).toInt) (404, s"err $id try $c")
+        else (200, s"<html><head><title>ok $id</title></head><body><p>ok $id</p></body></html>")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false, remoteRetries = 0))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      // persist: orderBy's sampling pass must not re-run the fetch — the
+      // flaky stub's counters advance, so a re-run would "heal" ids that
+      // must stay failed (and double-count requests)
+      val fetched = ctx.create(ids)
+        .fetchOne(id => Trace.of(graft.actions.LocalRetry(
+          Trace.of(Wget(s"$base/$id")), retries = 2)))
+        .persist()
+      val out = fetched
+        .succeeded // exhausted retries took the whole-trace DocError route
+        .select(r => (r.data, r.trajectory.texts("p").mkString))
+        .asDataFrame.toDF("doc_id", "msg")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // force the fetch while the stub is up
+      fetched.unpersist()
+      val expected = docs
+        .select(sum(least(col("doc_id") % 7, lit(2L)) + lit(1L)))
+        .first().getLong(0)
+      val got = ctx.metrics.pagesFetched.value
+      require(got == expected,
+        s"q144: LocalRetry request count — $got requests, expected $expected " +
+          s"(min(fail_count, retries) + 1 per id)")
+      out
+    } finally { server.stop(0); pool.shutdown() }
   }
 
   // -------------------------------------------------------------------------
@@ -1974,6 +2228,10 @@ object EngineQ {
     "q140_dir_listing" -> q140DirListing _,
     "q141_save_roundtrip" -> q141SaveRoundTrip _,
     "q142_wayback" -> q142Wayback _,
+    "q143_loop" -> q143Loop _,
+    "q144_local_retry" -> q144LocalRetry _,
+    "q145_downsample_seeded" -> q145DownsampleSeeded _,
+    "q146_audit_trails" -> q146AuditTrails _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2128,6 +2386,57 @@ object EngineQ {
         |UNION ALL SELECT 'outer', doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR)
         |  FROM base WHERE k = 0
         |ORDER BY fork_type, doc_id, ordinal NULLS FIRST""".stripMargin,
+    // pagination replayed from the depth formula: id serves min(id % 7, 3)
+    // pages, page k carries index k over that total (the UID re-indexing);
+    // the request count (including the 404 terminator probe) is pinned by
+    // the in-query assertion
+    "q143_loop" ->
+      """WITH base AS (
+        |  SELECT doc_id, least(doc_id % 7, 3) AS np
+        |  FROM documents WHERE doc_id % 20 = 13),
+        |g AS (SELECT doc_id, np, unnest(range(np)) AS k FROM base)
+        |SELECT doc_id, CAST(k AS INT) AS page_no, CAST(np AS INT) AS total,
+        |  'page ' || doc_id || ' ' || k AS msg
+        |FROM g ORDER BY doc_id, page_no""".stripMargin,
+    // the trails replayed from the serving-class formula: clean classes
+    // 0/1 audit exactly once, class-2 404 bodies land in the error dump
+    "q146_audit_trails" ->
+      """SELECT 'audit' AS tier, doc_id FROM documents
+        |WHERE doc_id % 20 = 7 AND doc_id % 3 <> 2
+        |UNION ALL
+        |SELECT 'error', doc_id FROM documents
+        |WHERE doc_id % 20 = 7 AND doc_id % 3 = 2
+        |ORDER BY tier, doc_id""".stripMargin,
+    // the canonical seeded draw replayed position-for-position: element i
+    // of an n-token fan-out is ranked by md5('7:'||n||':'||i) — the same
+    // lowercase hex both engines compute — ByRatio(0.5) keeps the
+    // (n+1)//2 smallest, ToSize(2) the 2 smallest, original order
+    "q145_downsample_seeded" ->
+      """WITH ts AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 10 = 4),
+        |tok AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    CAST(unnest(range(len(toks))) AS INT) AS pos,
+        |    unnest(toks) AS token
+        |  FROM ts),
+        |ranked AS (
+        |  SELECT doc_id, n, pos, token,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY md5('7:' || n || ':' || pos), pos) AS r
+        |  FROM tok)
+        |SELECT 'by_ratio' AS mode, doc_id, pos, token FROM ranked
+        |WHERE r <= (n + 1) // 2
+        |UNION ALL
+        |SELECT 'to_size', doc_id, pos, token FROM ranked WHERE r <= 2
+        |ORDER BY mode, doc_id, pos""".stripMargin,
+    // the survivor set replayed from the fail-count formula: retries = 2
+    // heals fail counts 0..2, everything above exhausts into the
+    // whole-trace DocError route; the request count is pinned in-query
+    "q144_local_retry" ->
+      """SELECT doc_id, 'ok ' || doc_id AS msg
+        |FROM documents WHERE doc_id % 20 = 19 AND doc_id % 7 <= 2
+        |ORDER BY doc_id""".stripMargin,
     // the echo stub returns exactly what was POSTed, so the oracle is the
     // source text itself; the dedup semantics are pinned by the in-query
     // pagesFetched assertion (one POST per distinct entity)

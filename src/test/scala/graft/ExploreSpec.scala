@@ -372,6 +372,40 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ctx.metrics.pagesFetched.value == 25)
   }
 
+  test("best-first: foldEvery knob sets the visited-fold cadence (r19 verdict #6)") {
+    // the same 63-page tree and 8-round schedule as the batched census,
+    // but foldEvery = 2: folds fire at rounds 2, 4, 6, 8 — four keys-only
+    // jobs instead of one — and nothing else about the traversal changes
+    val n = 63
+    (0 until n).foreach { i =>
+      val kids = Seq(2 * i + 1, 2 * i + 2).filter(_ < n)
+      writeFixture(s"explore12/page_$i.html",
+        s"""<html><head><title>p $i</title></head><body>${
+          kids.map(k => s"""<a href="page_$k.html">c</a>""").mkString
+        }</body></html>""")
+    }
+    val seed = fixtureRoot.resolve("explore12/page_0.html").toString
+    def prio(u: String): Double =
+      "page_([0-9]+)\\.html".r.findFirstMatchIn(u)
+        .map(m => (m.group(1).toLong * 37 % n).toDouble).getOrElse(-1.0)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.setJobGroup("bf-fold-census", "bf-fold-census", interruptOnCancel = false)
+    val explored = ctx.create(Seq(s"file:$seed"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        ExploreSpec.linkExpand,
+        priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
+        fetchBudget = 25, batchSize = 4, foldEvery = 2)
+    sc.clearJobGroup()
+    Thread.sleep(1000) // listener bus drains async
+    val jobs = sc.statusTracker.getJobIdsForGroup("bf-fold-census").length
+    assert(jobs == 2 + 3 * 8 + 4,
+      s"foldEvery=2 over 8 rounds must fold 4 times (+2 fixed, 3/round): got $jobs")
+    assert(explored.dataset.count() == 25)
+    assert(ctx.metrics.pagesFetched.value == 25)
+  }
+
   test("best-first: budget past exhaustion just visits everything once; visited set exact") {
     val seedPath = scoredSite("explore9")
     val ctx = new GraftContext(spark, GraftConf())

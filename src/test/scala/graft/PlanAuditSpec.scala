@@ -27,10 +27,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // sf0.001 — milliseconds) during construction; the audited plan pins
       // the map-side probe shape
       graft.queries.CorpusQ.all -
-      // q97/q132 run a whole Structured Streaming job during construction
-      // and their returned frames are memory-sink scans — nothing joins to
-      // audit; their plan shapes are pinned by StreamingSpec/QhistSpec
-      "q97_stream_sessionize" - "q132_stream_quantiles"
+      // q97/q132/q139 run a whole Structured Streaming job during
+      // construction and their returned frames are memory-sink scans —
+      // nothing joins to audit; their plan shapes are pinned by
+      // StreamingSpec/QhistSpec
+      "q97_stream_sessionize" - "q132_stream_quantiles" -
+      "q139_stream_decontaminate"
 
   test("no accidental CartesianProduct and no SortMergeJoin in any declarative plan") {
     declarative.foreach { case (name, f) =>
