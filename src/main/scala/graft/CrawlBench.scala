@@ -20,6 +20,16 @@ import java.nio.file.{Files, Paths}
   */
 object CrawlBench {
 
+  /** Used driver heap after a GC nudge — the bound that matters for the
+    * 100 TB story is that it stays flat in N (bounded per-round state:
+    * batchSize (score,key) pairs), not its absolute value.
+    */
+  private def heapMB(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1L << 20)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("GRAFT_CRAWL_N", "4096").toInt
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -73,50 +83,71 @@ object CrawlBench {
         .count()
       val secs = (System.nanoTime() - t0) / 1e9
       val fetched = ctx.metrics.pagesFetched.value
+      val levels = ctx.metrics.exploreRounds.value
       println(f"[crawlbench] $label n=$n visited=$visited fetched=$fetched " +
-        f"${secs}%.1f s ${visited / secs}%.0f pages/s")
+        f"levels=$levels ${secs}%.1f s ${visited / secs}%.0f pages/s " +
+        f"driver-heap ${heapMB()} MB")
       assert(visited >= n - 1, s"expected ~$n visited, got $visited")
       expectRemote.foreach(e => assert(fetched == e, s"expected $e remote fetches, got $fetched"))
     }
 
-    // best-first under fetchBudget >> batchSize (r11 verdict #2): 64 rounds
-    // at batch 32. The folded visited set keeps per-round cost flat; the
-    // pre-fold O(rounds × visited) rebuild would make secs/round grow
-    // ~linearly with the round count (≈2× when rounds double). Runs before
-    // the cold BFS crawl so its budget-bounded fetches warm nothing the
-    // cold gate depends on — it uses its own context but shares the DFS
-    // cache dir, hence the cold crawl's expectRemote stays exact only
-    // because it runs FIRST. So: cold first, then best-first on the warm
-    // cache (fetch cost ~0 — the visited-set bookkeeping dominates, which
-    // is exactly the signal).
-    def bestFirst(budget: Long, batch: Int): (Double, Long) = {
+    // best-first under fetchBudget >> batchSize (r11 verdict #2, r19
+    // verdict #5): rounds ≫ FoldEvery at batch 64. The folded visited set
+    // keeps per-round cost flat; the pre-fold O(rounds × visited) rebuild
+    // would make secs/round grow ~linearly with the round count (≈2× when
+    // rounds double). Runs AFTER the cold BFS crawl, on the warm DFS cache
+    // (fetch cost ~one cache read — the driver-sequential bookkeeping is
+    // exactly the signal; a remote crawl adds network time that
+    // parallelizes across the batch, not more driver work). Each leg runs
+    // under a job group so the census can pin the exact driver-side job
+    // count: 2 fixed (seed cut + eager output checkpoint) + 3 per round
+    // (takeOrdered selection, budget census, frontier cut) + 1 fold per
+    // FoldEvery rounds — the O(1)-live-handles claim measured, not argued.
+    def bestFirst(budget: Long, batch: Int): (Double, Long, Long, Int) = {
       InMemoryDocCache.clear()
       val ctx = new GraftContext(spark, conf)
+      val sc = spark.sparkContext
+      val group = s"crawlbench-bf-$budget-$batch"
+      sc.setJobGroup(group, group, interruptOnCancel = false)
       val t0 = System.nanoTime()
-      val visited = ctx.create(Seq(s"file:$dir/p0.html"))
+      val explored = ctx.create(Seq(s"file:$dir/p0.html"))
         .exploreBestFirst(u => Trace.of(Wget(u)))(
           expand,
           priority = (t, _) => (t.cacheKey.hashCode & 0x7fffffff).toDouble,
           fetchBudget = budget, batchSize = batch)
-        .count()
-      ((System.nanoTime() - t0) / 1e9, visited)
+      val secs = (System.nanoTime() - t0) / 1e9
+      sc.clearJobGroup()
+      val visited = explored.count() // already materialized (eager checkpoint)
+      Thread.sleep(1000) // listener bus drains async
+      val jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      (secs, visited, ctx.metrics.exploreRounds.value, jobs)
     }
 
     crawl("cold", expectRemote = Some(n.toLong))
     InMemoryDocCache.clear() // force the DFS tier
     crawl("warm-dfs", expectRemote = Some(0L))
 
+    val foldEvery = 8 // the ExploreParams default the census multiplies against
     val liveBefore = spark.sparkContext.getPersistentRDDs.size
-    val (tHalf, vHalf) = bestFirst(1024, 32)
-    val (tFull, vFull) = bestFirst(2048, 32)
+    val (tHalf, vHalf, rHalf, _) = bestFirst(2048, 64)
+    val (tFull, vFull, rFull, jFull) = bestFirst(4096, 64)
     val liveAfter = spark.sparkContext.getPersistentRDDs.size
-    val perHalf = tHalf / (1024 / 32)
-    val perFull = tFull / (2048 / 32)
-    println(f"[crawlbench] best-first 1024/32: $vHalf visited ${tHalf}%.1f s " +
-      f"(${perHalf}%.3f s/round); 2048/32: $vFull visited ${tFull}%.1f s " +
-      f"(${perFull}%.3f s/round); live RDDs $liveBefore -> $liveAfter")
+    val perHalf = tHalf / rHalf
+    val perFull = tFull / rFull
+    println(f"[crawlbench] best-first 2048/64: $vHalf visited $rHalf rounds " +
+      f"${tHalf}%.1f s (${perHalf}%.3f s/round, ${vHalf / tHalf}%.0f pages/s); " +
+      f"4096/64: $vFull visited $rFull rounds ${tFull}%.1f s " +
+      f"(${perFull}%.3f s/round, ${vFull / tFull}%.0f pages/s); " +
+      f"live RDDs $liveBefore -> $liveAfter; driver-heap ${heapMB()} MB")
     assert(perFull < perHalf * 1.6,
       f"per-round cost grew ${perFull / perHalf}%.2fx when rounds doubled — visited-set fold regressed")
+    // exact driver-job census at rounds ≫ FoldEvery: any hidden per-round
+    // action (e.g. an un-folded visited union materializing per round, or
+    // an extra count) breaks the equality
+    val expectedJobs = 2 + 3 * rFull.toInt + rFull.toInt / foldEvery
+    assert(jFull == expectedJobs,
+      s"best-first job census: $jFull jobs for $rFull rounds, expected $expectedJobs " +
+        s"(2 fixed + 3/round + 1 fold per $foldEvery rounds)")
     // each run may leave its eager output checkpoint; everything else
     // (frontiers, per-round keys, folded accumulator) must have released
     assert(liveAfter - liveBefore <= 2,

@@ -268,6 +268,7 @@ object ExploreExec {
         frontier = oneLevel(frontier)
         level += 1
         chained += 1
+        env.metrics.exploreRounds.add(1)
       }
       epoch += 1
       openCount = cutCount(frontier)
@@ -393,6 +394,7 @@ object ExploreExec {
 
     while (remaining > 0 && openCount > 0) {
       round += 1
+      env.metrics.exploreRounds.add(1)
       val k = math.min(batchSize.toLong, remaining).toInt
       val selected = open
         .map { case (key, (_, _, _, s)) => (s, key) }

@@ -25,6 +25,15 @@ final class Metrics(@transient sc: SparkContext) extends Serializable {
   /** Failed actions (after retries). */
   val errors: LongAccumulator = sc.longAccumulator("graft.errors")
 
+  /** Sequential traversal steps the driver ran: one per BFS level
+    * ([[ExploreExec.explore]]) and one per best-first round
+    * ([[ExploreExec.exploreBestFirst]]). The driver-latency denominator for
+    * crawl throughput (CrawlBench reports secs/round from it) and the
+    * round count the job-census pins multiply against.
+    */
+  val exploreRounds: LongAccumulator = sc.longAccumulator("graft.exploreRounds")
+
   def reset(): Unit =
-    Seq(pagesFetched, fetchFromCache, cacheWrites, traceExecutions, errors).foreach(_.reset())
+    Seq(pagesFetched, fetchFromCache, cacheWrites, traceExecutions, errors,
+      exploreRounds).foreach(_.reset())
 }

@@ -406,6 +406,43 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(ctx.metrics.pagesFetched.value == 25)
   }
 
+  test("best-first: exact job census at rounds ≫ FoldEvery (batchSize 1, default fold cadence)") {
+    // 25 single-fetch rounds against the default foldEvery = 8: the exact
+    // equality 2 + 3·rounds + rounds/8 is the CI-level pin of the
+    // O(1)-live-handles claim — an un-folded visited union (or any hidden
+    // per-round action) would add jobs and break it. CrawlBench asserts
+    // the same census at 100k pages / 68 rounds; this is its fast twin.
+    val n = 63
+    (0 until n).foreach { i =>
+      val kids = Seq(2 * i + 1, 2 * i + 2).filter(_ < n)
+      writeFixture(s"explore13/page_$i.html",
+        s"""<html><head><title>p $i</title></head><body>${
+          kids.map(k => s"""<a href="page_$k.html">c</a>""").mkString
+        }</body></html>""")
+    }
+    val seed = fixtureRoot.resolve("explore13/page_0.html").toString
+    def prio(u: String): Double =
+      "page_([0-9]+)\\.html".r.findFirstMatchIn(u)
+        .map(m => (m.group(1).toLong * 37 % n).toDouble).getOrElse(-1.0)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.setJobGroup("bf-deep-census", "bf-deep-census", interruptOnCancel = false)
+    val explored = ctx.create(Seq(s"file:$seed"))
+      .exploreBestFirst(u => Trace.of(Wget(u)))(
+        ExploreSpec.linkExpand,
+        priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
+        fetchBudget = 25, batchSize = 1)
+    sc.clearJobGroup()
+    Thread.sleep(1000) // listener bus drains async
+    val jobs = sc.statusTracker.getJobIdsForGroup("bf-deep-census").length
+    assert(ctx.metrics.exploreRounds.value == 25)
+    assert(jobs == 2 + 3 * 25 + 25 / 8,
+      s"25 rounds at foldEvery 8 must run 2 + 75 + 3 jobs: got $jobs")
+    assert(explored.dataset.count() == 25)
+    assert(ctx.metrics.pagesFetched.value == 25)
+  }
+
   test("best-first: budget past exhaustion just visits everything once; visited set exact") {
     val seedPath = scoredSite("explore9")
     val ctx = new GraftContext(spark, GraftConf())
