@@ -42,6 +42,11 @@ object HostLayoutBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // TCP_NODELAY on accepted sockets — see EngineQ.stubServer: without it
+    // the header/body write pair can stall behind delayed ACKs (~40 ms per
+    // response on kernels that don't fast-ACK loopback), which would
+    // measure the stub, not the layout
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     val body = "<html><body><p>ok</p></body></html>".getBytes(StandardCharsets.UTF_8)
     server.createContext("/", (ex: HttpExchange) => {

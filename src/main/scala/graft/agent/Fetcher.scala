@@ -18,6 +18,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Fetcher {
 
+  // Size the JDK keep-alive pool to the executor's task-thread count: the
+  // default `http.maxConnections` is 5 PER DESTINATION, so with local[32]
+  // (or a 32-core executor) hammering one host, 27 of 32 threads find the
+  // pool empty and pay a fresh TCP handshake per request — the keep-alive
+  // comment below only holds for the first 5. Must be set before the JDK's
+  // KeepAliveCache class-loads (first kept-alive response), which this
+  // object init precedes (every HTTP fetch enters through here). An
+  // explicit -Dhttp.maxConnections wins.
+  if (System.getProperty("http.maxConnections") == null) {
+    System.setProperty("http.maxConnections", "64")
+  }
+
   // -- hard cancellation seam: HttpURLConnection reads IGNORE thread
   //    interrupts, so a hung server would pin a worker thread until the
   //    socket timeout even after the action's future is cancelled. The

@@ -25,6 +25,22 @@ import java.nio.file.{Files, Paths}
   */
 object EngineQ {
 
+  /** In-JVM oracle stub server (the HostLayoutBench pattern), with
+    * TCP_NODELAY on accepted sockets: the JDK HttpServer writes headers and
+    * body as separate small packets, and with Nagle on, the body write can
+    * stall behind the client's delayed ACK (~40 ms per response on kernels
+    * that don't fast-ACK loopback) — at thousands of stub requests per
+    * query that turns a 3 s query into a 25 s one. The property is read
+    * ONCE when ServerConfig class-loads, so it must be set before the
+    * first HttpServer in the JVM — every stub in this file creates through
+    * here.
+    */
+  private def stubServer(): com.sun.net.httpserver.HttpServer = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  }
+
   /** Per-(sf,query) fixture dir under ./target — inside the repo, safe to
     * overwrite on every run.
     */
@@ -274,7 +290,7 @@ object EngineQ {
   def q135DocValidation(spark: SparkSession, dir: String): DataFrame = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 2)
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/doc", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath.stripPrefix("/doc/").toLong
       val (code, body) = (id % 3) match {
@@ -551,7 +567,7 @@ object EngineQ {
     }
     wipe(auditDir); wipe(errDir)
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 7)
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/doc", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath.stripPrefix("/doc/").toLong
       val (code, body) =
@@ -620,7 +636,7 @@ object EngineQ {
     val (ck, cs, tk, ts) = ("graft-ck", "graft-cs", "graft-tk", "graft-ts")
     def pe(x: String): String = java.net.URLEncoder.encode(x, "UTF-8")
       .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/api", (ex: HttpExchange) => {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
       val hdr = """([\w%]+)="([^"]*)"""".r.findAllMatchIn(auth)
@@ -800,7 +816,7 @@ object EngineQ {
   def q127Wpost(spark: SparkSession, dir: String): DataFrame = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 5)
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/echo", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val resp = s"""{"method":${jstr(ex.getRequestMethod)},"body":${jstr(body)}}"""
@@ -920,7 +936,7 @@ object EngineQ {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 13)
     val cursors = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/next", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath.stripPrefix("/next/").toLong
       val k = cursors.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))
@@ -996,7 +1012,7 @@ object EngineQ {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 19)
     val counters = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
-    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val server = stubServer()
     server.createContext("/flaky", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath.stripPrefix("/flaky/").toLong
       val c = counters.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))

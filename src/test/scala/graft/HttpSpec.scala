@@ -32,6 +32,8 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     // wildcard bind: the whole 127/8 block is loopback, so 127.0.0.2,
     // 127.0.0.3, ... reach this same server as DISTINCT logical hosts —
     // what the host-layout + politeness tests key on
+    // TCP_NODELAY on accepted sockets (see EngineQ.stubServer)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress(0), 0)
     port = server.getAddress.getPort
     def respond(ex: HttpExchange, code: Int, body: String, mime: String = "text/html"): Unit = {
