@@ -46,7 +46,7 @@ object Bench {
     // verdict measured a ±15-25% band that otherwise swamps real effects).
     // Sampled once per timed pass so it sees the same environment window
     // the queries do.
-    def canary(): Double = {
+    def canaryOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       // % bounds the addends so the 200M-term sum can't overflow ANSI long
@@ -56,6 +56,17 @@ object Bench {
         .groupBy((col("id") % 1000).as("k")).agg(count(lit(1)))
         .agg(sum("count(1)")).collect()
       (System.nanoTime() - t0) / 1e9
+    }
+    // Median-of-3 per pass: the gate below compares the canary's IQR
+    // across passes, and with single samples that IQR conflates CROSS-PASS
+    // drift (what the flag exists to catch — the queries of a drifted pass
+    // move with it) with the canary's own within-pass flutter (which the
+    // per-query medians already absorb). Three samples per window keep the
+    // drift signal and cut the estimator variance; the 5% threshold and
+    // the rel-noisy query clause are unchanged.
+    def canary(): Double = {
+      val xs = Seq.fill(3)(canaryOnce()).sorted
+      xs(1)
     }
     canary() // untimed warm-up (JIT parity with the query warm-up pass)
     val canaries = new scala.collection.mutable.ArrayBuffer[Double](passes)
