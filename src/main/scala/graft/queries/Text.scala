@@ -161,6 +161,8 @@ object TextQ {
   private val TOKEN_BUDGET = 15000L
   private val PER_LANG_K = 30L
   private val SEQ_LEN = 512L
+  private val CHUNK_W = 32L
+  private val CHUNK_S = 24L
 
   /** q48 — token-budget corpus sampling: the data-mixing primitive that cuts
     * a corpus to a token budget deterministically. Docs order by
@@ -255,6 +257,63 @@ object TextQ {
           .as("seq_text"))
       .orderBy(col("seq_id"))
   }
+
+  /** The q147/q148 chunker over any (doc_id, text) frame: sliding windows
+    * of [[CHUNK_W]] tokens at stride [[CHUNK_S]] (the RAG / retrieval-index
+    * text splitter — LangChain-style "emit while start < n, last window may
+    * be short"). Chunk count is pure integer arithmetic on the doc's token
+    * count (`1 + ceil((n-W)/S)` via DIV — exact in both engines), so the
+    * whole operator is a map-side explode: NO shuffle, NO window, no state.
+    * At 100 TB this is the ideal shape — chunking parallelizes perfectly
+    * with the scan and whole-stage-codegens end-to-end.
+    */
+  def chunkOverlap(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("m", expr(
+        s"""CASE WHEN n <= $CHUNK_W THEN CAST(0 AS BIGINT)
+           |ELSE (n - $CHUNK_W + ${CHUNK_S - 1}) DIV $CHUNK_S END""".stripMargin))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(CAST(0 AS BIGINT), m)")).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        (col("k") * CHUNK_S).as("start_tok"),
+        least(lit(CHUNK_W), col("n") - col("k") * CHUNK_S).as("chunk_len"),
+        concat_ws(" ", expr(s"slice(toks, k * $CHUNK_S + 1, $CHUNK_W)"))
+          .as("chunk_text"))
+
+  /** q147 — sliding-window chunking with overlap: every document split into
+    * [[CHUNK_W]]-token windows at stride [[CHUNK_S]] (16-token overlap) —
+    * the context-window splitting step of a RAG / retrieval-index build,
+    * the per-document dual of q75/q79's corpus-order packing. Output is one
+    * row per (doc, chunk) with its token offset, bounded length, and text.
+    */
+  def q147ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** q148 — chunk-level exact dedup: chunk the corpus (the q147 operator),
+    * hash each chunk's text, and elect one keeper per duplicated hash — the
+    * index-dedup pass a retrieval build runs so near-identical passages
+    * don't dominate retrieval results. Keeper election is
+    * `min(struct(doc_id, chunk_id))` — the lexicographic-minimum rule the
+    * dedup family (q24/q82) uses, deterministic and order-free. Shape at
+    * 100 TB: text collapses to fixed 32-hex hashes map-side, then ONE
+    * partial-agged groupBy on the hash; chunk text never shuffles beyond
+    * its hash.
+    */
+  def q148ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(md5(col("chunk_text")).as("chunk_hash"),
+        struct(col("doc_id").as("d"), col("chunk_id").as("c")).as("dc"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("dc")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"),
+        col("keeper.d").as("keeper_doc"),
+        col("keeper.c").as("keeper_chunk"),
+        col("n_copies"))
+      .orderBy(col("chunk_hash"))
 
   /** q80 — corpus duplication profile: per language, the fraction of word
     * 8-gram OCCURRENCES that are duplicated (appear more than once in the
@@ -1932,6 +1991,8 @@ object TextQ {
     "q49_mixture_sample" -> q49MixtureSample _,
     "q75_pack_sequences" -> q75PackSequences _,
     "q79_pack_emit"      -> q79PackEmit _,
+    "q147_chunk_overlap" -> q147ChunkOverlap _,
+    "q148_chunk_dedup"   -> q148ChunkDedup _,
     "q80_dup_profile"    -> q80DupProfile _,
     "q50_decontaminate"  -> q50Decontaminate _,
     "q53_substring_dedup" -> q53SubstringDedup _,
@@ -2524,6 +2585,41 @@ object TextQ {
         |  CAST(count(*) AS BIGINT) AS n_toks,
         |  string_agg(tok, ' ' ORDER BY pos) AS seq_text
         |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "q147_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS k
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(k * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - k * 24) AS BIGINT) AS chunk_len,
+        |  array_to_string(toks[k*24 + 1 : least(k*24 + 32, n)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q148_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS k
+        |  FROM t
+        |), ch AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |    md5(array_to_string(toks[k*24 + 1 : least(k*24 + 32, n)], ' ')) AS h
+        |  FROM c
+        |)
+        |SELECT h AS chunk_hash,
+        |  CAST(min(struct_pack(d := doc_id, c := chunk_id)).d AS BIGINT) AS keeper_doc,
+        |  CAST(min(struct_pack(d := doc_id, c := chunk_id)).c AS BIGINT) AS keeper_chunk,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM ch GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "q80_dup_profile" ->
       """WITH d AS (
         |  SELECT lang, string_split(text, ' ') AS toks FROM documents

@@ -882,4 +882,53 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("est_p90") <= r.getAs[Double]("est_p99") + 1e-9)
     }
   }
+
+  test("q147 chunking: windows tile every doc (W=32, stride 24), tail bounded, reconstruction exact") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextQ.all("q147_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet, "every doc chunks (n >= 1 token in this corpus)")
+    for ((id, text) <- docs) {
+      val toks = text.split(" ")
+      val n = toks.length
+      val cs = chunks(id).sortBy(_._2)
+      // exactly the LangChain count: 1 + ceil((n-W)/S) windows
+      val expected = if (n <= 32) 1 else ((n - 32 + 23) / 24) + 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks for $n tokens")
+      cs.zipWithIndex.foreach { case ((_, k, start, len, ctext), i) =>
+        assert(k == i && start == 24L * i, s"doc $id chunk ids/offsets dense")
+        assert(len == math.min(32L, n - start) && len > 0, s"doc $id chunk $k length")
+        assert(ctext == toks.slice(start.toInt, (start + len).toInt).mkString(" "))
+      }
+      // coverage: the last window reaches the end of the doc
+      val (_, _, lastStart, lastLen, _) = cs.last
+      assert(lastStart + lastLen == n, s"doc $id tail covered")
+    }
+  }
+
+  test("q148 chunk dedup: planted aligned duplicate window found, keeper lexicographic-min, unaligned copy inert") {
+    val s = spark
+    import s.implicits._
+    val w = (1 to 80).map(i => s"w$i") // 80 tokens -> chunks at 0, 24, 48 (+tail 72)
+    val shared = w.slice(24, 56)       // doc A's chunk 1 verbatim
+    val docA = (10L, w.mkString(" "))
+    // doc B: the shared window lands at ITS stride position 24 -> exact dup
+    val docB = (20L, ((1 to 24).map(i => s"b$i") ++ shared ++ (1 to 10).map(i => s"c$i")).mkString(" "))
+    // doc C: same window shifted off-stride by one token -> NOT a chunk dup
+    val docC = (30L, ((1 to 25).map(i => s"d$i") ++ shared ++ (1 to 9).map(i => s"e$i")).mkString(" "))
+    val input = Seq(docA, docB, docC).toDF("doc_id", "text")
+    val dups = TextQ.chunkOverlap(input)
+      .select(md5(col("chunk_text")).as("h"),
+        struct(col("doc_id").as("d"), col("chunk_id").as("c")).as("dc"))
+      .groupBy("h").agg(min(col("dc")).as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("keeper.d"), col("keeper.c"), col("n")).collect()
+    assert(dups.length == 1, s"exactly the planted aligned window: ${dups.length}")
+    assert((dups(0).getLong(0), dups(0).getLong(1), dups(0).getLong(2)) == ((10L, 1L, 2L)),
+      "keeper is the lexicographic-min (doc_id, chunk_id) and only A+B collide")
+  }
 }
