@@ -641,6 +641,79 @@ object SimQ {
       .orderBy(col("doc_id"))
   }
 
+  /** The q149 operator: HITS hubs & authorities (Kleinberg, JACM'99) —
+    * `iters` full power iterations (auth step then hub step, each step
+    * consuming the OTHER score's latest value) in EXACT long arithmetic:
+    * hub₀ = 1, authₖ(v) = Σ_{u→v} hubₖ₋₁(u), hubₖ(u) = Σ_{u→v} authₖ(v),
+    * parallel edges a multiset (each contributes — consistent with the
+    * PageRank family). Deferring normalization to the caller keeps every
+    * iteration integer-exact, so a replaying engine matches bit-for-bit
+    * with no FP-order sensitivity — same oracle-design doctrine as the
+    * canonical-state sketches.
+    *
+    * Scale shape: each half-step is ONE shuffle (contribs groupBy the
+    * opposite endpoint) + a left join back onto the node set, identical to
+    * [[graft.scale.PageRank]]'s iteration; scores are node-cardinality so
+    * the join stays shuffle-hash, never broadcast. Unbounded iteration
+    * counts would checkpoint like PageRank's tol path; the fixed-k query
+    * form stays pure lineage for Catalyst (and PlanAuditSpec) to see.
+    */
+  def hits(ids: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits: iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    var hub = ids.select(col("id"), lit(1L).as("hub"))
+    var auth: DataFrame = null
+    // every join carries hint("shuffle_hash"): iteration outputs are
+    // stat-less to Catalyst, and a size-blind SMJ would add a sort per
+    // half-step (the PageRank.run rule — see its scaladoc)
+    for (_ <- 1 to iters) {
+      auth = ids.join(
+          e.join(hub.hint("shuffle_hash"), e("src") === hub("id"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+            .hint("shuffle_hash"),
+          ids("id") === col("dst"), "left")
+        .select(ids("id"), coalesce(col("a"), lit(0L)).as("auth"))
+      hub = ids.join(
+          e.join(auth.hint("shuffle_hash"), e("dst") === auth("id"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("h"))
+            .hint("shuffle_hash"),
+          ids("id") === col("src"), "left")
+        .select(ids("id"), coalesce(col("h"), lit(0L)).as("hub"))
+    }
+    auth.join(hub.hint("shuffle_hash"), "id")
+  }
+
+  /** q149 — HITS over a hierarchy-shaped formula graph: 2 exact power
+    * iterations via [[hits]], then ONE final mean-normalization (score ·
+    * n / Σ scores, rounded to 4) so hubs and authorities read on a ~1.0
+    * scale. The q62 formula graph is REGULAR both ways (its multipliers
+    * are coprime with n), where HITS is provably uniform — so this query
+    * adds ancestor links (every even id → id/2, every third id → id/3,
+    * the deep-page→section→root shape of a real site) that concentrate
+    * authority up the hierarchy. The crawl use is the classic one:
+    * authority ranks what to KEEP (link-endorsed pages), hub ranks what
+    * to CRAWL NEXT (directory/index pages) — the second link-quality
+    * signal next to q62's PageRank. All sums are long and exact; the only
+    * FP ops are the final multiply+divide, identical IEEE in both engines
+    * under round(…, 4).
+    */
+  def q149Hits(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val n = ids.count() // one tiny job; the oracle computes the same count
+    val edges = ids.select(col("id").as("src"), ((col("id") * 7 + 1) % n).as("dst"))
+      .union(ids.filter(col("id") % 2 === 0)
+        .select(col("id").as("src"), expr("id DIV 2").as("dst")))
+      .union(ids.filter(col("id") % 3 === 0)
+        .select(col("id").as("src"), expr("id DIV 3").as("dst")))
+    val scores = hits(ids, edges, iters = 2)
+    val totals = scores.agg(sum(col("auth")).as("sa"), sum(col("hub")).as("sh"))
+    scores.crossJoin(broadcast(totals))
+      .select(col("id").as("doc_id"),
+        round(col("auth").cast("double") * n / col("sa"), 4).as("auth_score"),
+        round(col("hub").cast("double") * n / col("sh"), 4).as("hub_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q90 — synchronous label propagation (Raghavan et al. 2007), the
     * community-detection operator next to the PageRank family: over the
     * q62 formula graph, every node starts labeled with its own id, and
@@ -911,6 +984,7 @@ object SimQ {
     "q62_pagerank"      -> q62Pagerank _,
     "q64_pagerank_dangling" -> q64PagerankDangling _,
     "q69_pagerank_converge" -> q69PagerankConverge _,
+    "q149_hits"         -> q149Hits _,
     "q90_label_prop"    -> q90LabelProp _,
     "q25_ngram_jaccard" -> q25NgramJaccard _,
     "q26_minhash_lsh"   -> q26MinhashLsh _,
@@ -1172,6 +1246,28 @@ object SimQ {
         |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN r2 ON r2.id = e.src
         |  GROUP BY ids.id)
         |SELECT id AS doc_id, round(pr, 4) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
+    // HITS: 2 unrolled exact-long power iterations (auth from hub, hub from
+    // NEW auth), one final mean-normalization — the only FP in the query
+    "q149_hits" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT id AS src, (id * 7 + 1) % (SELECT n FROM n) AS dst FROM ids
+        |  UNION ALL SELECT id, id // 2 FROM ids WHERE id % 2 = 0
+        |  UNION ALL SELECT id, id // 3 FROM ids WHERE id % 3 = 0),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM ids),
+        |a1 AS (SELECT ids.id, coalesce(sum(h0.hub), 0) AS auth
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN h0 ON h0.id = e.src GROUP BY ids.id),
+        |h1 AS (SELECT ids.id, coalesce(sum(a1.auth), 0) AS hub
+        |  FROM ids LEFT JOIN e ON e.src = ids.id LEFT JOIN a1 ON a1.id = e.dst GROUP BY ids.id),
+        |a2 AS (SELECT ids.id, coalesce(sum(h1.hub), 0) AS auth
+        |  FROM ids LEFT JOIN e ON e.dst = ids.id LEFT JOIN h1 ON h1.id = e.src GROUP BY ids.id),
+        |h2 AS (SELECT ids.id, coalesce(sum(a2.auth), 0) AS hub
+        |  FROM ids LEFT JOIN e ON e.src = ids.id LEFT JOIN a2 ON a2.id = e.dst GROUP BY ids.id)
+        |SELECT a2.id AS doc_id,
+        |  round(CAST(a2.auth AS DOUBLE) * (SELECT n FROM n) / (SELECT CAST(sum(auth) AS DOUBLE) FROM a2), 4) AS auth_score,
+        |  round(CAST(h2.hub AS DOUBLE) * (SELECT n FROM n) / (SELECT CAST(sum(hub) AS DOUBLE) FROM h2), 4) AS hub_score
+        |FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY doc_id""".stripMargin,
     // synchronous label propagation, 3 unrolled rounds: mode of in-neighbor
     // labels (count desc, label asc), no-in-edge nodes keep their label
     "q90_label_prop" ->

@@ -188,4 +188,42 @@ class PageRankSpec extends AnyFunSuite {
       s"stat-less iterative join fell back to SMJ:\n$plan")
     res.release()
   }
+
+  test("HITS: star graph hand-computed — path counts exact, alternating auth/hub steps") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 0 -> {1,2,3} (the hub), {1,2,3} -> 4 (the authority)
+    val nodes = (0L to 4L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graft.queries.SimQ.hits(nodes, e, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // iter1: auth = indeg -> a=(0,1,1,1,3); hub1(u) = Σ auth1(dst):
+    //   hub1 = (3, 3, 3, 3, 0)
+    // iter2: auth2(v) = Σ hub1(src over in-edges) = (0, 3, 3, 3, 9);
+    //   hub2(u) = Σ auth2(dst) = (9, 9, 9, 9, 0)
+    val expected = Map(0L -> ((0L, 9L)), 1L -> ((3L, 9L)), 2L -> ((3L, 9L)),
+      3L -> ((3L, 9L)), 4L -> ((9L, 0L)))
+    assert(got == expected)
+  }
+
+  test("HITS: parallel edges are a multiset; regular graphs are provably uniform") {
+    val spark0 = spark
+    import spark0.implicits._
+    val nodes = (0L to 2L).toDF("id")
+    // doubled edge 0->1 contributes twice to auth(1) and twice to hub(0)
+    val e = Seq((0L, 1L), (0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = graft.queries.SimQ.hits(nodes, e, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // auth1 = weighted indeg = (0, 2, 1); hub1 = Σ auth1(dst): 0 -> 2+2=4, 1 -> 1
+    assert(got == Map(0L -> ((0L, 4L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
+    // the q62 3-regular formula graph: HITS must be exactly uniform — the
+    // reason q149 uses the hierarchy graph instead
+    val n = 60
+    val rnodes = (0L until n.toLong).toDF("id")
+    val re = q62Edges(n).toDF("src", "dst")
+    val u = graft.queries.SimQ.hits(rnodes, re, iters = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(u.length == 1, s"regular graph must score uniformly, got ${u.length} classes")
+  }
 }
