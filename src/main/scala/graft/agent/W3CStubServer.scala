@@ -1,4 +1,4 @@
-package graft
+package graft.agent
 
 import graft.doc.HtmlNode
 
@@ -26,7 +26,10 @@ import scala.jdk.CollectionConverters._
   * re-resolve against the CURRENT page, like real remote ends invalidate
   * stale elements.
   */
-final class W3CStubServer(site: Map[String, String]) {
+final class W3CStubServer(site: String => Option[String]) {
+
+  /** Static-site convenience (the test fixture shape). */
+  def this(pages: Map[String, String]) = this(pages.get _)
 
   private val mapper = new ObjectMapper()
   private val F = JsonNodeFactory.instance
@@ -40,7 +43,7 @@ final class W3CStubServer(site: Map[String, String]) {
 
     def load(u: String): Unit = {
       uri = u
-      source = site.getOrElse(u, throw new NoSuchElementException(s"stub 404: $u"))
+      source = site(u).getOrElse(throw new NoSuchElementException(s"stub 404: $u"))
       inputs = Map.empty
     }
     def root: HtmlNode = HtmlNode.parse(source, uri)

@@ -2227,6 +2227,132 @@ object EngineQ {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q150 — browser pipeline over the REAL W3C wire (Visit/TextInput/Submit/
+  //        Snapshot), oracle-gated against a formula-determined remote end
+  // -------------------------------------------------------------------------
+
+  /** The browser action family (reference module/web Selenium actions —
+    * Foundation.scala:25-37 Visit, web interactions, Snapshot.scala:13-32)
+    * oracle-gated end-to-end over the REAL WebDriver wire binding
+    * ([[graft.agent.WebDriverHttpBrowser]]) against an in-JVM W3C remote end
+    * whose site is a pure function of the URL: page `mock://d<id>` carries
+    * title `doc <id>` and a search form; submitting `lang` navigates to
+    * `mock://r<id>?q=<lang>` which echoes `<id>:<lang>`. Every row runs
+    * Visit → TextInput → Submit → Snapshot → Screenshot through session
+    * create / element-find / execute-sync / source / screenshot / session
+    * delete — the full protocol a chromedriver would speak — and the oracle
+    * replays the echo, the final URI and the screenshot bytes (the stub
+    * renders `PNG-STUB:<uri>`) from (doc_id, lang) alone. Wire discipline is pinned
+    * in-query: zero leaked sessions, one rollout per row (pagesFetched).
+    * On a real cluster the endpoint would be a per-executor chromedriver
+    * pool; the protocol client, trace semantics and dedup are identical.
+    */
+  def q150BrowserForm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.actions.{Visit, TextInput, Submit, Snapshot, Screenshot}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 7)
+    def page(u: String): Option[String] = {
+      if (u.startsWith("mock://d")) {
+        val id = u.stripPrefix("mock://d")
+        Some(s"""<html><head><title>doc $id</title></head><body>
+                |<form action="mock://r$id"><input name="q"/></form>
+                |</body></html>""".stripMargin)
+      } else if (u.startsWith("mock://r")) {
+        val rest = u.stripPrefix("mock://r")
+        val qi = rest.indexOf("?q=")
+        if (qi < 0) None
+        else {
+          val (id, v) = (rest.substring(0, qi), rest.substring(qi + 3))
+          Some(s"<html><body><p id=\"echo\">$id:$v</p></body></html>")
+        }
+      } else None
+    }
+    val stub = new graft.agent.W3CStubServer(page _).start()
+    try {
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false))
+        .withDrivers(graft.agent.RemoteWebDriverFactory(stub.endpoint))
+      import spark.implicits._
+      val rows = docs.select("doc_id", "lang").as[(Long, String)]
+      // persist: orderBy's range-partitioner SAMPLES its input, which would
+      // replay every wire session a second time (q143 has the same shape)
+      val fetched = ctx.create(rows)
+        .fetchOne { case (id, lang) =>
+          Trace.of(Visit(s"mock://d$id"), TextInput("input[name=q]", lang),
+            Submit("form"), Snapshot(), Screenshot())
+        }
+        .persist()
+      val out = fetched
+        .select { r =>
+          val Seq(snap, shot) = r.trajectory.docs
+          (r.data._1, snap.root.findAll("#echo").head.text, snap.uri,
+            new String(shot.bytes, StandardCharsets.UTF_8))
+        }
+        .asDataFrame.toDF("doc_id", "echo", "uri", "shot")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // force the wire work while the stub is up
+      fetched.unpersist()
+      val n = docs.count()
+      // two Exports per rollout (Snapshot + Screenshot), each ticks once
+      require(ctx.metrics.pagesFetched.value == 2 * n,
+        s"q150: ${ctx.metrics.pagesFetched.value} exports for $n rows")
+      require(stub.openSessions == 0,
+        s"q150: ${stub.openSessions} WebDriver sessions leaked")
+      out
+    } finally stub.stop()
+  }
+
+  // -------------------------------------------------------------------------
+  // q152 — the remaining lift paths: create(rdd), createBlank, Mock rows
+  // -------------------------------------------------------------------------
+
+  /** The three remaining source lifts (reference SpookyContext.scala:228-239
+    * `fromRDD`, :257-261 `createBlank`, row/BuildRow.scala:8-63 + Mock.scala
+    * canned rows) gated on data: the `rdd` branch lifts `documents` through
+    * the RDD door and aggregates per lang; the `mock` branch carries each
+    * row's (id, lang) through a `Mock` trajectory — parsed back OUT of the
+    * canned document's title, with pagesFetched pinned to ZERO (no network);
+    * the `blank` branch seeds a one-row chain. One oracle replays all three.
+    */
+  def q152LiftPaths(spark: SparkSession, dir: String): DataFrame = {
+    import graft.actions.Mock
+    import graft.doc.{Doc, DocUID}
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)]
+
+    val viaRdd = ctx.create(rows.rdd)
+      .map { case (_, lang) => lang }
+      .asDataFrame.toDF("lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(lit("rdd").as("tier"), col("lang"), col("n_docs"))
+
+    val viaMock = ctx.create(rows)
+      .fetchOne { case (id, lang) =>
+        Trace.of(Mock(Seq(Doc(DocUID(s"m$id"), s"mock://$id",
+          s"<html><head><title>$id:$lang</title></head></html>"
+            .getBytes(StandardCharsets.UTF_8), Some("text/html")))))
+      }
+      .select(_.trajectory.texts("title").head.split(':')(1))
+      .asDataFrame.toDF("lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(lit("mock").as("tier"), col("lang"), col("n_docs"))
+
+    val viaBlank = ctx.createBlank
+      .map(_ => "seed")
+      .asDataFrame.toDF("lang")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(lit("blank").as("tier"), col("lang"), col("n_docs"))
+
+    val out = viaBlank.unionAll(viaMock).unionAll(viaRdd)
+      .orderBy(col("tier"), col("lang"))
+      .localCheckpoint(true)
+    require(ctx.metrics.pagesFetched.value == 0,
+      s"q152: Mock rows must not fetch (saw ${ctx.metrics.pagesFetched.value})")
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_fetch_dedup" -> q31FetchDedup _,
     "q32_extract"     -> q32Extract _,
@@ -2248,6 +2374,8 @@ object EngineQ {
     "q144_local_retry" -> q144LocalRetry _,
     "q145_downsample_seeded" -> q145DownsampleSeeded _,
     "q146_audit_trails" -> q146AuditTrails _,
+    "q150_browser_form" -> q150BrowserForm _,
+    "q152_lift_paths" -> q152LiftPaths _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2414,6 +2542,24 @@ object EngineQ {
         |SELECT doc_id, CAST(k AS INT) AS page_no, CAST(np AS INT) AS total,
         |  'page ' || doc_id || ' ' || k AS msg
         |FROM g ORDER BY doc_id, page_no""".stripMargin,
+    // the browser round-trip replayed from (doc_id, lang): the result page
+    // echoes id:lang at uri mock://r<id>?q=<lang> — everything the wire
+    // session observed is a pure function of the row
+    "q150_browser_form" ->
+      """SELECT doc_id,
+        |  doc_id || ':' || lang AS echo,
+        |  'mock://r' || doc_id || '?q=' || lang AS uri,
+        |  'PNG-STUB:mock://r' || doc_id || '?q=' || lang AS shot
+        |FROM documents WHERE doc_id % 10 = 7
+        |ORDER BY doc_id""".stripMargin,
+    // all three lift doors land on the same per-lang census; the blank
+    // seed is the constant one-row chain head
+    "q152_lift_paths" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT 'blank' AS tier, 'seed' AS lang, CAST(1 AS BIGINT) AS n_docs
+        |UNION ALL SELECT 'mock', lang, n_docs FROM per
+        |UNION ALL SELECT 'rdd', lang, n_docs FROM per
+        |ORDER BY tier, lang""".stripMargin,
     // the trails replayed from the serving-class formula: clean classes
     // 0/1 audit exactly once, class-2 404 bodies land in the error dump
     "q146_audit_trails" ->

@@ -188,6 +188,34 @@ object Relational {
       .select(col("r_name"), col("n_name"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** q151 — the linq record-merge calculus (reference Foundation.scala:54-156
+    * `++`/`+<+`/`+>+`/`+!+`) gated on data: two frames over `documents` share
+    * the conflicting field `score` (left: char length; right: token count);
+    * each policy must pick the documented side, and the conflict-free merge
+    * must pass the `+!+` check. The oracle replays all three merges as joins
+    * with the expected column picked explicitly. (The error PATHS — `+!+` on
+    * a genuine conflict, withColumns duplicate fields — stay spec-pinned in
+    * RecordsSpec: an exception is not a result set.)
+    */
+  def q151RecordMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Records
+    import graft.api.Records.MergePolicy._
+    val docs = Tables.documents(spark, dir)
+    val left = docs.select(
+      col("doc_id"), col("lang"), length(col("text")).cast("long").as("score"))
+    val right = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("score"),
+      concat(substring(col("lang"), 1, 1), lit("-r")).as("src"))
+    def tagged(tag: String, df: DataFrame): DataFrame =
+      df.select(lit(tag).as("policy"), col("doc_id"), col("lang"),
+        col("score"), col("src"))
+    tagged("left_wins", Records.mergeOn(left, right, "doc_id", LeftWins))
+      .unionAll(tagged("right_wins", Records.mergeOn(left, right, "doc_id", RightWins)))
+      .unionAll(tagged("no_conflict",
+        Records.mergeOn(left, right.drop("score"), "doc_id", ErrorOnConflict)))
+      .orderBy(col("policy"), col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter"      -> q01ScanFilter _,
     "q02_agg_summary"      -> q02AggSummary _,
@@ -202,9 +230,29 @@ object Relational {
     "q11_rollup"           -> q11Rollup _,
     "q12_distinct_counts"  -> q12DistinctCounts _,
     "q13_cross_join"       -> q13CrossJoin _,
+    "q151_record_merge"    -> q151RecordMerge _,
   )
 
   val oracles: Map[String, String] = Map(
+    // each policy's merge replayed as a join with the documented side's
+    // `score` picked explicitly
+    "q151_record_merge" ->
+      """WITH l AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |    lang[1:1] || '-r' AS src
+        |  FROM documents)
+        |SELECT 'left_wins' AS policy, l.doc_id, l.lang, l.score, r.src
+        |FROM l JOIN r ON l.doc_id = r.doc_id
+        |UNION ALL
+        |SELECT 'right_wins', l.doc_id, l.lang, r.score, r.src
+        |FROM l JOIN r ON l.doc_id = r.doc_id
+        |UNION ALL
+        |SELECT 'no_conflict', l.doc_id, l.lang, l.score, r.src
+        |FROM l JOIN r ON l.doc_id = r.doc_id
+        |ORDER BY policy, doc_id""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
         |FROM lineitem

@@ -1,7 +1,7 @@
 package graft
 
 import graft.actions._
-import graft.agent.{MockBrowser, MockBrowserFactory}
+import graft.agent.{MockBrowser, MockBrowserFactory, W3CStubServer}
 import graft.api.GraftContext
 import graft.cache.InMemoryDocCache
 import graft.conf.GraftConf
