@@ -2303,6 +2303,87 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q153 — the remaining browser WIDGETS over the wire: DropDownSelect,
+  //        DragSlider, ToFrame, WaitFor (+ a second Visit resetting the frame)
+  // -------------------------------------------------------------------------
+
+  /** The interaction widgets q150 does not touch (reference module/web
+    * Selenium actions — dropdown select, slider drag, frame switch, presence
+    * wait) gated over the same W3C wire: page `mock://w<id>` carries a
+    * category dropdown, a range slider and an iframe whose `src` is
+    * `mock://f<id>`. The trace switches INTO the frame and snapshots it,
+    * re-Visits the parent, selects `lang` in the dropdown, drags the slider
+    * to `(doc_id % 5)/4`, submits, WaitFor-polls the echo, and snapshots the
+    * result — dropdown and slider travel as execute-sync `Event('change')`
+    * dispatches (exactly what Selenium sends), the frame switch as
+    * `POST /frame` with the element reference. The oracle replays the frame
+    * text, the echo and the final URI from (doc_id, lang) alone; the slider
+    * percentage crosses the wire as a JSON double, so the oracle replays
+    * `Double.toString` of the 5 exact quarter values by CASE.
+    */
+  def q153BrowserWidgets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.actions.{Visit, DropDownSelect, DragSlider, Submit, Snapshot,
+      ToFrame, WaitFor}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 3)
+    def page(u: String): Option[String] = {
+      if (u.startsWith("mock://w")) {
+        val id = u.stripPrefix("mock://w")
+        Some(s"""<html><head><title>w $id</title></head><body>
+                |<form action="mock://s$id">
+                |<select name="cat"><option value="en">en</option></select>
+                |<input name="pos" type="range" min="0" max="100"/>
+                |</form>
+                |<iframe src="mock://f$id"></iframe>
+                |</body></html>""".stripMargin)
+      } else if (u.startsWith("mock://f")) {
+        val id = u.stripPrefix("mock://f")
+        Some(s"<html><body><p class=\"fr\">frame $id</p></body></html>")
+      } else if (u.startsWith("mock://s")) {
+        val rest = u.stripPrefix("mock://s")
+        val qi = rest.indexOf('?')
+        if (qi < 0) None
+        else {
+          val id = rest.substring(0, qi)
+          val qs = rest.substring(qi + 1) // cat=<lang>&pos=<pct>, keys sorted
+          Some(s"<html><body><p id=\"echo\">$id ${qs.replace("&", " ")}</p></body></html>")
+        }
+      } else None
+    }
+    val stub = new graft.agent.W3CStubServer(page _).start()
+    try {
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false))
+        .withDrivers(graft.agent.RemoteWebDriverFactory(stub.endpoint))
+      import spark.implicits._
+      val rows = docs.select("doc_id", "lang").as[(Long, String)]
+      val fetched = ctx.create(rows)
+        .fetchOne { case (id, lang) =>
+          Trace.of(
+            Visit(s"mock://w$id"), ToFrame("iframe"), Snapshot(as = Some("frame")),
+            Visit(s"mock://w$id"),
+            DropDownSelect("select[name=cat]", lang),
+            DragSlider("input[name=pos]", (id % 5) * 0.25),
+            Submit("form"), WaitFor("#echo", 1000), Snapshot(as = Some("result")))
+        }
+        .persist()
+      val out = fetched
+        .select { r =>
+          val frame = r.trajectory.byName("frame").head.docOpt.get
+          val result = r.trajectory.byName("result").head.docOpt.get
+          (r.data._1, frame.root.findAll("p.fr").head.text,
+            result.root.findAll("#echo").head.text, result.uri)
+        }
+        .asDataFrame.toDF("doc_id", "frame", "echo", "uri")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // force the wire work while the stub is up
+      fetched.unpersist()
+      require(stub.openSessions == 0,
+        s"q153: ${stub.openSessions} WebDriver sessions leaked")
+      out
+    } finally stub.stop()
+  }
+
+  // -------------------------------------------------------------------------
   // q152 — the remaining lift paths: create(rdd), createBlank, Mock rows
   // -------------------------------------------------------------------------
 
@@ -2376,6 +2457,7 @@ object EngineQ {
     "q146_audit_trails" -> q146AuditTrails _,
     "q150_browser_form" -> q150BrowserForm _,
     "q152_lift_paths" -> q152LiftPaths _,
+    "q153_browser_widgets" -> q153BrowserWidgets _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2552,6 +2634,20 @@ object EngineQ {
         |  'PNG-STUB:mock://r' || doc_id || '?q=' || lang AS shot
         |FROM documents WHERE doc_id % 10 = 7
         |ORDER BY doc_id""".stripMargin,
+    // the widget round-trip replayed from (doc_id, lang): the slider value
+    // crosses the wire as a JSON double (Double.toString of k/4), the
+    // submitted query string sorts its keys (cat before pos)
+    "q153_browser_widgets" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CASE doc_id % 5 WHEN 0 THEN '0.0' WHEN 1 THEN '0.25'
+        |      WHEN 2 THEN '0.5' WHEN 3 THEN '0.75' ELSE '1.0' END AS pct
+        |  FROM documents WHERE doc_id % 10 = 3)
+        |SELECT doc_id,
+        |  'frame ' || doc_id AS frame,
+        |  doc_id || ' cat=' || lang || ' pos=' || pct AS echo,
+        |  'mock://s' || doc_id || '?cat=' || lang || '&pos=' || pct AS uri
+        |FROM base ORDER BY doc_id""".stripMargin,
     // all three lift doors land on the same per-lang census; the blank
     // seed is the constant one-row chain head
     "q152_lift_paths" ->
