@@ -2384,6 +2384,107 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q154 — trace-set algebra: `||` union of alternatives, `*>` cartesian
+  // -------------------------------------------------------------------------
+
+  /** The trace-set composition operators (reference Foundation.scala:11-21 —
+    * `*>` cartesian continuation, `||` union of alternatives) gated on their
+    * FAN-OUT semantics: each row's trace set is
+    * `(Wget(a) || Wget(b)) *> (Wget(x) || Wget(y))` — four two-hop traces —
+    * and `fetch` must fan the row out into exactly those four rollouts, each
+    * trajectory carrying both hops in order. The oracle replays the 4-path
+    * cross product per id; the rollout count (8 fetches per id, caches off —
+    * each trace is distinct, so the shared second hop is NOT deduped across
+    * traces) is asserted in-query.
+    */
+  def q154TraceAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    import com.sun.net.httpserver.HttpExchange
+    import graft.actions.TraceSet
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 9)
+    val server = stubServer()
+    server.createContext("/t", (ex: HttpExchange) => {
+      // /t/<id>/<leg> -> "<id>:<leg>"
+      val parts = ex.getRequestURI.getPath.stripPrefix("/t/").split('/')
+      val body = s"${parts(0)}:${parts(1)}"
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/t"
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false, remoteRetries = 0))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      def leg(id: Long, l: String) = TraceSet.one(Wget(s"$base/$id/$l"))
+      val fetched = ctx.create(ids)
+        .fetch(id => (leg(id, "a") || leg(id, "b")) *> (leg(id, "x") || leg(id, "y")))
+        .persist()
+      val out = fetched
+        .select { r =>
+          val legs = r.trajectory.docs.map(d =>
+            new String(d.bytes, StandardCharsets.UTF_8).split(':')(1))
+          (r.data, legs.mkString("+"))
+        }
+        .asDataFrame.toDF("doc_id", "path")
+        .orderBy(col("doc_id"), col("path"))
+        .localCheckpoint(true) // force the fetch while the stub is up
+      fetched.unpersist()
+      val n = docs.count()
+      require(ctx.metrics.pagesFetched.value == 8 * n,
+        s"q154: ${ctx.metrics.pagesFetched.value} fetches for $n ids (want ${8 * n})")
+      out
+    } finally { server.stop(0); pool.shutdown() }
+  }
+
+  // -------------------------------------------------------------------------
+  // q155 — CSV cells through the node seam (header-named columns, row nodes)
+  // -------------------------------------------------------------------------
+
+  /** The CSV node surface (reference doc/CSVElement.scala intent —
+    * header-named column access, rows as child nodes) gated end-to-end:
+    * every 10th document (offset 5) is written as a `.csv` fixture whose row
+    * count is `doc_id % 5 + 1`, the engine Wget-fetches it (mime sniffed
+    * `text/csv` from the extension — no declared type anywhere), and the
+    * query recovers the square column by HEADER NAME plus the row count from
+    * `childNodes`. The oracle replays Σk² = (m-1)m(2m-1)/6 and the lang cell
+    * from the table.
+    */
+  def q155CsvCells(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q155")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 5)
+    FixtureClock.timed {
+    docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        val (id, lang) = (r.getLong(0), r.getString(1))
+        val m = (id % 5 + 1).toInt
+        val body = (Seq("k,sq,lang") ++
+          (0 until m).map(k => s"$k,${k.toLong * k},$lang")).mkString("\n")
+        graft.agent.DocIO.writeText(fix, s"doc_$id.csv", body)
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.csv")))
+      .select { r =>
+        val root = r.trajectory.doc.get.root
+        val sumSq = root.findAll("sq").map(_.text.toLong).sum
+        val lang = root.findAll("lang").head.text
+        (r.data, sumSq, root.childNodes.size.toLong, lang)
+      }
+      .asDataFrame.toDF("doc_id", "sum_sq", "n_rows", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q152 — the remaining lift paths: create(rdd), createBlank, Mock rows
   // -------------------------------------------------------------------------
 
@@ -2458,6 +2559,8 @@ object EngineQ {
     "q150_browser_form" -> q150BrowserForm _,
     "q152_lift_paths" -> q152LiftPaths _,
     "q153_browser_widgets" -> q153BrowserWidgets _,
+    "q154_trace_algebra" -> q154TraceAlgebra _,
+    "q155_csv_cells" -> q155CsvCells _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2648,6 +2751,19 @@ object EngineQ {
         |  doc_id || ' cat=' || lang || ' pos=' || pct AS echo,
         |  'mock://s' || doc_id || '?cat=' || lang || '&pos=' || pct AS uri
         |FROM base ORDER BY doc_id""".stripMargin,
+    // m = id%5+1 rows per CSV; Σ k² over k=0..m-1 = (m-1)m(2m-1)/6
+    "q155_csv_cells" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, doc_id % 5 + 1 AS m
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT doc_id, CAST((m - 1) * m * (2 * m - 1) // 6 AS BIGINT) AS sum_sq,
+        |  CAST(m AS BIGINT) AS n_rows, lang
+        |FROM base ORDER BY doc_id""".stripMargin,
+    // (a|b) *> (x|y) = the 4-path cross product per id
+    "q154_trace_algebra" ->
+      """SELECT doc_id, unnest(['a+x', 'a+y', 'b+x', 'b+y']) AS path
+        |FROM documents WHERE doc_id % 10 = 9
+        |ORDER BY doc_id, path""".stripMargin,
     // all three lift doors land on the same per-lang census; the blank
     // seed is the constant one-row chain head
     "q152_lift_paths" ->
