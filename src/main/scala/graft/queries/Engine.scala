@@ -2443,6 +2443,69 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q156 — wire pagination: Loop(ClickNext) with a decoy-excluding link walk
+  // -------------------------------------------------------------------------
+
+  /** `ClickNext` (reference web click-next pagination — follow the first
+    * matching link whose href is NOT in the exclude list) gated over the W3C
+    * wire: each id owns a `doc_id % 4 + 1`-page chain where EVERY page's
+    * first `a.next` is a decoy (`mock://decoy`, in the exclude list) and the
+    * real forward link comes second; the last page carries only the decoy,
+    * so the `Loop` terminates on ClickNext exhaustion exactly at the chain
+    * depth. The oracle replays page count, text and the UID re-indexing
+    * (blockIndex/blockTotal over the Visit-snapshot + loop snapshots) from
+    * the depth formula. Upgrades Click/ClickNext + Loop-over-the-wire from
+    * spec to pass.
+    */
+  def q156ClickPagination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.actions.{Visit, ClickNext, Snapshot, Loop}
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 11)
+    def page(u: String): Option[String] = {
+      if (!u.startsWith("mock://c")) None
+      else {
+        val Array(id, kStr) = u.stripPrefix("mock://c").split('/')
+        val (k, depth) = (kStr.toInt, (id.toLong % 4 + 1).toInt)
+        val fwd = if (k + 1 < depth)
+          s"""<a class="next" href="mock://c$id/${k + 1}">next</a>""" else ""
+        Some(s"""<html><body><p class="pg">page $id $k</p>
+                |<a class="next" href="mock://decoy">skip</a>$fwd
+                |</body></html>""".stripMargin)
+      }
+    }
+    val stub = new graft.agent.W3CStubServer(page _).start()
+    try {
+      val ctx = new GraftContext(spark,
+        GraftConf(cacheEnabled = false, cacheWrite = false))
+        .withDrivers(graft.agent.RemoteWebDriverFactory(stub.endpoint))
+      import spark.implicits._
+      val ids = docs.select("doc_id").as[Long]
+      val fetched = ctx.create(ids)
+        .fetchOne(id => Trace.of(
+          Visit(s"mock://c$id/0"),
+          // Snapshot FIRST: the exhausting ClickNext's iteration keeps the
+          // last page's snapshot (the documented Loop(Snapshot, ClickNext)
+          // shape), and all pages share ONE UID block 0..depth-1
+          Loop(Trace.of(Snapshot(), ClickNext("a.next", Seq("mock://decoy"))),
+            limit = 10)))
+        .persist()
+      val out = fetched
+        .selectMany { r =>
+          r.trajectory.docs.map { d =>
+            (r.data, d.uid.blockIndex, d.uid.blockTotal,
+              d.root.findAll("p.pg").head.text)
+          }
+        }
+        .asDataFrame.toDF("doc_id", "page_no", "total", "msg")
+        .orderBy(col("doc_id"), col("page_no"))
+        .localCheckpoint(true) // force the wire work while the stub is up
+      fetched.unpersist()
+      require(stub.openSessions == 0,
+        s"q156: ${stub.openSessions} WebDriver sessions leaked")
+      out
+    } finally stub.stop()
+  }
+
+  // -------------------------------------------------------------------------
   // q155 — CSV cells through the node seam (header-named columns, row nodes)
   // -------------------------------------------------------------------------
 
@@ -2561,6 +2624,7 @@ object EngineQ {
     "q153_browser_widgets" -> q153BrowserWidgets _,
     "q154_trace_algebra" -> q154TraceAlgebra _,
     "q155_csv_cells" -> q155CsvCells _,
+    "q156_click_pagination" -> q156ClickPagination _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2751,6 +2815,15 @@ object EngineQ {
         |  doc_id || ' cat=' || lang || ' pos=' || pct AS echo,
         |  'mock://s' || doc_id || '?cat=' || lang || '&pos=' || pct AS uri
         |FROM base ORDER BY doc_id""".stripMargin,
+    // the decoy-skipping link walk replayed from the depth formula
+    "q156_click_pagination" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS depth
+        |  FROM documents WHERE doc_id % 20 = 11),
+        |g AS (SELECT doc_id, depth, unnest(range(depth)) AS k FROM base)
+        |SELECT doc_id, CAST(k AS INT) AS page_no, CAST(depth AS INT) AS total,
+        |  'page ' || doc_id || ' ' || k AS msg
+        |FROM g ORDER BY doc_id, page_no""".stripMargin,
     // m = id%5+1 rows per CSV; Σ k² over k=0..m-1 = (m-1)m(2m-1)/6
     "q155_csv_cells" ->
       """WITH base AS (
