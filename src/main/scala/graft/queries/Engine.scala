@@ -2506,6 +2506,44 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q157 — plain-text fallback node (text/plain sniffing, whole-content leaf)
+  // -------------------------------------------------------------------------
+
+  /** The plain-text fallback (reference doc/PlainNode.scala — unknown
+    * text content degrades to one leaf whose `text` IS the whole body,
+    * selectors match nothing) gated end-to-end: every 20th document (offset
+    * 17) is written verbatim as a `.txt` fixture, Wget-fetched with no
+    * declared type (mime sniffed `text/plain` from the extension), and the
+    * query recovers the document's token count and character length FROM THE
+    * NODE TEXT alone — plus a selector probe that must match nothing. The
+    * oracle recomputes both from the source column.
+    */
+  def q157PlainFallback(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q157")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 17)
+    FixtureClock.timed {
+    docs.select("doc_id", "text").foreachPartition { (rows: Iterator[Row]) =>
+      rows.foreach { r =>
+        graft.agent.DocIO.writeText(fix, s"doc_${r.getLong(0)}.txt", r.getString(1))
+      }
+    }
+    }
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long]
+    ctx.create(ids)
+      .fetchOne(id => Trace.of(Wget(s"file:$fix/doc_$id.txt")))
+      .select { r =>
+        val root = r.trajectory.doc.get.root
+        require(root.findAll("p").isEmpty && root.findAll("title").isEmpty,
+          s"q157: selectors must match nothing on a plain-text leaf")
+        (r.data, root.text.split(" ").length.toLong, root.text.length.toLong)
+      }
+      .asDataFrame.toDF("doc_id", "n_toks", "n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q155 — CSV cells through the node seam (header-named columns, row nodes)
   // -------------------------------------------------------------------------
 
@@ -2558,6 +2596,8 @@ object EngineQ {
     * row's (id, lang) through a `Mock` trajectory — parsed back OUT of the
     * canned document's title, with pagesFetched pinned to ZERO (no network);
     * the `blank` branch seeds a one-row chain. One oracle replays all three.
+    * `create(batch, numSlices)` is pinned alongside: the explicit-slices
+    * lift must land on exactly numSlices partitions.
     */
   def q152LiftPaths(spark: SparkSession, dir: String): DataFrame = {
     import graft.actions.Mock
@@ -2589,6 +2629,13 @@ object EngineQ {
       .asDataFrame.toDF("lang")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       .select(lit("blank").as("tier"), col("lang"), col("n_docs"))
+
+    // create(batch, numSlices): the explicit-slices lift must land on
+    // exactly that many partitions (reference SpookyContext.scala:213-225)
+    val sliced = ctx.create(Seq.tabulate(10)(i => i.toLong), numSlices = 3)
+    require(sliced.dataset.rdd.getNumPartitions == 3,
+      s"q152: create(batch, numSlices=3) landed on " +
+        s"${sliced.dataset.rdd.getNumPartitions} partitions")
 
     val out = viaBlank.unionAll(viaMock).unionAll(viaRdd)
       .orderBy(col("tier"), col("lang"))
@@ -2625,6 +2672,7 @@ object EngineQ {
     "q154_trace_algebra" -> q154TraceAlgebra _,
     "q155_csv_cells" -> q155CsvCells _,
     "q156_click_pagination" -> q156ClickPagination _,
+    "q157_plain_fallback" -> q157PlainFallback _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2815,6 +2863,13 @@ object EngineQ {
         |  doc_id || ' cat=' || lang || ' pos=' || pct AS echo,
         |  'mock://s' || doc_id || '?cat=' || lang || '&pos=' || pct AS uri
         |FROM base ORDER BY doc_id""".stripMargin,
+    // the plain-text leaf's text IS the document body
+    "q157_plain_fallback" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 20 = 17
+        |ORDER BY doc_id""".stripMargin,
     // the decoy-skipping link walk replayed from the depth formula
     "q156_click_pagination" ->
       """WITH base AS (
