@@ -2506,6 +2506,62 @@ object EngineQ {
   }
 
   // -------------------------------------------------------------------------
+  // q158 — foreach/execute side-effect sink + repartition/coalesce invariance
+  // -------------------------------------------------------------------------
+
+  /** The generic `foreach` side-effect door (reference DataView `foreach`:
+    * run an impure lambda exactly once per row, checkpoint, downstream reads
+    * never re-fire it) gated the q146 way: every 20th document (offset 3)
+    * writes its own marker file from inside `foreach`, the result is read
+    * BACK through a `binaryFile` scan of the side-effect dir, and the
+    * exactly-once contract is pinned by an executor-side accumulator (one
+    * tick per row even though the returned view is consumed TWICE).
+    * `repartition` invariance rides along: the second consumption goes
+    * through `repartition(7)` (partition count pinned in-query) and must see
+    * the identical row set.
+    */
+  def q158ForeachSink(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtureDir(dir, "q158")
+    // overwrite-safe: clear prior markers so a re-run can't double-count
+    val fs = new org.apache.hadoop.fs.Path(fix)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(fix), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fix))
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 20 === 3)
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val fired = spark.sparkContext.longAccumulator("q158.fired")
+    val rows = docs.select("doc_id", "lang").as[(Long, String)]
+    val view = ctx.create(rows)
+      .foreach { case (id, lang) =>
+        fired.add(1)
+        graft.agent.DocIO.writeText(fix, s"doc_$id.marker", s"$id:$lang")
+      }
+    // consume the view twice — once directly, once through repartition(7);
+    // foreach's checkpoint means the lambda must NOT re-fire
+    val direct = view.map(_._1).dataset.collect().toSet
+    val reparted = view.repartition(7)
+    require(reparted.dataset.rdd.getNumPartitions == 7,
+      s"q158: repartition(7) landed on ${reparted.dataset.rdd.getNumPartitions}")
+    val viaRepart = reparted.map(_._1).dataset.collect().toSet
+    require(direct == viaRepart,
+      s"q158: repartition changed the row set (${direct.size} vs ${viaRepart.size})")
+    val n = docs.count()
+    require(fired.value == n,
+      s"q158: foreach fired ${fired.value} times for $n rows (exactly-once broken)")
+    // the gate reads the side effects back from disk, not from the view
+    spark.read.format("binaryFile").load(s"$fix/*.marker")
+      .select(col("content")).as[Array[Byte]]
+      .map { bytes =>
+        val s = new String(bytes, StandardCharsets.UTF_8)
+        val Array(id, lang) = s.split(':')
+        (id.toLong, lang)
+      }
+      .toDF("doc_id", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q157 — plain-text fallback node (text/plain sniffing, whole-content leaf)
   // -------------------------------------------------------------------------
 
@@ -2673,6 +2729,7 @@ object EngineQ {
     "q155_csv_cells" -> q155CsvCells _,
     "q156_click_pagination" -> q156ClickPagination _,
     "q157_plain_fallback" -> q157PlainFallback _,
+    "q158_foreach_sink" -> q158ForeachSink _,
     "q34_ann_ivf"     -> q34AnnIvf _,
     "q35_multimodal"  -> q35Multimodal _,
     "q36_embed_neardup" -> q36EmbedNearDup _,
@@ -2863,6 +2920,12 @@ object EngineQ {
         |  doc_id || ' cat=' || lang || ' pos=' || pct AS echo,
         |  'mock://s' || doc_id || '?cat=' || lang || '&pos=' || pct AS uri
         |FROM base ORDER BY doc_id""".stripMargin,
+    // one marker file per row, recovered from disk; exactly-once and
+    // repartition invariance are pinned by the in-query asserts
+    "q158_foreach_sink" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 20 = 3
+        |ORDER BY doc_id""".stripMargin,
     // the plain-text leaf's text IS the document body
     "q157_plain_fallback" ->
       """SELECT doc_id,
