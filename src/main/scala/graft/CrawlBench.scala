@@ -118,8 +118,7 @@ object CrawlBench {
       val secs = (System.nanoTime() - t0) / 1e9
       sc.clearJobGroup()
       val visited = explored.count() // already materialized (eager checkpoint)
-      Thread.sleep(1000) // listener bus drains async
-      val jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      val jobs = graft.exec.JobCensus.settledJobCount(sc, group)
       (secs, visited, ctx.metrics.exploreRounds.value, jobs)
     }
 

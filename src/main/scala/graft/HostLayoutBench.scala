@@ -46,7 +46,7 @@ object HostLayoutBench {
     // the header/body write pair can stall behind delayed ACKs (~40 ms per
     // response on kernels that don't fast-ACK loopback), which would
     // measure the stub, not the layout
-    System.setProperty("sun.net.httpserver.nodelay", "true")
+    graft.agent.HttpTuning()
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     val body = "<html><body><p>ok</p></body></html>".getBytes(StandardCharsets.UTF_8)
     server.createContext("/", (ex: HttpExchange) => {

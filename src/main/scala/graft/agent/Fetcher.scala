@@ -18,17 +18,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Fetcher {
 
-  // Size the JDK keep-alive pool to the executor's task-thread count: the
-  // default `http.maxConnections` is 5 PER DESTINATION, so with local[32]
-  // (or a 32-core executor) hammering one host, 27 of 32 threads find the
-  // pool empty and pay a fresh TCP handshake per request — the keep-alive
-  // comment below only holds for the first 5. Must be set before the JDK's
-  // KeepAliveCache class-loads (first kept-alive response), which this
-  // object init precedes (every HTTP fetch enters through here). An
-  // explicit -Dhttp.maxConnections wins.
-  if (System.getProperty("http.maxConnections") == null) {
-    System.setProperty("http.maxConnections", "64")
-  }
+  // Keep-alive pool sizing + stub-server nodelay — shared with every other
+  // HTTP entry point (the WebDriver wire client doesn't route through this
+  // object, so the tuning can't live only here; see HttpTuning's scaladoc).
+  HttpTuning()
 
   // -- hard cancellation seam: HttpURLConnection reads IGNORE thread
   //    interrupts, so a hung server would pin a worker thread until the

@@ -57,9 +57,9 @@ final class W3CStubServer(site: String => Option[String]) {
   private val nextId = new AtomicLong(1L)
   val requestCount = new AtomicLong(0L)
 
-  // TCP_NODELAY on accepted sockets (see EngineQ.stubServer): avoids the
-  // Nagle/delayed-ACK stall on kernels that don't fast-ACK loopback
-  System.setProperty("sun.net.httpserver.nodelay", "true")
+  // TCP_NODELAY on accepted sockets + keep-alive pool sizing (HttpTuning):
+  // avoids the Nagle/delayed-ACK stall on kernels that don't fast-ACK loopback
+  HttpTuning()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"

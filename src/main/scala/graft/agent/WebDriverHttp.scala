@@ -32,8 +32,13 @@ final case class RemoteWebDriverFactory(
     extraArgs: Seq[String] = Nil
 ) extends DriverFactory {
 
-  override def create(): BrowserDriver =
+  override def create(): BrowserDriver = {
+    // keep-alive pool sizing: this client does NOT route through Fetcher,
+    // so it must apply the tuning itself before the first kept-alive
+    // response class-loads the JDK KeepAliveCache
+    HttpTuning()
     new WebDriverHttpBrowser(endpoint.stripSuffix("/"), browserName, headless, extraArgs)
+  }
 }
 
 object WebDriverHttpBrowser {

@@ -264,14 +264,25 @@ object ExploreExec {
     var level = 0
     while (openCount > 0 && level < maxDepth) {
       var chained = 0
+      // levels chain LAZILY inside an epoch, so the frontier can empty
+      // mid-epoch without the driver knowing until the epoch cut; a
+      // per-level task-side accumulator (zero extra jobs — it rides the
+      // epoch job) lets exploreRounds count only levels that actually
+      // processed a row, instead of crediting the trailing empty levels
+      val levelRows = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.util.LongAccumulator]
       while (chained < epochInterval && level < maxDepth) {
-        frontier = oneLevel(frontier)
+        val acc = sc.longAccumulator(s"graft.explore.level$level.rows")
+        levelRows += acc
+        val counted = frontier.mapPartitions(
+          it => it.map { r => acc.add(1); r }, preservesPartitioning = true)
+        frontier = oneLevel(counted)
         level += 1
         chained += 1
-        env.metrics.exploreRounds.add(1)
       }
       epoch += 1
       openCount = cutCount(frontier)
+      env.metrics.exploreRounds.add(levelRows.count(_.value > 0))
       mark(s"epoch-cut (levels=$level open=$openCount)")
     }
 

@@ -36,7 +36,7 @@ object EngineQ {
     * here.
     */
   private def stubServer(): com.sun.net.httpserver.HttpServer = {
-    System.setProperty("sun.net.httpserver.nodelay", "true")
+    graft.agent.HttpTuning()
     com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   }
@@ -2313,7 +2313,9 @@ object EngineQ {
     * category dropdown, a range slider and an iframe whose `src` is
     * `mock://f<id>`. The trace switches INTO the frame and snapshots it,
     * re-Visits the parent, selects `lang` in the dropdown, drags the slider
-    * to `(doc_id % 5)/4`, submits, WaitFor-polls the echo, and snapshots the
+    * to `((doc_id / 10) % 5)/4` (the tens digit mod 5 — VARIES across the
+    * ≡3 (mod 10) id set, hitting all five quarter values), submits,
+    * WaitFor-polls the echo, and snapshots the
     * result — dropdown and slider travel as execute-sync `Event('change')`
     * dispatches (exactly what Selenium sends), the frame switch as
     * `POST /frame` with the element reference. The oracle replays the frame
@@ -2362,7 +2364,7 @@ object EngineQ {
             Visit(s"mock://w$id"), ToFrame("iframe"), Snapshot(as = Some("frame")),
             Visit(s"mock://w$id"),
             DropDownSelect("select[name=cat]", lang),
-            DragSlider("input[name=pos]", (id % 5) * 0.25),
+            DragSlider("input[name=pos]", (id / 10 % 5) * 0.25),
             Submit("form"), WaitFor("#echo", 1000), Snapshot(as = Some("result")))
         }
         .persist()
@@ -2448,7 +2450,9 @@ object EngineQ {
 
   /** `ClickNext` (reference web click-next pagination — follow the first
     * matching link whose href is NOT in the exclude list) gated over the W3C
-    * wire: each id owns a `doc_id % 4 + 1`-page chain where EVERY page's
+    * wire: each id owns a `doc_id % 7 + 1`-page chain (7 ⊥ 20 — depth
+    * VARIES 1..7, including the depth-1 immediate-exhaustion chain whose
+    * first page carries only the decoy) where EVERY page's
     * first `a.next` is a decoy (`mock://decoy`, in the exclude list) and the
     * real forward link comes second; the last page carries only the decoy,
     * so the `Loop` terminates on ClickNext exhaustion exactly at the chain
@@ -2464,7 +2468,7 @@ object EngineQ {
       if (!u.startsWith("mock://c")) None
       else {
         val Array(id, kStr) = u.stripPrefix("mock://c").split('/')
-        val (k, depth) = (kStr.toInt, (id.toLong % 4 + 1).toInt)
+        val (k, depth) = (kStr.toInt, (id.toLong % 7 + 1).toInt)
         val fwd = if (k + 1 < depth)
           s"""<a class="next" href="mock://c$id/${k + 1}">next</a>""" else ""
         Some(s"""<html><body><p class="pg">page $id $k</p>
@@ -2593,7 +2597,9 @@ object EngineQ {
         val root = r.trajectory.doc.get.root
         require(root.findAll("p").isEmpty && root.findAll("title").isEmpty,
           s"q157: selectors must match nothing on a plain-text leaf")
-        (r.data, root.text.split(" ").length.toLong, root.text.length.toLong)
+        // limit -1: keep trailing empty tokens, matching DuckDB string_split
+        // and Spark SQL split (Java's default limit 0 silently drops them)
+        (r.data, root.text.split(" ", -1).length.toLong, root.text.length.toLong)
       }
       .asDataFrame.toDF("doc_id", "n_toks", "n_chars")
       .orderBy(col("doc_id"))
@@ -2606,7 +2612,8 @@ object EngineQ {
   /** The CSV node surface (reference doc/CSVElement.scala intent —
     * header-named column access, rows as child nodes) gated end-to-end:
     * every 10th document (offset 5) is written as a `.csv` fixture whose row
-    * count is `doc_id % 5 + 1`, the engine Wget-fetches it (mime sniffed
+    * count is `doc_id % 7 + 1` (7 ⊥ 10, so the row count actually varies
+    * 1..7 across the ≡5 (mod 10) id set), the engine Wget-fetches it (mime sniffed
     * `text/csv` from the extension — no declared type anywhere), and the
     * query recovers the square column by HEADER NAME plus the row count from
     * `childNodes`. The oracle replays Σk² = (m-1)m(2m-1)/6 and the lang cell
@@ -2619,7 +2626,7 @@ object EngineQ {
     docs.select("doc_id", "lang").foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { r =>
         val (id, lang) = (r.getLong(0), r.getString(1))
-        val m = (id % 5 + 1).toInt
+        val m = (id % 7 + 1).toInt // 7 coprime to the %10 filter — m varies
         val body = (Seq("k,sq,lang") ++
           (0 until m).map(k => s"$k,${k.toLong * k},$lang")).mkString("\n")
         graft.agent.DocIO.writeText(fix, s"doc_$id.csv", body)
@@ -2912,7 +2919,7 @@ object EngineQ {
     "q153_browser_widgets" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
-        |    CASE doc_id % 5 WHEN 0 THEN '0.0' WHEN 1 THEN '0.25'
+        |    CASE (doc_id // 10) % 5 WHEN 0 THEN '0.0' WHEN 1 THEN '0.25'
         |      WHEN 2 THEN '0.5' WHEN 3 THEN '0.75' ELSE '1.0' END AS pct
         |  FROM documents WHERE doc_id % 10 = 3)
         |SELECT doc_id,
@@ -2936,16 +2943,16 @@ object EngineQ {
     // the decoy-skipping link walk replayed from the depth formula
     "q156_click_pagination" ->
       """WITH base AS (
-        |  SELECT doc_id, doc_id % 4 + 1 AS depth
+        |  SELECT doc_id, doc_id % 7 + 1 AS depth
         |  FROM documents WHERE doc_id % 20 = 11),
         |g AS (SELECT doc_id, depth, unnest(range(depth)) AS k FROM base)
         |SELECT doc_id, CAST(k AS INT) AS page_no, CAST(depth AS INT) AS total,
         |  'page ' || doc_id || ' ' || k AS msg
         |FROM g ORDER BY doc_id, page_no""".stripMargin,
-    // m = id%5+1 rows per CSV; Σ k² over k=0..m-1 = (m-1)m(2m-1)/6
+    // m = id%7+1 rows per CSV; Σ k² over k=0..m-1 = (m-1)m(2m-1)/6
     "q155_csv_cells" ->
       """WITH base AS (
-        |  SELECT doc_id, lang, doc_id % 5 + 1 AS m
+        |  SELECT doc_id, lang, doc_id % 7 + 1 AS m
         |  FROM documents WHERE doc_id % 10 = 5)
         |SELECT doc_id, CAST((m - 1) * m * (2 * m - 1) // 6 AS BIGINT) AS sum_sq,
         |  CAST(m AS BIGINT) AS n_rows, lang

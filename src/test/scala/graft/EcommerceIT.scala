@@ -75,7 +75,7 @@ class EcommerceIT extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val cacheDir: String = scratchDir("ecommerce-cache")
 
   override def beforeAll(): Unit = {
-    System.setProperty("sun.net.httpserver.nodelay", "true") // see EngineQ.stubServer
+    graft.agent.HttpTuning()
     http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     http.createContext("/", (ex: HttpExchange) => {
       val key = ex.getRequestURI.getPath +

@@ -320,8 +320,7 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         priority = (t, _) => t.primaryUri.map(ExploreSpec.scoreOf).getOrElse(0.0),
         fetchBudget = 4, batchSize = 1)
     sc.clearJobGroup()
-    Thread.sleep(1000) // listener bus drains async
-    val jobs = sc.statusTracker.getJobIdsForGroup("bf-census").length
+    val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-census")
     // fixed overhead = 2 jobs (seed-frontier cut + the eager final
     // localCheckpoint); each of the 4 rounds then runs exactly 3: the
     // takeOrdered selection (a global priority decision needs the
@@ -359,8 +358,7 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
         fetchBudget = 25, batchSize = 4)
     sc.clearJobGroup()
-    Thread.sleep(1000) // listener bus drains async
-    val jobs = sc.statusTracker.getJobIdsForGroup("bf-batch-census").length
+    val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-batch-census")
     // batch sizes are bounded by the frontier while it is still narrow and
     // by the remaining budget at the end: 1, 2, 4, 4, 4, 4, 4, 2 = 25
     // fetches in 8 rounds (vs 25 rounds at batchSize 1 — the driver-latency
@@ -398,8 +396,7 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
         fetchBudget = 25, batchSize = 4, foldEvery = 2)
     sc.clearJobGroup()
-    Thread.sleep(1000) // listener bus drains async
-    val jobs = sc.statusTracker.getJobIdsForGroup("bf-fold-census").length
+    val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-fold-census")
     assert(jobs == 2 + 3 * 8 + 4,
       s"foldEvery=2 over 8 rounds must fold 4 times (+2 fixed, 3/round): got $jobs")
     assert(explored.dataset.count() == 25)
@@ -434,8 +431,7 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         priority = (t, _) => t.primaryUri.map(prio).getOrElse(-1.0),
         fetchBudget = 25, batchSize = 1)
     sc.clearJobGroup()
-    Thread.sleep(1000) // listener bus drains async
-    val jobs = sc.statusTracker.getJobIdsForGroup("bf-deep-census").length
+    val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-deep-census")
     assert(ctx.metrics.exploreRounds.value == 25)
     assert(jobs == 2 + 3 * 25 + 25 / 8,
       s"25 rounds at foldEvery 8 must run 2 + 75 + 3 jobs: got $jobs")

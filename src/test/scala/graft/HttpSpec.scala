@@ -33,7 +33,7 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEac
     // 127.0.0.3, ... reach this same server as DISTINCT logical hosts —
     // what the host-layout + politeness tests key on
     // TCP_NODELAY on accepted sockets (see EngineQ.stubServer)
-    System.setProperty("sun.net.httpserver.nodelay", "true")
+    graft.agent.HttpTuning()
     server = HttpServer.create(new InetSocketAddress(0), 0)
     port = server.getAddress.getPort
     def respond(ex: HttpExchange, code: Int, body: String, mime: String = "text/html"): Unit = {

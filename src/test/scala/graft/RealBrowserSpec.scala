@@ -38,7 +38,7 @@ class RealBrowserSpec extends AnyFunSuite {
     */
   private def withSite[A](mk: String => Map[String, String])(f: String => A): A = {
     @volatile var pages: Map[String, String] = Map.empty
-    System.setProperty("sun.net.httpserver.nodelay", "true") // see EngineQ.stubServer
+    graft.agent.HttpTuning()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
