@@ -453,6 +453,28 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(visited == Seq("a_10", "b_1", "c_5", "d_2", "e_20", "s_0"))
     assert(ctx.metrics.pagesFetched.value == 6) // each page exactly once
   }
+
+  test("BFS exploreRounds counts only levels that processed rows") {
+    // chain A→B→C (3 levels of work) explored with epochInterval 8: the
+    // epoch chains 8 levels lazily, so levels 4..8 run on an EMPTY frontier
+    // inside the same job — the metric must credit 3, not 8 (the per-level
+    // accumulator semantics; the pre-fix counter reported the full chain)
+    def page(name: String, link: Option[String]): String =
+      s"""<html><head><title>$name</title></head><body>
+         |${link.map(l => s"""<a href="$l.html">$l</a>""").getOrElse("")}
+         |</body></html>""".stripMargin
+    val a = writeFixture("explore-rounds/A.html", page("A", Some("B")))
+    writeFixture("explore-rounds/B.html", page("B", Some("C")))
+    writeFixture("explore-rounds/C.html", page("C", None))
+    val ctx = new GraftContext(spark, GraftConf())
+    import spark.implicits._
+    val explored = ctx.create(Seq(s"file:$a"))
+      .explore(u => Trace.of(Wget(u)))(linkExpand, maxDepth = 9, epochInterval = 8)
+    assert(explored.dataset.count() == 3)
+    assert(ctx.metrics.pagesFetched.value == 3)
+    assert(ctx.metrics.exploreRounds.value == 3,
+      s"3-page chain must report 3 rounds, got ${ctx.metrics.exploreRounds.value}")
+  }
 }
 
 /** Expansion fns live outside the spec class so Spark closures don't capture
