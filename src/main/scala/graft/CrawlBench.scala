@@ -100,8 +100,9 @@ object CrawlBench {
     // exactly the signal; a remote crawl adds network time that
     // parallelizes across the batch, not more driver work). Each leg runs
     // under a job group so the census can pin the exact driver-side job
-    // count: 2 fixed (seed cut + eager output checkpoint) + 3 per round
-    // (takeOrdered selection, budget census, frontier cut) + 1 fold per
+    // count: 2 fixed (seed cut+selection + eager output checkpoint) + ONE
+    // fused job per round (frontier cut + next-batch selection + budget
+    // census ride a single zipPartitions action — r21) + 1 fold per
     // FoldEvery rounds — the O(1)-live-handles claim measured, not argued.
     def bestFirst(budget: Long, batch: Int): (Double, Long, Long, Int) = {
       InMemoryDocCache.clear()
@@ -143,10 +144,10 @@ object CrawlBench {
     // exact driver-job census at rounds ≫ FoldEvery: any hidden per-round
     // action (e.g. an un-folded visited union materializing per round, or
     // an extra count) breaks the equality
-    val expectedJobs = 2 + 3 * rFull.toInt + rFull.toInt / foldEvery
+    val expectedJobs = 2 + rFull.toInt + rFull.toInt / foldEvery
     assert(jFull == expectedJobs,
       s"best-first job census: $jFull jobs for $rFull rounds, expected $expectedJobs " +
-        s"(2 fixed + 3/round + 1 fold per $foldEvery rounds)")
+        s"(2 fixed + 1 fused/round + 1 fold per $foldEvery rounds)")
     // each run may leave its eager output checkpoint; everything else
     // (frontiers, per-round keys, folded accumulator) must have released
     assert(liveAfter - liveBefore <= 2,

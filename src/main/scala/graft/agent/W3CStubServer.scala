@@ -61,11 +61,19 @@ final class W3CStubServer(site: String => Option[String]) {
   // avoids the Nagle/delayed-ACK stall on kernels that don't fast-ACK loopback
   HttpTuning()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  // without an explicit executor the JDK HttpServer runs EVERY handler on
+  // its single dispatcher thread — with 32 Spark task threads each driving
+  // a session, the whole wire protocol serializes behind one core. Size the
+  // pool to the host's task-thread ceiling (sessions are independent; a
+  // session's own requests are sequential by protocol).
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(8, Runtime.getRuntime.availableProcessors()))
+  server.setExecutor(pool)
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def openSessions: Int = sessions.size()
 
   private def encodeElem(selector: String, idx: Int): String =

@@ -321,9 +321,12 @@ object ExploreExec {
     * sequential (priority order is a global decision; `fetchBudget /
     * batchSize` bounds the round count — batch against driver latency).
     *
-    * Driver-side state per round: `batchSize` (score, key) pairs from a
-    * takeOrdered — the reference's selectNextOpen made BOUNDED; payloads
-    * never reach the driver. Scores must be total (no NaN).
+    * Driver-side state per round: `batchSize` (score, key) pairs per
+    * partition, merged — the reference's selectNextOpen made BOUNDED;
+    * payloads never reach the driver. Scores must be total (no NaN).
+    * Each round runs exactly ONE Spark job: the frontier-cut action's
+    * zipPartitions pass also harvests the next selection and the budget
+    * census (census-pinned — see ExploreSpec / CrawlBench).
     */
   def exploreBestFirst[D](
       spark: SparkSession,
@@ -345,7 +348,16 @@ object ExploreExec {
     if (maxDepth <= 0) return spark.emptyDataset[ExploredRow[D]]
     val sc = spark.sparkContext
     val down = conf.downSampling
-    val partitioner = new HashPartitioner(sc.defaultParallelism)
+    // partitioner width scales with the REQUESTED crawl size, not the local
+    // core count (guide §2: partitioning must be scale-adaptive): the open
+    // set is O(fetchBudget × branching) keys and every per-round stage runs
+    // `width` tasks, so a 25-fetch crawl on a 32-core master would pay
+    // 32 near-empty tasks per stage — pure dispatch overhead — while a
+    // web-scale budget clamps to defaultParallelism exactly as before.
+    // ~8 budgeted fetches per partition keeps small crawls dense.
+    val width = math.max(1L,
+      math.min(sc.defaultParallelism.toLong, (fetchBudget + 7) / 8)).toInt
+    val partitioner = new HashPartitioner(width)
     val layout = params.layout
 
     type Scored = (String, (Trace, D, Int, Double))
@@ -390,16 +402,50 @@ object ExploreExec {
       foldedKeys = merged
     }
 
-    def cut(rdd: RDD[Scored]): Long = {
+    // ONE action per round (r21 optimization): the unfused loop ran THREE
+    // driver-synchronized jobs per round — a takeOrdered selection over the
+    // open set, a budget census count over the fetched batch, and the
+    // frontier-cut count — and at batchSize 1 the crawl is pure
+    // driver-latency, so jobs-per-round IS the operator's unit cost. All
+    // three statistics are computable in a single pass over the new open
+    // frontier zipped with the (cached, co-partitioned) fetched batch:
+    // per-partition (open count, bounded top-batchSize (score, key) heap,
+    // non-blocked fetch count), merged on the driver. The merged top list
+    // is the NEXT round's selection — identical to takeOrdered over the
+    // same RDD (selOrd is total: unique keys break score ties), and the
+    // driver state stays batchSize (score, key) pairs per partition, the
+    // same bounded class as before.
+    // a standalone Serializable function object (the NaturalWinner
+    // discipline) — a local def would lambda-lift onto the (non-
+    // serializable) ExploreExec module and poison the closure
+    val stats = new RoundStats[D](batchSize, selOrd)
+    /** Cut + census in one job: localCheckpoints `rdd`, and returns
+      * (open count, merged top-batchSize selection, non-robots-blocked
+      * fetch count of `fetched` — 0 when absent). The fetched batch is
+      * cached and co-partitioned with `rdd`, so zipping it into the same
+      * action costs nothing beyond the iteration.
+      */
+    def cutStats(rdd: RDD[Scored], fetched: Option[RDD[ExploredRow[D]]])
+        : (Long, Seq[(Double, String)], Long) = {
       rdd.localCheckpoint()
       persistedFrontiers += rdd
-      rdd.count()
+      // collect() under the object's erased anyTag builds an Object[] — cast
+      // per element (each IS the tuple), never the array itself
+      val raw: Array[AnyRef] = (fetched match {
+        case Some(f) => rdd.zipPartitions(f)((o, t) => stats.withFetched(o, t))
+        case None    => rdd.mapPartitions(o => stats.openOnly(o))
+      }).asInstanceOf[RDD[AnyRef]].collect()
+      val parts = raw.iterator
+        .map(_.asInstanceOf[(Long, Seq[(Double, String)], Long)]).toSeq
+      (parts.map(_._1).sum,
+        parts.iterator.flatMap(_._2).toSeq.sorted(selOrd).take(batchSize),
+        parts.map(_._3).sum)
     }
 
     var open: RDD[Scored] = seeds.rdd
       .map { case (t, d) => (t.cacheKey, (t, d, 0, priority(t, d))) }
       .reduceByKey(partitioner, winS)
-    var openCount = cut(open)
+    var (openCount, topSel, _) = cutStats(open, None)
     var remaining = fetchBudget
     var round = 0
 
@@ -407,10 +453,7 @@ object ExploreExec {
       round += 1
       env.metrics.exploreRounds.add(1)
       val k = math.min(batchSize.toLong, remaining).toInt
-      val selected = open
-        .map { case (key, (_, _, _, s)) => (s, key) }
-        .takeOrdered(k)(selOrd)
-        .map(_._2).toSet
+      val selected = topSel.take(k).map(_._2).toSet
       val bc = sc.broadcast(selected)
       val batch0 = open.filter { case (key, _) => bc.value.contains(key) }
       val rest = open.filter { case (key, _) => !bc.value.contains(key) }
@@ -446,14 +489,6 @@ object ExploreExec {
       }
       keys.persist(StorageLevel.MEMORY_AND_DISK)
       recentKeys += keys
-      // robots-blocked rows made NO request (the gate refuses before any
-      // network or pagesFetched tick) — they must not consume the fetch
-      // budget either, or a heavily-disallowed frontier silently starves
-      // the crawl. Failed real attempts DO consume (the request happened).
-      remaining -= fetched.filter(r => !r.row.trajectory.observations.exists {
-        case e: graft.doc.DocError => e.message.startsWith("blocked by robots.txt")
-        case _ => false
-      }).count()
 
       val children: RDD[Scored] = fetched.flatMap { r =>
         if (r.depth + 1 >= maxDepth) Nil
@@ -468,7 +503,16 @@ object ExploreExec {
         while (vis.hasNext) set.add(vis.next())
         it.filter(r => !set.contains(r._1))
       }
-      openCount = cut(newOpen)
+      // the round's single job: materializes the fetch (and the frontier
+      // cut), selects the next batch, and counts the real requests.
+      // Robots-blocked rows made NO request (the gate refuses before any
+      // network or pagesFetched tick) — they must not consume the fetch
+      // budget either, or a heavily-disallowed frontier silently starves
+      // the crawl. Failed real attempts DO consume (the request happened).
+      val (oc, sel, nonBlocked) = cutStats(newOpen, Some(fetched))
+      openCount = oc
+      topSel = sel
+      remaining -= nonBlocked
       open = newOpen
       if (round % FoldEvery == 0) foldVisited()
     }
@@ -481,6 +525,56 @@ object ExploreExec {
     allVisitedKeys.foreach(_.unpersist(blocking = false))
     persistedFrontiers.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** The best-first round's fused per-partition statistics pass (r21): open
+    * count + bounded top-`b` (score, key) selection heap over the new
+    * frontier, plus the non-robots-blocked budget census over the
+    * co-partitioned cached fetch — everything the driver needs per round,
+    * in the single job that materializes the frontier cut (the unfused
+    * loop paid three driver-synchronized actions for the same facts).
+    * Standalone Serializable class so closures don't capture the module.
+    */
+  private final class RoundStats[D](b: Int, ord: Ordering[(Double, String)])
+      extends Serializable {
+    // Seq results, not Array: the enclosing object's erased `anyTag`
+    // implicit would satisfy toArray's ClassTag with AnyRef and produce an
+    // Object[] behind a Tuple2[] type — a runtime ClassCastException
+    private def top(oit: Iterator[(String, (Trace, D, Int, Double))])
+        : (Long, Seq[(Double, String)]) = {
+      var n = 0L
+      // max-heap under ord: head = worst kept; strict < keeps exactly the
+      // takeOrdered(b)(ord) set (keys are unique after reduceByKey)
+      val pq = new scala.collection.mutable.PriorityQueue[(Double, String)]()(ord)
+      oit.foreach { case (key, (_, _, _, s)) =>
+        n += 1
+        if (pq.size < b) pq.enqueue((s, key))
+        else if (ord.compare((s, key), pq.head) < 0) { pq.dequeue(); pq.enqueue((s, key)) }
+      }
+      (n, pq.dequeueAll.toSeq)
+    }
+    // plain methods, not Function-typed vals: a lambda stored in a field of
+    // a serialized instance hits the SerializedLambda field-assignment trap
+    // on deserialization; call sites wrap these in fresh closures instead
+    def openOnly(oit: Iterator[(String, (Trace, D, Int, Double))])
+        : Iterator[(Long, Seq[(Double, String)], Long)] = {
+      val (n, sel) = top(oit)
+      Iterator.single((n, sel, 0L))
+    }
+    def withFetched(oit: Iterator[(String, (Trace, D, Int, Double))],
+        fit: Iterator[ExploredRow[D]])
+        : Iterator[(Long, Seq[(Double, String)], Long)] = {
+      val (n, sel) = top(oit)
+      var nb = 0L
+      fit.foreach { r =>
+        val blocked = r.row.trajectory.observations.exists {
+          case e: graft.doc.DocError => e.message.startsWith("blocked by robots.txt")
+          case _ => false
+        }
+        if (!blocked) nb += 1
+      }
+      Iterator.single((n, sel, nb))
+    }
   }
 
   /** Per-level frontier dedup winner (same level => equal depth), matching

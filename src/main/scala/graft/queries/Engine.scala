@@ -304,7 +304,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -580,7 +580,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -668,7 +668,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -829,7 +829,7 @@ object EngineQ {
     // the pool MUST be shut down explicitly: server.stop() does not own a
     // user-supplied executor, and its non-daemon threads would otherwise
     // keep the whole JVM alive after the session ends (a hung Verify run)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -951,7 +951,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -1026,7 +1026,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {
@@ -2414,7 +2414,7 @@ object EngineQ {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(8, Runtime.getRuntime.availableProcessors()))
     server.setExecutor(pool)
     server.start()
     try {

@@ -308,7 +308,7 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(depths("e_20") == 2 && depths("a_10") == 1)
   }
 
-  test("best-first: THREE jobs per round (selection, budget census, frontier cut) — no hidden actions") {
+  test("best-first: ONE job per round (fused cut + selection + budget census) — no hidden actions") {
     val seedPath = scoredSite("explore10")
     val ctx = new GraftContext(spark, GraftConf())
     import spark.implicits._
@@ -321,14 +321,16 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         fetchBudget = 4, batchSize = 1)
     sc.clearJobGroup()
     val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-census")
-    // fixed overhead = 2 jobs (seed-frontier cut + the eager final
-    // localCheckpoint); each of the 4 rounds then runs exactly 3: the
-    // takeOrdered selection (a global priority decision needs the
-    // driver), the budget census over the fetched batch (which also
-    // materializes the fetch into cache), and the next-frontier cut.
+    // fixed overhead = 2 jobs (seed cut+selection + the eager final
+    // localCheckpoint); each of the 4 rounds then runs exactly ONE fused
+    // job: the frontier cut whose zipPartitions pass also harvests the
+    // next selection's top-batchSize (score, key) pairs and the budget
+    // census over the co-partitioned cached fetch (r21: the unfused loop
+    // ran these as 3 driver-synchronized actions — at batchSize 1 the
+    // crawl is driver-latency bound, so jobs per round IS its unit cost).
     // A growth here means an accidental extra action snuck into the loop.
-    assert(jobs == 2 + 3 * 4,
-      s"best-first must run exactly 3 jobs per round (+2 fixed): $jobs jobs for 4 rounds")
+    assert(jobs == 2 + 1 * 4,
+      s"best-first must run exactly 1 fused job per round (+2 fixed): $jobs jobs for 4 rounds")
     assert(explored.dataset.count() == 4) // and the result is already materialized
   }
 
@@ -362,10 +364,11 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     // batch sizes are bounded by the frontier while it is still narrow and
     // by the remaining budget at the end: 1, 2, 4, 4, 4, 4, 4, 2 = 25
     // fetches in 8 rounds (vs 25 rounds at batchSize 1 — the driver-latency
-    // amortization this mode exists for). 3 jobs per round + the 2 fixed
-    // (seed cut, final checkpoint) + 1 visited-keys fold at round 8.
-    assert(jobs == 2 + 3 * 8 + 1,
-      s"8 batched rounds must run 3 jobs each (+2 fixed, +1 fold): got $jobs")
+    // amortization this mode exists for). 1 fused job per round + the 2
+    // fixed (seed cut+selection, final checkpoint) + 1 visited-keys fold
+    // at round 8.
+    assert(jobs == 2 + 1 * 8 + 1,
+      s"8 batched rounds must run 1 fused job each (+2 fixed, +1 fold): got $jobs")
     assert(explored.dataset.count() == 25) // exactly the budget
     assert(ctx.metrics.pagesFetched.value == 25)
   }
@@ -397,15 +400,15 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
         fetchBudget = 25, batchSize = 4, foldEvery = 2)
     sc.clearJobGroup()
     val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-fold-census")
-    assert(jobs == 2 + 3 * 8 + 4,
-      s"foldEvery=2 over 8 rounds must fold 4 times (+2 fixed, 3/round): got $jobs")
+    assert(jobs == 2 + 1 * 8 + 4,
+      s"foldEvery=2 over 8 rounds must fold 4 times (+2 fixed, 1/round): got $jobs")
     assert(explored.dataset.count() == 25)
     assert(ctx.metrics.pagesFetched.value == 25)
   }
 
   test("best-first: exact job census at rounds ≫ FoldEvery (batchSize 1, default fold cadence)") {
     // 25 single-fetch rounds against the default foldEvery = 8: the exact
-    // equality 2 + 3·rounds + rounds/8 is the CI-level pin of the
+    // equality 2 + rounds + rounds/8 is the CI-level pin of the
     // O(1)-live-handles claim — an un-folded visited union (or any hidden
     // per-round action) would add jobs and break it. CrawlBench asserts
     // the same census at 100k pages / 68 rounds; this is its fast twin.
@@ -433,8 +436,8 @@ class ExploreSpec extends AnyFunSuite with BeforeAndAfterEach {
     sc.clearJobGroup()
     val jobs = graft.exec.JobCensus.settledJobCount(sc, "bf-deep-census")
     assert(ctx.metrics.exploreRounds.value == 25)
-    assert(jobs == 2 + 3 * 25 + 25 / 8,
-      s"25 rounds at foldEvery 8 must run 2 + 75 + 3 jobs: got $jobs")
+    assert(jobs == 2 + 1 * 25 + 25 / 8,
+      s"25 rounds at foldEvery 8 must run 2 + 25 + 3 jobs: got $jobs")
     assert(explored.dataset.count() == 25)
     assert(ctx.metrics.pagesFetched.value == 25)
   }
