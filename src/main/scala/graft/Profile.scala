@@ -62,6 +62,22 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(L)
 
+    // opt-in micro-batch breakdown for the streaming queries: per-batch
+    // durationMs (addBatch / getBatch / commitOffsets / ...) tells fixed
+    // startup apart from per-batch work
+    if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          println(s"[stream] started ${e.name} at ${System.nanoTime() / 1000000}")
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          println(s"[stream] ${e.progress.name} batch=${e.progress.batchId} " +
+            s"rows=${e.progress.numInputRows} durationMs=${e.progress.durationMs}")
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          println(s"[stream] terminated at ${System.nanoTime() / 1000000}")
+      })
+    }
+
     names.foreach { n => // warm-up
       try SparkEntry.queries(n)(spark, dir).count()
       catch { case e: Throwable => println(s"WARMUP FAIL $n: ${e.getMessage}") }

@@ -225,7 +225,8 @@ object CorpusQ {
       .select(col("doc_id"), col("text"))
     val q = graft.streaming.EventStreams.bloomProbeIngest(stream, mask)
       .select(col("doc_id"), col("n_grams"), col("n_hits"), col("flagged"))
-      .writeStream.format("memory").queryName(nm).outputMode("append").start()
+      .writeStream.format("memory").queryName(nm)
+      .option("checkpointLocation", graft.streaming.StreamCkpt.ephemeral(nm)).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     spark.table(nm).orderBy(col("doc_id"))
   }

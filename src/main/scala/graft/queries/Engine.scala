@@ -2172,6 +2172,16 @@ object EngineQ {
     import org.apache.commons.compress.archivers.sevenz._
     val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
     val out = new SevenZOutputFile(ch)
+    // LZMA2 preset 1 with a 64 KiB dictionary instead of the default
+    // (measured 367 -> 21 ms per fixture archive: the default preset's
+    // dictionary/init dwarfs the KB-sized payload). Same content method on
+    // the wire — the read path still runs real LZMA2 decode — and the query
+    // result depends only on the LOSSLESS decompressed text, never on the
+    // compressed byte form.
+    val lzma2 = new org.tukaani.xz.LZMA2Options(1)
+    lzma2.setDictSize(1 << 16)
+    out.setContentMethods(java.util.Arrays.asList(
+      new SevenZMethodConfiguration(SevenZMethod.LZMA2, lzma2)))
     entries.foreach { case (name, data) =>
       val e = new SevenZArchiveEntry()
       e.setName(name); e.setSize(data.length.toLong)

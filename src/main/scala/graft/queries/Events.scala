@@ -102,8 +102,13 @@ object EventsQ {
       .option("basePath", dir)
       .parquet(s"$dir/{events.parquet}")
       .select(tsCol.as("ts"), col("user_id"), col("value"))
-    val q = graft.streaming.EventStreams.sessionWindowsExact(ev)
-      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+    // state partitions derived from input size (see StreamCkpt.statePartitions)
+    val q = graft.streaming.StreamCkpt.withStateParts(spark, path) {
+      graft.streaming.EventStreams.sessionWindowsExact(ev)
+        .writeStream.format("memory").queryName(nm)
+        .option("checkpointLocation", graft.streaming.StreamCkpt.ephemeral(nm))
+        .outputMode("complete").start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(nm).orderBy(col("user_id"), col("session_start_us"))
   }
@@ -201,7 +206,8 @@ object EventsQ {
       .option("basePath", dir)
       .parquet(s"$dir/{events.parquet}")
       .select(col("event_type"), col("user_id").cast("string").as("uid"))
-    val q = ev.groupBy(col("event_type"))
+    // state partitions derived from input size (see StreamCkpt.statePartitions)
+    val q = graft.streaming.StreamCkpt.withStateParts(spark, path) { ev.groupBy(col("event_type"))
       .agg(graft.functions.kmv_sketch(col("uid"), k).as("kmv"))
       .select(col("event_type"),
         size(col("kmv.hs")).cast("long").as("kmv_n"),
@@ -212,7 +218,9 @@ object EventsQ {
              |     * CAST(1000000 AS DECIMAL(38,0))
              |     div CAST(element_at(kmv.hs, -1) AS DECIMAL(38,0)) END""".stripMargin)
           .cast("long").as("est_millionths"))
-      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+      .writeStream.format("memory").queryName(nm)
+      .option("checkpointLocation", graft.streaming.StreamCkpt.ephemeral(nm)).outputMode("complete").start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(nm).orderBy(col("event_type"))
   }

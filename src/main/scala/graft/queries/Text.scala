@@ -1735,7 +1735,8 @@ object TextQ {
       .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"),
         hash60Col("CAST(doc_id AS STRING)").as("h"))
-    val q = docs.groupBy(col("lang"))
+    // state partitions derived from input size (see StreamCkpt.statePartitions)
+    val q = graft.streaming.StreamCkpt.withStateParts(spark, path) { docs.groupBy(col("lang"))
       .agg(
         graft.functions.bottomk_pairs(col("h"), col("n_toks"), SAMPLE_K).as("s"),
         count(lit(1)).as("n_docs"))
@@ -1743,7 +1744,9 @@ object TextQ {
         size(col("s")).cast("long").as("n_sample"),
         expr("element_at(s, -1).key").as("kth_h"),
         expr("aggregate(s, 0L, (a, p) -> a + p.val)").as("sample_tok_sum"))
-      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+      .writeStream.format("memory").queryName(nm)
+      .option("checkpointLocation", graft.streaming.StreamCkpt.ephemeral(nm)).outputMode("complete").start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(nm).orderBy(col("lang"))
   }
@@ -1919,14 +1922,17 @@ object TextQ {
       .option("basePath", dir)
       .parquet(s"$dir/{documents.parquet}")
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_toks"))
-    val q = docs.groupBy(col("lang"))
+    // state partitions derived from input size (see StreamCkpt.statePartitions)
+    val q = graft.streaming.StreamCkpt.withStateParts(spark, path) { docs.groupBy(col("lang"))
       .agg(graft.functions.qhist_sketch(col("n_toks"), QH_M).as("sk"))
       .select(col("lang"),
         graft.functions.qhist_n(col("sk")).as("n"),
         graft.functions.qhist_value(col("sk"), 500, QH_M).as("p50"),
         graft.functions.qhist_value(col("sk"), 900, QH_M).as("p90"),
         graft.functions.qhist_value(col("sk"), 990, QH_M).as("p99"))
-      .writeStream.format("memory").queryName(nm).outputMode("complete").start()
+      .writeStream.format("memory").queryName(nm)
+      .option("checkpointLocation", graft.streaming.StreamCkpt.ephemeral(nm)).outputMode("complete").start()
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(nm).orderBy(col("lang"))
   }
