@@ -49,6 +49,14 @@ object Profile {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
+        if (sys.env.contains("GRAFT_STAGE_DEBUG")) {
+          val i = s.stageInfo
+          val dur = (for { a <- i.completionTime; b <- i.submissionTime } yield a - b)
+            .getOrElse(-1L)
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(-1L)
+          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%3d wall=${dur}%5d ms " +
+            f"run=${rt}%5d ms  ${i.name.linesIterator.next().take(110)}")
+        }
         val m = s.stageInfo.taskMetrics
         if (m != null) {
           taskTimeMs += m.executorRunTime
@@ -94,6 +102,13 @@ object Profile {
         val now = (L.jobs, L.stages, L.tasks)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+    }
+    if (sys.env.contains("GRAFT_PLAN_DEBUG")) names.foreach { n =>
+      graft.queries.SimQ.clearNearDupPairCache()
+      val df = SparkEntry.queries(n)(spark, dir)
+      df.count()
+      println(s"===== $n executed plan =====")
+      println(df.queryExecution.executedPlan.toString)
     }
     names.foreach { n =>
       val walls = (1 to runs).map { _ =>

@@ -928,8 +928,15 @@ object SimQ {
                         relNum: Long = 1, relDen: Long = 5): DataFrame = {
     // sig frame materialized once (eager localCheckpoint): both sides of
     // the band self-join read executor-held blocks instead of recomputing
-    // the signature pass
-    val cand = saltedBandCandidates(bandsOf(sigOf(docs).localCheckpoint()), lit(true))
+    // the signature pass. Project the struct down to the 6 band slices
+    // FIRST (r21): localCheckpoint materializes full rows eagerly — no
+    // Catalyst pruning reaches past it — and q76's verify stage reads
+    // prefixes, never the per-doc shingle hash SET that dominates the
+    // signature struct's bytes (n_grams longs/doc vs 6 band slices).
+    val bandSig = sigOf(docs).select(col("doc_id"), struct(
+      col("sig.s1").as("s1"), col("sig.s2").as("s2"), col("sig.s3").as("s3"),
+      col("sig.s4").as("s4"), col("sig.s5").as("s5"), col("sig.s6").as("s6")).as("sig"))
+    val cand = saltedBandCandidates(bandsOf(bandSig.localCheckpoint()), lit(true))
     val pref = docs.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
     // Verify-cost control, exact-result-preserving: (a) a length-difference
     // pregate (lev ≥ |len_a − len_b|, so a pair failing it can never pass
@@ -940,7 +947,27 @@ object SimQ {
     // pairs are exactly the pairs the unbanded test rejects. Together these
     // cut the sf0.1 verify stage ~10× with a bit-identical result set.
     val maxAccept = (prefixLen.toLong * relNum / relDen).toInt
-    cand
+    // Two r21 plan fixes, found by reading the executed plan (guide §7.2):
+    // (a) Catalyst pushed the `lev` accept-filter INTO the prefix join's
+    //     condition, so the O(prefixLen·threshold) DP ran inside the join
+    //     stage — evaluated per candidate row (twice, condition + output
+    //     column) and serialized on the ONE task AQE's byte-sized
+    //     coalescing gave that stage (2.4 s while 31 cores idled). The
+    //     localCheckpoint is a materialization barrier the filter cannot
+    //     be pushed below; it carries only pregate-surviving (ids, two
+    //     ≤prefixLen prefixes) rows — the same pair-scale class the q53
+    //     verify already materializes.
+    // (b) The DP stage itself is CPU-dense, so cores — not bytes — are the
+    //     right task denominator (guide §2.5): a pinned round-robin
+    //     redistribution (deterministic under retries,
+    //     sortBeforeRepartition) fans it across defaultParallelism tasks.
+    // The barrier must sit ABOVE the redistribution: a deterministic filter
+    // sinks through both Project and Repartition, so any pre-repartition
+    // checkpoint still left the DP on the barrier's single task. With the
+    // checkpoint taken AFTER the pinned repartition, the materialized
+    // LogicalRDD itself carries defaultParallelism partitions and the
+    // pushed-down accept filter (with its DP) runs one task per block.
+    val pregated = cand
       .hint("shuffle_hash")
       .join(pref.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
       .join(pref.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
@@ -948,6 +975,9 @@ object SimQ {
       .filter(col("mx") > 0 &&
         abs(length(col("sa")) - length(col("sb"))).cast("long") * relDen <=
           col("mx") * relNum)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    pregated
       .withColumn("lev", levenshtein(col("sa"), col("sb"), maxAccept).cast("long"))
       .filter(col("lev") >= 0 && col("lev") * relDen <= col("mx") * relNum)
       .select(col("id_a"), col("id_b"), col("lev"),
