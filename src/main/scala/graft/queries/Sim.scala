@@ -341,6 +341,13 @@ object SimQ {
       .select(col("doc_id"),
         graft.functions.shingle_signature(col("text")).as("sig"))
       .persist()
+    // fill the cache ONCE before the pair job (r21): that job has ~6
+    // independent sibling stages (both band sides, the hot-bucket agg,
+    // both verify sides) which otherwise RACE the cache fill and each
+    // recompute the whole signature pass — measured 6 × 1.1 s of task time
+    // at sf0.1 for one 1.1 s pass. One cheap count serializes the fill;
+    // every sibling stage then reads executor-held blocks.
+    base.count()
 
     // band rows: (doc_id, band_id, band_key) — only hashes travel the
     // shuffle; both self-join sides re-derive them from the cached base,
