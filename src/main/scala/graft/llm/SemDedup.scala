@@ -354,10 +354,21 @@ object SemDedup {
     val probeFold =
       s"""slice(array_sort(transform(cells,
          |  c -> struct(($DIST) AS d, c.cid AS cid))), 1, $nProbe)""".stripMargin
+    // explode_outer, deliberately (r21): plain explode makes
+    // InferFiltersFromGenerate prepend `size(probe) > 0 AND isnotnull(probe)`
+    // and predicate pushdown then inlines the ENTIRE probe fold — with `qv`
+    // re-derived as transform(embedding) inside every distance term — into
+    // the scan filter: the probe ran twice per row and the quantization
+    // O(nCoarse·d) times (read from the executed plan; the measured 1.5 s
+    // single-task stage at sf0.1). The probe array is never empty (a slice
+    // of the non-empty coarse literal) and a null qv yields null ccid rows
+    // the inner equi-join downstream drops exactly like explode did — so
+    // outer-generate semantics are result-identical and the inferred-filter
+    // duplication is gone.
     q.withColumn("n2q", graft.functions.vec_dot_long(col("qv"), col("qv")))
       .withColumn("cells", cellsLiteral(coarse))
       .withColumn("probe", expr(probeFold))
-      .select(col(idCol), col("qv"), col("n2q"), explode(col("probe.cid")).as("ccid"))
+      .select(col(idCol), col("qv"), col("n2q"), explode_outer(col("probe.cid")).as("ccid"))
   }
 
   /** The shuffle-hash centroid join + per-id argmin over probed rows —
