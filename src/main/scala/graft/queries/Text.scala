@@ -330,13 +330,18 @@ object TextQ {
 
   /** The q80 operator over any (lang, text) frame. */
   def dupProfile(input: DataFrame): DataFrame = {
+    // explode_outer + output-side null drop == explode (empty arrays emit
+    // one null row, dropped here) minus the InferFiltersFromGenerate
+    // predicate that would re-run the per-position md5 transform inside the
+    // pushed-down scan filter (the q102/q53 disease)
     val docs = input
       .select(col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("lang"), explode(expr(
+      .select(col("lang"), explode_outer(expr(
         """CASE WHEN size(toks) >= 8
           |THEN transform(sequence(1, size(toks) - 7),
           |  i -> md5(concat_ws(' ', slice(toks, i, 8))))
           |ELSE array() END""".stripMargin)).as("gram"))
+      .filter(col("gram").isNotNull)
     docs.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
@@ -381,7 +386,8 @@ object TextQ {
       */
     def train(docs: DataFrame, profileSize: Int = 64): DataFrame = {
       val counts = docs
-        .select(col("lang"), explode(trigrams("text")).as("tri"))
+        .select(col("lang"), explode_outer(trigrams("text")).as("tri"))
+        .filter(col("tri").isNotNull) // == explode, minus the inferred filter
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
         .persist() // read by three aggregates below
       // totals as AGGREGATE JOINS, not windows: sum().over() with no
@@ -425,7 +431,8 @@ object TextQ {
       */
     def predict(docs: DataFrame, profiles: DataFrame): DataFrame = {
       val scored = docs
-        .select(col("doc_id"), explode(array_distinct(trigrams("text"))).as("tri"))
+        .select(col("doc_id"), explode_outer(array_distinct(trigrams("text"))).as("tri"))
+        .filter(col("tri").isNotNull) // == explode, minus the inferred filter
         .join(broadcast(profiles), Seq("tri"))
         .groupBy(col("doc_id"), col("p_lang"))
         .agg(sum(col("weight")).as("score"))
@@ -552,11 +559,18 @@ object TextQ {
     val docs = Tables.documents(spark, dir)
     // consecutive word 5-grams; docs under 5 tokens contribute their whole
     // text as one gram (slice truncates identically on both engines)
+    // split ONCE into a column (r21): the previous form re-evaluated
+    // split(text) inside the transform lambda — once per gram position,
+    // quadratic in document length (lambda bodies are not hoisted).
+    // Identical gram strings. explode_outer + null drop == explode minus
+    // the InferFiltersFromGenerate duplicate (the q102/q53 disease).
     val grams = expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),
-        |  i -> array_join(slice(split(text, ' '), i, 5), ' '))""".stripMargin)
+      """transform(sequence(1, greatest(size(ts) - 4, 1)),
+        |  i -> array_join(slice(ts, i, 5), ' '))""".stripMargin)
     val g = docs
-      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode_outer(array_distinct(grams)).as("gram"))
+      .filter(col("gram").isNotNull)
       .select(col("doc_id"), md5(col("gram")).as("gh"))
     val evalG = g.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("gh"))
@@ -726,8 +740,15 @@ object TextQ {
     * (the substring-family analog of [[SimQ.bandIndex]]).
     */
   def anchorIndex(docs: DataFrame, k: Int = 12, p: Int = 4): DataFrame =
+    // explode_outer + output-side null drop == explode, minus the
+    // InferFiltersFromGenerate predicate that plain explode triggers: that
+    // inferred `size(anchor_grams(text)) > 0` is pushed into the scan
+    // filter and evaluates the whole anchor pass a second time per
+    // document (the q102 disease; the output-side filter cannot sink below
+    // the Generate because `gram` does not exist there)
     docs.select(col("doc_id"),
-      explode(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+        explode_outer(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
+      .filter(col("gram").isNotNull)
 
   /** Winnowed variant of [[anchorIndex]] — selection by sliding min-hash
     * window instead of mod-p, making detection of shared spans ≥ w+k−1
