@@ -21,7 +21,12 @@ object HttpTuning {
     if (System.getProperty("http.maxConnections") == null) {
       System.setProperty("http.maxConnections", "64")
     }
-    System.setProperty("sun.net.httpserver.nodelay", "true")
+    // same override semantics as http.maxConnections above (r21, ADVICE):
+    // an explicit -Dsun.net.httpserver.nodelay=false wins instead of being
+    // silently clobbered
+    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+    }
   }
   // applying at object init too means ANY reference to HttpTuning tunes
   apply()

@@ -41,12 +41,21 @@ final class W3CStubServer(site: String => Option[String]) {
     var source: String = ""
     var inputs: Map[String, String] = Map.empty
 
+    // parse-once per load (r21): every element command re-parsed the page
+    // — dozens of re-parses per rollout across the protocol chatter.
+    // `source` is only ever set by load(), so the cached root can't go
+    // stale; a session's own requests are sequential by protocol.
+    private var parsed: HtmlNode = null
     def load(u: String): Unit = {
       uri = u
       source = site(u).getOrElse(throw new NoSuchElementException(s"stub 404: $u"))
       inputs = Map.empty
+      parsed = null
     }
-    def root: HtmlNode = HtmlNode.parse(source, uri)
+    def root: HtmlNode = {
+      if (parsed == null) parsed = HtmlNode.parse(source, uri)
+      parsed
+    }
     def nth(selector: String, idx: Int): Option[graft.doc.Node] = {
       val all = root.findAll(selector)
       if (idx < all.size) Some(all(idx)) else None

@@ -2563,8 +2563,11 @@ object EngineQ {
     val n = docs.count()
     require(fired.value == n,
       s"q158: foreach fired ${fired.value} times for $n rows (exactly-once broken)")
-    // the gate reads the side effects back from disk, not from the view
-    spark.read.format("binaryFile").load(s"$fix/*.marker")
+    // the gate reads the side effects back from disk, not from the view.
+    // pathGlobFilter, not a glob path (r21, ADVICE): load("$fix/*.marker")
+    // throws AnalysisException when the id-class filter selects zero rows
+    // at some scale factor, instead of the empty frame the oracle produces
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.marker").load(fix)
       .select(col("content")).as[Array[Byte]]
       .map { bytes =>
         val s = new String(bytes, StandardCharsets.UTF_8)
