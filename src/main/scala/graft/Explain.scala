@@ -24,9 +24,13 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"\n===== $name =====")
-      println(df.queryExecution.explainString(
+      val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        .linesIterator.takeWhile(_.nonEmpty).mkString("\n")) // operator tree only
+      // full output (tree + per-operator details) on demand — the detail
+      // section is where filter/join expressions live, which is what plan
+      // claims are checked against; default stays tree-only for skimming
+      if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(formatted)
+      else println(formatted.linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "SortMergeJoin"    -> plan.contains("SortMergeJoin"),
