@@ -111,24 +111,34 @@ object Profile {
       println(df.queryExecution.executedPlan.toString)
     }
     names.foreach { n =>
-      val walls = (1 to runs).map { _ =>
+      // failed timed runs print a FAIL line and are excluded from the
+      // median (ADVICE r21: a swallowed failure used to report a
+      // plausible-looking wall with no error indication)
+      val walls = (1 to runs).flatMap { _ =>
         graft.queries.SimQ.clearNearDupPairCache()
         graft.queries.FixtureClock.drain()
         settle()
         L.reset()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, dir).count()
-        catch { case _: Throwable => -1L }
+        val ok =
+          try { SparkEntry.queries(n)(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            println(s"FAIL $n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+            false
+          }
         val w = (System.nanoTime() - t0) / 1e9
         settle()
-        w
+        if (ok) Some(w) else None
       }
+      if (walls.isEmpty) { println(f"$n%-32s ${"ALL-RUNS-FAILED"}%8s") }
+      else {
       val wall = walls.sorted.apply(walls.size / 2)
       val fix = graft.queries.FixtureClock.drain()
       println(f"$n%-32s $wall%8.3f ${L.jobs}%5d ${L.stages}%6d ${L.tasks}%6d " +
         f"${L.taskTimeMs / 1e3}%8.2f ${L.shufReadB / 1e6}%9.2f ${L.shufWriteB / 1e6}%9.2f " +
         f"${L.spillB / 1e6}%9.2f ${L.inputB / 1e6}%8.2f" +
         (if (fix > 0.005) f"  fixture=$fix%.3f" else ""))
+      }
     }
     spark.stop()
   }

@@ -64,9 +64,22 @@ final class WebDriverHttpBrowser(
 
   // ---------------------------------------------------------------- protocol
 
+  // Keep-alive (r22, the Fetcher discipline): a fully-read + closed response
+  // stream returns the socket to the JDK keep-alive pool, so every wire
+  // command after the first reuses one TCP connection per endpoint instead
+  // of paying connect + TIME_WAIT churn per request — a best-first rollout
+  // is dozens of sequential wire round-trips, so per-request setup IS the
+  // operator's unit cost. W3C protocol errors (4xx/5xx envelopes) drain the
+  // error stream the same way — the connection is still clean — and only a
+  // transport failure mid-request hard-disconnects.
+  // GRAFT_WIRE_DISCONNECT=1 restores the pre-r22 disconnect-per-request
+  // behavior — the same-JVM A/B seam WireBench measures both modes through.
+  private val reuseConnections = System.getenv("GRAFT_WIRE_DISCONNECT") == null
+
   private def http(method: String, path: String, body: Option[JNode]): JNode = {
     val conn = URI.create(endpoint + path).toURL
       .openConnection().asInstanceOf[HttpURLConnection]
+    var drained = false
     try {
       conn.setRequestMethod(method)
       conn.setConnectTimeout(15000)
@@ -82,7 +95,10 @@ final class WebDriverHttpBrowser(
       val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
       val text =
         if (is == null) ""
-        else new String(is.readAllBytes(), StandardCharsets.UTF_8)
+        else
+          try new String(is.readAllBytes(), StandardCharsets.UTF_8)
+          finally is.close()
+      drained = reuseConnections
       val parsed = if (text.isEmpty) F.objectNode() else mapper.readTree(text)
       val value = parsed.path("value")
       if (status >= 400)
@@ -90,7 +106,7 @@ final class WebDriverHttpBrowser(
           s"$method $path -> $status ${value.path("error").asText("")}: " +
             value.path("message").asText(text.take(200)))
       value
-    } finally conn.disconnect()
+    } finally if (!drained) conn.disconnect()
   }
 
   private def obj(fields: (String, JNode)*): JNode = {

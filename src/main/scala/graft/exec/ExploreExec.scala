@@ -354,9 +354,12 @@ object ExploreExec {
     // `width` tasks, so a 25-fetch crawl on a 32-core master would pay
     // 32 near-empty tasks per stage — pure dispatch overhead — while a
     // web-scale budget clamps to defaultParallelism exactly as before.
-    // ~8 budgeted fetches per partition keeps small crawls dense.
-    val width = math.max(1L,
-      math.min(sc.defaultParallelism.toLong, (fetchBudget + 7) / 8)).toInt
+    // ~8 budgeted fetches per partition keeps small crawls dense; the
+    // batchSize floor (r22, ADVICE) keeps a round's fetches able to fan out
+    // one-per-task when batchSize > fetchBudget/8 (e.g. budget 16, batch 8
+    // must not serialize 8 network fetches onto 2 tasks).
+    val width = math.max(1L, math.min(sc.defaultParallelism.toLong,
+      math.max(batchSize.toLong, (fetchBudget + 7) / 8))).toInt
     val partitioner = new HashPartitioner(width)
     val layout = params.layout
 

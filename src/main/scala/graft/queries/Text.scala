@@ -745,7 +745,14 @@ object TextQ {
     // inferred `size(anchor_grams(text)) > 0` is pushed into the scan
     // filter and evaluates the whole anchor pass a second time per
     // document (the q102 disease; the output-side filter cannot sink below
-    // the Generate because `gram` does not exist there)
+    // the Generate because `gram` does not exist there).
+    // INVARIANT the row-identity rests on (ADVICE r21), here and at every
+    // other explode_outer+isNotNull site: the generator's ELEMENTS are
+    // never null (md5/array_join/substring/anchor_grams all emit non-null
+    // strings), so the only nulls the outer join introduces are the
+    // empty/null-ARRAY placeholder rows the filter drops. A generator that
+    // could emit null elements would have those rows silently dropped
+    // where plain explode kept them — don't reuse this pattern for one.
     docs.select(col("doc_id"),
         explode_outer(graft.functions.anchor_grams(col("text"), k, p)).as("gram"))
       .filter(col("gram").isNotNull)

@@ -66,6 +66,13 @@ object StreamCkpt {
   /** Runs `body` (a writeStream ... .start() call — the partition count is
     * captured at query start) under the input-size-derived shuffle/state
     * partition count, restoring the session setting after.
+    *
+    * Scope caveat (ADVICE r21): this mutates the session-global
+    * `spark.sql.shuffle.partitions` for the duration of `body` — a
+    * concurrent query PLANNED on the same session inside that window would
+    * pick up the reduced count. Safe here because the gate/bench harness
+    * runs queries strictly sequentially; a concurrent caller should start
+    * the stream from a cloned session (`spark.newSession()`) instead.
     */
   def withStateParts[T](spark: org.apache.spark.sql.SparkSession, inputPath: String)(
       body: => T): T = {
@@ -77,8 +84,13 @@ object StreamCkpt {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => deleteRecursively(c))
+      if (Files.isDirectory(p)) {
+        // close the listing stream (ADVICE r21): Files.list holds a
+        // directory fd until closed — unclosed, the shutdown-hook walk
+        // leaks one fd per tree level
+        val s = Files.list(p)
+        try s.forEach(c => deleteRecursively(c)) finally s.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: Exception => () }
   }
