@@ -155,6 +155,10 @@ object CorpusQ {
     * The spec additionally pins the no-false-negative guarantee and a
     * planted false positive.
     */
+  // NOTE (r22): spreadNarrowScan was measured here and REJECTED — the
+  // probe's per-row cost inflates ~3-30x under concurrent tasks in one
+  // JVM (wall 0.82→1.17 s at 32 cores, 1.15→2.14 s at 8), unlike q94/q139
+  // whose dense stages win. Serial probe stays.
   def q83BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
     bloomDecontaminate(Tables.documents(spark, dir))
 
@@ -217,17 +221,24 @@ object CorpusQ {
     * depended on batch-global state would diverge here).
     */
   def q139StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val mask = evalGramMask(Tables.documents(spark, dir))
     val path = s"$dir/documents.parquet"
+    val mask = evalGramMask(graft.scale.Layout.spreadNarrowScan(
+      Tables.documents(spark, dir), path))
     val schema = spark.read.parquet(path).schema
     val nm = "q139_bloom_sink"
     spark.streams.active.filter(q => Option(q.name).contains(nm)).foreach(_.stop())
     scala.util.Try(spark.catalog.dropTempView(nm))
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{documents.parquet}")
-      .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("text"))
+    // spread the stateless gram probe when the single-file source reads as
+    // one task (r22; the batch q83's spread applied to the stream side —
+    // repartition is append-mode-clean and the probe is a pure map, so
+    // rows/values are unchanged; no-op at scale where the source shards)
+    val stream = graft.scale.Layout.spreadNarrowScan(
+      spark.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{documents.parquet}")
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text")),
+      path)
     val q = graft.streaming.EventStreams.bloomProbeIngest(stream, mask)
       .select(col("doc_id"), col("n_grams"), col("n_hits"), col("flagged"))
       .writeStream.format("memory").queryName(nm)
@@ -604,6 +615,9 @@ object CorpusQ {
     * stage only drops rows), which is the property that makes the
     * composition linear overall.
     */
+  // NOTE (r22): spreadNarrowScan measured here and REJECTED (wall
+  // 2.84→4.53 s, task time 2.2→45 s — the md5-over-full-text stages
+  // inflate ~20x under concurrent tasks in one JVM, like q83's probe).
   def q89Pipeline(spark: SparkSession, dir: String): DataFrame =
     pipeline(Tables.documents(spark, dir))
 
@@ -703,7 +717,11 @@ object CorpusQ {
     * 3-row occurrence totals ride broadcast.
     */
   def q94SplitLeakage(spark: SparkSession, dir: String): DataFrame =
-    splitLeakage(Tables.documents(spark, dir))
+    // spread the md5-8-gram pass when the scan is one split (r22; no-op at
+    // scale — see Layout.spreadNarrowScan): the gram stage was ~0.9 s on
+    // ONE task while 31 cores idled
+    splitLeakage(graft.scale.Layout.spreadNarrowScan(
+      Tables.documents(spark, dir), s"$dir/documents.parquet"))
 
   /** Core of [[q94SplitLeakage]] over any (source, text) frame. */
   def splitLeakage(docs: DataFrame): DataFrame = {

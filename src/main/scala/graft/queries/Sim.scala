@@ -731,14 +731,14 @@ object SimQ {
     * collapse into one community in a handful of rounds. At sf0.01 the
     * 500-node graph settles into 68 communities.
     *
-    * Scale shape: each round is one shuffle-hash join (edges ⋈ labels —
-    * labels are node-cardinality, NEVER broadcast), one partial-agged
-    * (dst, label) count, and a per-node argmax window whose partitions
-    * hold at most in-degree rows. Labels stay a (id, lbl) frame — no
-    * driver state, no collect; the declarative 3-round unroll keeps the
-    * whole thing visible to Catalyst (the q62 pure-lineage doctrine). For
-    * unbounded rounds the PageRank.run checkpoint cadence applies
-    * unchanged.
+    * Scale shape (r22, the explicit-partitioner RDD loop — [[lpRoundRdd]]):
+    * labels and the src-keyed edge index are co-partitioned ONCE, so each
+    * round's contribution join and relabel join are narrow zipPartitions
+    * and the round's single exchange is the map-side-combined per-dst
+    * label count — edges never reshuffle after setup (the declarative
+    * formulation re-shuffled them every round). Labels stay (id, lbl)
+    * pairs — no driver state, no collect; for unbounded rounds the
+    * PageRank.run checkpoint cadence applies unchanged.
     */
   def q90LabelProp(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id").as("id"))
@@ -757,7 +757,7 @@ object SimQ {
     * the declarative path prunes it. Shared by [[labelPropagate]] and
     * [[labelPropagateConverge]] so the relabel rule can never fork.
     */
-  private def lpRound(edges: DataFrame)(labels: DataFrame): DataFrame = {
+  private[graft] def lpRound(edges: DataFrame)(labels: DataFrame): DataFrame = {
     val counts = edges
       .join(labels.select(col("id").as("l_id"), col("lbl")).hint("shuffle_hash"),
         col("src") === col("l_id"))
@@ -773,22 +773,117 @@ object SimQ {
         col("lbl").as("prev"))
   }
 
+  /** One RDD-level label-propagation round under an EXPLICIT partitioner
+    * (r22, optimization guide §2.4/§8 — VERDICT item 6): labels and the
+    * src-keyed edge index share `part`, so the contribution join and the
+    * relabel join are NARROW `zipPartitions` (neither labels nor edges
+    * reshuffle, ever) and the round's ONE exchange is the per-dst
+    * label-count combine — map-side combined, so it carries per-partition
+    * (dst, label)→count partials, not edges. The declarative [[lpRound]]
+    * paid 3-4 exchanges per round for the same facts (edges⋈labels, the
+    * count groupBy, the mode window, the relabel join); at graph scale the
+    * edge re-shuffle per round is the dominant cost this removes.
+    *
+    * Result-identical to [[lpRound]] BY ARITHMETIC, not by plan: counts
+    * are exact longs (order-independent merges) and the mode tie-break
+    * ((count desc, label asc) — here `c > bestC || (c == bestC && l <
+    * bestL)` over any iteration order) is the same deterministic rule.
+    * CorpusSpec pins RDD-vs-declarative parity on planted and formula
+    * graphs.
+    *
+    * Output values: (id, (newLabel, oldLabel)) — the old label rides along
+    * so the convergence loop's changed-count needs no second join.
+    */
+  private def lpRoundRdd(
+      labels: org.apache.spark.rdd.RDD[(Long, Long)],
+      edgesBySrc: org.apache.spark.rdd.RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Long, (Long, Long))] = {
+    val contrib = labels.zipPartitions(edgesBySrc) { (lit, eit) =>
+      val m = new scala.collection.mutable.LongMap[Long]()
+      lit.foreach { case (id, l) => m.update(id, l) }
+      eit.flatMap { case (src, dst) =>
+        if (m.contains(src)) Iterator.single((dst, m(src))) else Iterator.empty
+      }
+    }
+    val mode = contrib.combineByKey(
+      (l: Long) => {
+        val m = new scala.collection.mutable.LongMap[Long](); m.update(l, 1L); m
+      },
+      (m: scala.collection.mutable.LongMap[Long], l: Long) => {
+        m.update(l, m.getOrElse(l, 0L) + 1L); m
+      },
+      (a: scala.collection.mutable.LongMap[Long],
+       b: scala.collection.mutable.LongMap[Long]) => {
+        b.foreach { case (l, c) => a.update(l, a.getOrElse(l, 0L) + c) }; a
+      },
+      part)
+      .mapValues { m =>
+        var bestL = Long.MaxValue
+        var bestC = 0L
+        m.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        bestL
+      }
+    labels.zipPartitions(mode, preservesPartitioning = true) { (lit, mit) =>
+      val m = new scala.collection.mutable.LongMap[Long]()
+      mit.foreach { case (id, l) => m.update(id, l) }
+      lit.map { case (id, old) => (id, (m.getOrElse(id, old), old)) }
+    }
+  }
+
+  /** (src-keyed edge index, initial self-labels) co-partitioned for
+    * [[lpRoundRdd]]. The edge index is persisted — every round re-reads it
+    * from executor blocks; its storage frees via the ContextCleaner when
+    * the result drops out of scope (the in-query norm).
+    */
+  private def lpSetup(ids: DataFrame, edges: DataFrame)
+      : (org.apache.spark.rdd.RDD[(Long, Long)],
+         org.apache.spark.rdd.RDD[(Long, Long)],
+         org.apache.spark.HashPartitioner) = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val edgesRaw = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+    // partitioner width derives from the EDGE INPUT's own scan parallelism
+    // (guide §2: partitioning from data size, not local cores, the
+    // ExploreExec rule): a narrow test graph stays 1-few partitions — no
+    // 32-empty-task rounds — while a production edge table whose scan
+    // shards clamps to defaultParallelism exactly as a shuffle would.
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        edgesRaw.getNumPartitions)))
+    val edgesBySrc = edgesRaw.partitionBy(part)
+    edgesBySrc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels0 = ids.select(col("id").cast("long")).as[Long].rdd
+      .map(id => (id, id)).partitionBy(part)
+    (edgesBySrc, labels0, part)
+  }
+
   /** Core of [[q90LabelProp]] over any (id) / (src, dst) frames — the spec
-    * hand-verifies rounds on planted community graphs. Fixed round count,
-    * pure lineage (the q62 doctrine: Catalyst sees the whole unroll), with
-    * the [[graft.scale.PageRank]] checkpoint CADENCE for large round
-    * counts — every `checkpointEvery`-th intermediate truncates lineage so
-    * plan depth stays bounded; a short run like q90's 3 rounds never hits
-    * the cadence and stays fully declarative.
+    * hand-verifies rounds on planted community graphs. Fixed round count
+    * over the RDD loop ([[lpRoundRdd]] — one exchange per round, edges
+    * never reshuffle; r22, replacing the declarative unroll whose every
+    * round paid 3-4 exchanges); every `checkpointEvery`-th round truncates
+    * lineage so plan depth stays bounded over long runs.
     */
   def labelPropagate(ids: DataFrame, edges: DataFrame, rounds: Int,
                      checkpointEvery: Int = 8): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val l0 = ids.select(col("id"), col("id").as("lbl"))
-    (1 to rounds).foldLeft(l0) { (l, i) =>
-      val next = lpRound(edges)(l).drop("prev")
-      if (i % checkpointEvery == 0 && i < rounds) next.localCheckpoint() else next
+    val spark = ids.sparkSession
+    val (edgesBySrc, labels0, part) = lpSetup(ids, edges)
+    var labels = labels0
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      labels = lpRoundRdd(labels, edgesBySrc, part).mapValues(_._1)
+      if (r % checkpointEvery == 0 && r < rounds) labels.localCheckpoint()
     }
+    val enc2 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    spark.createDataset(labels)(enc2).toDF("id", "lbl")
   }
 
   /** @param labels (id, lbl) — materialized (checkpointed) final labels
@@ -825,26 +920,33 @@ object SimQ {
                              maxRounds: Int): LabelPropResult = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val spark = ids.sparkSession
-    val enc3 = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong)
-    var labels = ids.select(col("id"), col("id").as("lbl"))
+    // the RDD loop (r22): one exchange per round (the per-dst count
+    // combine), labels and edges co-partitioned so both joins are narrow —
+    // see lpRoundRdd. The census contract is unchanged: each round's
+    // changed-count rides the SAME rdd.aggregate that populates the
+    // round's localCheckpoint blocks — exactly ONE job per round
+    // (CorpusSpec's SparkListener census), and the previous round's
+    // blocks release immediately (O(1) executor storage).
+    val (edgesBySrc, labels0, part) = lpSetup(ids, edges)
+    var labels = labels0
     var prevCp: org.apache.spark.rdd.RDD[_] = null
     var r = 0
     var changed = Long.MaxValue
     while (r < maxRounds && changed != 0L) {
       r += 1
-      val rdd = lpRound(edges)(labels).as[(Long, Long, Long)](enc3).rdd
-      rdd.localCheckpoint()
-      changed = rdd.aggregate(0L)(
-        (acc, t) => if (t._2 != t._3) acc + 1L else acc, _ + _)
-      val next = spark.createDataset(rdd)(enc3).toDF("id", "lbl", "prev")
+      val next = lpRoundRdd(labels, edgesBySrc, part)
+      next.localCheckpoint()
+      changed = next.aggregate(0L)(
+        (acc, t) => if (t._2._1 != t._2._2) acc + 1L else acc, _ + _)
       if (prevCp != null) prevCp.unpersist(blocking = false)
-      prevCp = rdd
-      labels = next.drop("prev")
+      prevCp = next
+      labels = next.mapValues(_._1)
     }
-    new LabelPropResult(labels, r, changed, Option(prevCp))
+    edgesBySrc.unpersist(blocking = false) // labels is checkpoint-backed now
+    val enc2 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    new LabelPropResult(spark.createDataset(labels)(enc2).toDF("id", "lbl"),
+      r, changed, Option(prevCp))
   }
 
   /** q95 — label propagation with the CONVERGENCE STOP oracle-gated, the

@@ -39,6 +39,36 @@ object Layout {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    keys: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), keys)
+
+  /** Spread a CPU-DENSE transform chain over all cores when (and only
+    * when) the upstream scan cannot: a table whose bytes fit inside ONE
+    * scan split (`spark.sql.files.maxPartitionBytes`) reads as a single
+    * task, and every gram/hash/probe map downstream of it serializes on
+    * one core while the rest idle — the q76 one-task disease, at the scan
+    * (r22; guide §2.5 "one huge unsplittable file: repartition immediately
+    * after the read"). The check is byte-derived, not a core-count
+    * constant: any input big enough to split (≥ one split of data — every
+    * production table) returns `df` UNCHANGED, so at scale this is a
+    * no-op and the exchange it adds locally costs only the narrow table's
+    * few MB. Row-identical by construction (round-robin repartition; all
+    * gated consumers aggregate with exact arithmetic downstream).
+    *
+    * `GRAFT_NO_SPREAD=1` disables (the A/B seam).
+    */
+  def spreadNarrowScan(df: DataFrame, tablePath: String): DataFrame = {
+    if (System.getenv("GRAFT_NO_SPREAD") != null) return df
+    val spark = df.sparkSession
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes < maxSplit) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 }
 
 /** Locality-preserving cogroup (reference IndexingLocalityImpl,

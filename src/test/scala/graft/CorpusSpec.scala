@@ -373,6 +373,31 @@ class CorpusSpec extends AnyFunSuite {
     osc.release()
   }
 
+  test("label propagation: RDD loop == declarative lpRound unroll on random multigraphs (r22 parity)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(30)
+      // random directed multigraph: parallel edges kept, some nodes
+      // sourceless/sinkless, plus a few self-loops — every structural case
+      // the mode rule must tie-break identically on
+      val edges = Seq.fill(4 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("src", "dst")
+      val ids = (0L until n.toLong).toDF("id")
+      val rounds = 1 + rnd.nextInt(4)
+      val viaRdd = graft.queries.SimQ.labelPropagate(ids, edges, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaPlan = (1 to rounds)
+        .foldLeft(ids.select($"id", $"id".as("lbl"))) { (l, _) =>
+          graft.queries.SimQ.lpRound(edges)(l).drop("prev")
+        }
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaRdd == viaPlan,
+        s"trial $trial (n=$n, rounds=$rounds): RDD loop diverged from the declarative rule")
+    }
+  }
+
   test("label propagation converge: ONE Spark job per round (scalar rides the materializing action)") {
     val spark0 = spark
     import spark0.implicits._
